@@ -1,0 +1,79 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md §Protocol): shared SparkSession on
+local[$SPARK_GRAFT_CPUS], warm runs — each query executed once to warm
+codegen/IO caches, then timed as the median of 3 steady-state runs.
+JVM startup is excluded (the 2× bar compares query execution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: mirror BASELINE.md's measured-oracle table, plus the
+# reference-core CAIM path once implemented.
+HEADLINE = [
+    "agg_hash",
+    "join_broadcast",
+    "topk_per_group",
+    "dedup_exact",
+    "stream_session",
+    "caim_fit",
+    "sim_cosine_exact",
+    "dedup_minhash",
+]
+
+
+def _run_once(fn, spark) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, SF_DIR)
+    # count() materializes the full result without driver-side row transfer.
+    df.count()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from pycaim_spark.registry import queries as all_queries
+    from pycaim_spark.session import get_spark
+
+    spark = get_spark(app_name="pycaim-bench")
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        try:
+            _run_once(fn, spark)  # warm-up (codegen + page cache)
+            runs = sorted(_run_once(fn, spark) for _ in range(3))
+            timings[name] = round(runs[1], 4)
+        except Exception as exc:  # never let one query kill the bench line
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

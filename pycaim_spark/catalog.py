@@ -1,0 +1,61 @@
+"""Table catalog: load the driver's TPC-H-ish parquet fixtures.
+
+Fixture schemas: FIXTURES.md (read from parquet footers). Tables live at
+``{sf_dir}/{name}.parquet`` (TESTDATA.md:14-15).
+
+Normalization applied on load (and mirrored in every oracle SQL):
+
+- ``events.ts`` is physically INT64 TIMESTAMP(NANOS); Spark reads it as a
+  long (``nanosAsLong``) and we convert with integer division ``ts DIV 1000``
+  → ``timestamp_micros`` → TIMESTAMP_NTZ. Integer division is load-bearing:
+  epoch-nanos (~1.7e18) exceed double's 2^53 integer range, so a float
+  divide would corrupt microseconds. The DuckDB oracle side is
+  ``CAST(ts AS TIMESTAMP)`` (ns → µs truncation, identical semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from pycaim_spark.session import configure_session
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, applying type normalization."""
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 epoch-nanos -> µs-precision naive timestamp (see module doc).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables as a dict."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
