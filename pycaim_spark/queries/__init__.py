@@ -1,3 +1,4 @@
 """Query modules — importing this package registers every SURVEY §2 query."""
 
 import pycaim_spark.queries.aggregates  # noqa: F401
+import pycaim_spark.queries.relational  # noqa: F401
