@@ -3,3 +3,4 @@
 import pycaim_spark.queries.aggregates  # noqa: F401
 import pycaim_spark.queries.joins  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
+import pycaim_spark.queries.windows  # noqa: F401

@@ -71,3 +71,190 @@ def agg_hash(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "agg_distinct",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) — expand + two-phase aggregate (SURVEY §2.B).
+
+    Catalyst rewrites multi-distinct via Expand; each distinct column adds
+    one shuffle-side dedup, which is the honest cost of exactness at scale
+    (the approx variant below is the 100 TB default).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.count_distinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    tags=("agg",),
+    rows_only_reason="HLL++ sketch is approximate and implementation-specific; "
+    "tests/test_aggregates.py asserts ±5% of exact per group",
+)
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — SURVEY §2.B agg_approx_distinct.
+
+    The mergeable-sketch path: one pass, constant memory per group, no
+    expand — the right distinct-count at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg",),
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the Spark 4 DataFrame API (SURVEY §2.B).
+
+    One Expand + one aggregate — not N separate scans unioned.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (SURVEY §2.B agg_rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all grouping combinations (SURVEY §2.B agg_cube)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "agg_having",
+    tags=("agg",),
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS order_cnt
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING) — SURVEY §2.B agg_having."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .filter(F.col("order_cnt") > 12)
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           COALESCE("F", 0) AS F,
+           COALESCE("O", 0) AS O
+    FROM (PIVOT lineitem ON l_linestatus USING count(*) GROUP BY l_returnflag)
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot to wide format — the CAIM quanta-matrix shape (SURVEY §2.B).
+
+    Pivot values are pinned explicitly (no discovery pass) and missing
+    cells coalesced to 0 so both engines agree on absent combinations.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").pivot("l_linestatus", ["F", "O"]).count()
+    return wide.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+    )
+
+
+@register(
+    "dedup_distinct",
+    tags=("agg",),
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def dedup_distinct(spark, sf_dir):
+    """SELECT DISTINCT rows (SURVEY §2.B dedup_distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "agg_collect",
+    tags=("agg",),
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """collect_set per group, order-normalized (SURVEY §2.B agg_collect).
+
+    Array sorted then joined to a string so the comparison (and any
+    downstream hash) is order-insensitive — collect order is
+    partition-dependent by nature.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_nationkey")), ","
+        ).alias("nations")
+    )
