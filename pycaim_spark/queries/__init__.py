@@ -1,6 +1,7 @@
 """Query modules — importing this package registers every SURVEY §2 query."""
 
 import pycaim_spark.queries.aggregates  # noqa: F401
+import pycaim_spark.queries.functions  # noqa: F401
 import pycaim_spark.queries.joins  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
 import pycaim_spark.queries.windows  # noqa: F401
