@@ -1,0 +1,191 @@
+"""CAIM as a Spark MLlib pipeline stage (the driver's mandated approach:
+"CAIM discretization algorithm … reimplemented as Spark MLlib pipeline
+stage for distributed feature engineering", BASELINE.json:6-7).
+
+Distributed fit — Strategy B (SURVEY.md §3.2):
+
+1. Melt the requested feature columns into (feature, value, label) rows with
+   one JVM-side ``stack`` projection (no Python).
+2. Pre-aggregate ``groupBy(feature, value, label).count()`` — this is the
+   scale step: 100 TB of raw rows collapse to ≤ Σ_f (distinct_f × S)
+   histogram rows with map-side partial aggregation, and nothing downstream
+   ever sees raw data.
+3. ``groupBy(feature).applyInPandas`` runs the vectorized greedy
+   (:func:`pycaim_spark.operators.caim.core.caim_greedy`) once per feature —
+   features fit in parallel across executors, mirroring the reference's
+   per-feature parallelism.
+4. The fitted model is a tiny {feature: cuts} dict on the driver.
+
+Ultra-high-cardinality guard: a feature whose distinct-value histogram
+exceeds ``maxCandidates`` is compressed inside the worker by weighted
+quantile binning of the histogram (documented approximation; the histogram
+itself is already aggregated, so this is cheap and deterministic).
+
+Transform is a pure projection: for each feature, the 1-based interval id
+``1 + #{cuts < v}`` evaluated with a JVM higher-order function over the
+literal cut array — codegen'd, no shuffle, no Python; exactly matches
+:func:`core.bucketize_value` including the value==cut edge (falls left).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from pycaim_spark.operators.caim.core import caim_greedy
+
+# The driver harness imports this package via a sys.path insert that Spark
+# Python WORKERS do not inherit, so any UDF referencing package code would
+# die with ModuleNotFoundError worker-side. Registering the modules for
+# pickle-by-value makes every shipped closure self-contained (numpy/pandas
+# are importable on workers; pycaim_spark is not assumed to be).
+import sys as _sys
+
+import pycaim_spark.operators.caim.core as _core_mod
+
+try:
+    from pyspark import cloudpickle as _cloudpickle
+except ImportError:  # pragma: no cover - fallback for exotic installs
+    import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_core_mod)
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+class _CaimParams(Params):
+    inputCols = Param(
+        Params._dummy(), "inputCols", "continuous feature columns to discretize",
+        typeConverter=TypeConverters.toListString,
+    )
+    labelCol = Param(
+        Params._dummy(), "labelCol", "class label column",
+        typeConverter=TypeConverters.toString,
+    )
+    outputSuffix = Param(
+        Params._dummy(), "outputSuffix", "suffix for output bucket-id columns",
+        typeConverter=TypeConverters.toString,
+    )
+    maxCandidates = Param(
+        Params._dummy(), "maxCandidates",
+        "per-feature distinct-value cap; larger histograms are quantile-"
+        "compressed in the worker (approximation for near-unique columns)",
+        typeConverter=TypeConverters.toInt,
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._setDefault(outputSuffix="_bin", maxCandidates=100_000)
+
+
+def _compress_histogram(
+    values: np.ndarray, counts: np.ndarray, max_bins: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted quantile compression of an oversized histogram.
+
+    Splits the value axis into ≤ max_bins groups of equal total weight;
+    each group is represented by its weighted mean value with summed class
+    counts. Deterministic; preserves total counts exactly.
+    """
+    weights = counts.sum(axis=1)
+    cum = np.cumsum(weights)
+    edges = np.searchsorted(cum, np.linspace(0, cum[-1], max_bins + 1)[1:-1], "left")
+    groups = np.concatenate([[0], np.unique(edges), [len(values)]])
+    new_vals, new_counts = [], []
+    for a, c in zip(groups[:-1], groups[1:]):
+        if c <= a:
+            continue
+        w = weights[a:c]
+        new_vals.append(float((values[a:c] * w).sum() / w.sum()))
+        new_counts.append(counts[a:c].sum(axis=0))
+    return np.array(new_vals), np.array(new_counts, dtype=np.int64)
+
+
+class CaimDiscretizer(Estimator, _CaimParams):
+    """Estimator learning CAIM cut points per feature column."""
+
+    def __init__(self, inputCols=None, labelCol="label", outputSuffix="_bin",
+                 maxCandidates=100_000):
+        super().__init__()
+        self._set(labelCol=labelCol, outputSuffix=outputSuffix,
+                  maxCandidates=maxCandidates)
+        if inputCols is not None:
+            self._set(inputCols=inputCols)
+
+    def _fit(self, dataset: DataFrame) -> "CaimDiscretizerModel":
+        cols = self.getOrDefault(self.inputCols)
+        label = self.getOrDefault(self.labelCol)
+        max_cand = self.getOrDefault(self.maxCandidates)
+
+        # 1. Melt features JVM-side: stack(n, 'f1', f1, 'f2', f2, ...).
+        stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+        melted = dataset.select(
+            F.expr(f"stack({len(cols)}, {stack_args}) AS (feature, value)"),
+            F.col(label).cast("string").alias("label"),
+        ).filter(F.col("value").isNotNull() & F.col("label").isNotNull())
+
+        # 2. The scale step: collapse raw rows to a per-feature histogram.
+        hist = melted.groupBy("feature", "value", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+        # 3. One greedy search per feature, in parallel across executors.
+        def fit_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+            feature = pdf["feature"].iloc[0]
+            pivot = (
+                pdf.pivot_table(index="value", columns="label", values="cnt",
+                                aggfunc="sum", fill_value=0)
+                .sort_index()
+                .sort_index(axis=1)  # label order: sorted → deterministic
+            )
+            values = pivot.index.to_numpy(dtype=np.float64)
+            counts = pivot.to_numpy(dtype=np.int64)
+            if len(values) > max_cand:
+                values, counts = _compress_histogram(values, counts, max_cand)
+            cuts = caim_greedy(values, counts)
+            return pd.DataFrame({"feature": [feature], "cuts": [list(cuts)]})
+
+        cuts_rows = (
+            hist.repartition("feature")
+            .groupBy("feature")
+            .applyInPandas(fit_feature, "feature string, cuts array<double>")
+            .collect()
+        )
+        cuts = {r["feature"]: list(r["cuts"]) for r in cuts_rows}
+        model = CaimDiscretizerModel(
+            cuts=cuts, outputSuffix=self.getOrDefault(self.outputSuffix)
+        )
+        model._set(inputCols=cols, labelCol=label)
+        return model
+
+
+class CaimDiscretizerModel(Model, _CaimParams):
+    """Fitted model: {feature: sorted interior cuts}; transform is a pure,
+    shuffle-free projection (broadcast-by-literal of the tiny cut arrays)."""
+
+    def __init__(self, cuts: dict[str, list[float]] | None = None,
+                 outputSuffix: str = "_bin"):
+        super().__init__()
+        self.cuts = cuts or {}
+        self._set(outputSuffix=outputSuffix)
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        suffix = self.getOrDefault(self.outputSuffix)
+        out = dataset
+        for feature, cuts in self.cuts.items():
+            out = out.withColumn(f"{feature}{suffix}", self.bucket_expr(feature))
+        return out
+
+    def bucket_expr(self, feature: str):
+        """1 + #{cuts < v} as a codegen'd higher-order expression."""
+        cuts = self.cuts[feature]
+        if not cuts:
+            return F.lit(1)
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        return (
+            F.size(F.filter(arr, lambda c: c < F.col(feature).cast("double")))
+            + F.lit(1)
+        ).alias(f"{feature}_bin")
