@@ -4,5 +4,7 @@ import pycaim_spark.queries.aggregates  # noqa: F401
 import pycaim_spark.queries.caim_queries  # noqa: F401
 import pycaim_spark.queries.functions  # noqa: F401
 import pycaim_spark.queries.joins  # noqa: F401
+import pycaim_spark.queries.llm_dedup  # noqa: F401
+import pycaim_spark.queries.llm_text  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
 import pycaim_spark.queries.windows  # noqa: F401

@@ -1,0 +1,329 @@
+"""LLM-pipeline dedup + similarity-search queries (SURVEY.md §2.C).
+
+Exact variants are oracle-checked; seeded/approximate variants (MinHash,
+SimHash, LSH) are rows-only with recall/property tests in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pycaim_spark.catalog import load_table
+from pycaim_spark.operators.similarity import (
+    DOT_SQL,
+    NORM_SQL,
+    dot_expr,
+    norm_expr,
+)
+from pycaim_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Exact / normalized dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    tags=("llm", "dedup", "flagship"),
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact text dedup keeping the smallest doc_id (SURVEY §2.C).
+
+    groupBy-min, NOT dropDuplicates: the keeper must be deterministic.
+    At scale this is one hash shuffle on the text (or a text-hash column
+    to keep shuffle keys small).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_norm",
+    tags=("llm", "dedup"),
+    oracle=r"""
+    SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY norm_hash
+    """,
+)
+def dedup_norm(spark, sf_dir):
+    """Normalized dedup: lower/trim/whitespace-squeeze → sha256 → group.
+
+    SURVEY §2.C dedup_norm. Hashing the normalized text keeps shuffle keys
+    at 32 bytes regardless of document size — the 100 TB shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    return d.groupBy(norm_hash.alias("norm_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS g) t
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.bg = b.bg AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.03
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard similarity pairs via an inverted index.
+
+    SURVEY §2.C (n-gram Jaccard near-dup). The inverted-index join only
+    materializes pairs sharing ≥1 shingle — never the full pair space —
+    which is the scalable exact formulation (common-shingle skew is the
+    knob: drop ultra-frequent shingles at 100 TB).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+    )
+    grams = (
+        d.select("doc_id", F.explode(bigrams).alias("bg")).distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "bg")
+    b = grams.select(F.col("doc_id").alias("id_b"), "bg")
+    inter = (
+        a.join(b, "bg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.03)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding",
+    tags=("llm", "dedup"),
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               {NORM_SQL.format(a='embedding')} AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm), 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs ≥ 0.3).
+
+    SURVEY §2.C embedding near-dup. Norms precomputed per vector; the dot
+    product is an index-ordered fold so both engines produce identical
+    doubles. The all-pairs form is the small-corpus baseline; the
+    sign-LSH bucketed variant (sim_lsh_bucketed) is the scale path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+    )
+    cos = F.round(
+        dot_expr(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+@register(
+    "dedup_minhash",
+    tags=("llm", "dedup"),
+    rows_only_reason="MinHashLSH banding is seeded and implementation-"
+    "specific; tests/test_llm_ops.py asserts recall vs exact bigram Jaccard "
+    "on planted near-duplicates",
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (SURVEY §2.C dedup_minhash)."""
+    from pycaim_spark.operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d)
+
+
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup"),
+    rows_only_reason="SimHash signatures are hash-function-specific; "
+    "tests/test_llm_ops.py asserts determinism and Hamming properties on "
+    "planted near-duplicates",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash Hamming-distance candidate pairs (task-prompt extra)."""
+    from pycaim_spark.operators.dedup import simhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(d, max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_exact",
+    tags=("llm", "similarity", "flagship"),
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               {NORM_SQL.format(a='embedding')} AS nrm
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                     / (q.nrm * c.nrm), 6) AS cos
+        FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_cosine_exact(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 10 query vectors.
+
+    SURVEY §2.C sim_cosine_exact. The query side is broadcast (tiny), so
+    the corpus streams once with no shuffle; ranking ties broken by
+    neighbor id after 6-dp rounding for determinism.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm"))
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
+    cos = F.round(
+        dot_expr(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+@register(
+    "sim_lsh_approx",
+    tags=("llm", "similarity"),
+    rows_only_reason="BucketedRandomProjectionLSH is seeded/approximate; "
+    "tests/test_llm_ops.py asserts recall ≥ 0.8 vs exact euclidean top-k",
+)
+def sim_lsh_approx(spark, sf_dir):
+    """Approx NN via Spark ML BucketedRandomProjectionLSH (SURVEY §2.C)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    # Embeddings are unit-norm: all-pairs distance is ~√2; near-dups
+    # (cos ≥ 0.28) sit below √(2-2·0.28) ≈ 1.2. bucketLength ≈ w/2 of the
+    # target distance keeps per-table collision ~1/3 → 8 tables ≈ 0.96
+    # recall.
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=8, seed=42,
+    ).fit(vecs)
+    joined = lsh.approxSimilarityJoin(vecs, vecs, 1.2, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+@register(
+    "sim_lsh_bucketed",
+    tags=("llm", "similarity"),
+    rows_only_reason="sign-LSH bucketing is an approximation (recall < 1); "
+    "tests/test_llm_ops.py asserts every returned pair is exact-verified "
+    "and recall vs dedup_embedding is reported",
+)
+def sim_lsh_bucketed(spark, sf_dir):
+    """Banded sign-LSH (random hyperplane) bucketed cosine pairs — the
+    100 TB alternative to all-pairs: candidates only where any of 16 4-bit
+    signature tables collide, exact cosine inside (SURVEY §2.C
+    sim_lsh_approx scale path)."""
+    from pycaim_spark.operators.similarity import bucketed_cosine_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_cosine_neighbors(
+        emb, n_planes=4, n_tables=16, dim=64, seed=42, min_cos=0.3
+    )

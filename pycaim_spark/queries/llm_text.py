@@ -1,0 +1,296 @@
+"""LLM-pipeline text-analysis + multimodal queries (SURVEY.md §2.C and the
+task north star: language-ID, quality scoring, token counting, document
+fingerprinting, TF-IDF, multimodal columns)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pycaim_spark.catalog import load_table
+from pycaim_spark.registry import register
+
+# Single source of truth for the language-ID heuristic wordlists — the
+# Spark expression and the oracle SQL are generated from this dict, so the
+# two sides cannot drift. (Real builds swap in proper n-gram profiles; the
+# operator shape — per-language evidence scores → argmax — is the point.)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+@register(
+    "text_wordcount",
+    tags=("llm", "text"),
+    oracle="""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY w
+    """,
+)
+def text_wordcount(spark, sf_dir):
+    """Tokenize → explode → count (SURVEY §2.C text_wordcount)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_lang_stats",
+    tags=("llm", "text"),
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark, sf_dir):
+    """Per-language/source corpus stats (SURVEY §2.C text_lang_stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_tfidf",
+    tags=("llm", "text"),
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w AS word, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ), df AS (
+        SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tf)
+        GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf, n JOIN df ON tf.word = df.word
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Pure-SQL TF-IDF: tf · ln(N/df) per (doc, word) (SURVEY §2.C).
+
+    The document count joins in as a broadcast scalar; df is one word-level
+    aggregate — two shuffles total at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast subquery
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
+def _lang_score_sql() -> str:
+    structs = ", ".join(
+        f"(len(list_intersect(ws, {markers!r})), '{lang}')"
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    )
+    return f"list_max([{structs}])"
+
+
+@register(
+    "text_langid",
+    tags=("llm", "text"),
+    oracle=f"""
+    SELECT doc_id,
+           {_lang_score_sql()}[2] AS pred_lang,
+           {_lang_score_sql()}[1] AS evidence
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Heuristic language ID: per-language marker-word evidence → argmax
+    (task north star: language-ID n-gram heuristic).
+
+    Ties break toward the lexicographically larger language code via
+    (score, lang) struct max — identical on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    scored = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            words, F.array(*[F.lit(m) for m in markers])
+                        )
+                    ).cast("long").alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, markers in sorted(_LANG_MARKERS.items())
+            ]
+        )
+    )
+    return d.select(
+        "doc_id",
+        scored.getField("lang").alias("pred_lang"),
+        scored.getField("score").alias("evidence"),
+    )
+
+
+@register(
+    "text_quality",
+    tags=("llm", "text"),
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+               AS chars_per_word,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                          w -> list_contains(['the','and','of','to','in','a','is'], w)))
+                      AS DOUBLE) / len(string_split(text, ' ')), 6)
+               AS stopword_ratio,
+           CAST(n_chars BETWEEN 50 AND 5000
+                AND len(string_split(text, ' ')) >= 5 AS INTEGER) AS passes_gate
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length stats, stopword ratio, pass/fail gate
+    (task north star: quality scoring for training-data filtering)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lower_words = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "in", "a", "is"]])
+    n_words = F.size(words).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars").cast("double") / n_words, 6).alias("chars_per_word"),
+        F.round(
+            F.size(F.filter(lower_words, lambda w: F.array_contains(stop, w)))
+            .cast("double") / n_words,
+            6,
+        ).alias("stopword_ratio"),
+        (F.col("n_chars").between(50, 5000) & (n_words >= 5))
+        .cast("int")
+        .alias("passes_gate"),
+    )
+
+
+@register(
+    "text_tokens",
+    tags=("llm", "text"),
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_llm_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace, BPE-ish regex segmentation, and the
+    chars/4 LLM heuristic (task north star: token counting)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).cast("long").alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("llm", "text"),
+    oracle="""
+    SELECT doc_id, MIN(md5(tg)) AS fingerprint
+    FROM (SELECT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS tg
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t)
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: min-hash over word trigrams (rolling-shingle
+    fingerprinting, task north star). md5 is identical across engines, so
+    the winnowed fingerprint is oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    trigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(trigrams).alias("tg"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("tg")).alias("fingerprint"))
+    )
+
+
+@register(
+    "mm_column",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS mime,
+           8 + octet_length(encode(text)) AS payload_bytes,
+           'mem://documents/' || doc_id AS uri
+    FROM documents
+    """,
+)
+def mm_column(spark, sf_dir):
+    """Multimodal column pack: binary payload + typed metadata
+    (SURVEY §2.C mm_column). The oracle checks byte-exact payload sizing
+    (header + utf-8 body) and metadata; the blob itself stays opaque."""
+    from pycaim_spark.operators.multimodal import pack_demo_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_demo_payload(d)
+    return packed.select(
+        "doc_id",
+        "mime",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        "uri",
+    )
+
+
+@register(
+    "mm_decode_stub",
+    tags=("llm", "multimodal"),
+    rows_only_reason="decode plumbing (mapInPandas over binary payloads) has "
+    "no SQL twin; header parse results are asserted in tests/test_llm_ops.py",
+)
+def mm_decode_stub(spark, sf_dir):
+    """Decode/feature-extract over binary payloads via Arrow mapInPandas —
+    real streaming-batch plumbing, stubbed codec (SURVEY §2.C; the
+    image/audio libs are absent in this environment by design)."""
+    from pycaim_spark.operators.multimodal import decode_metadata, pack_demo_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_metadata(pack_demo_payload(d))

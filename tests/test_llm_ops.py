@@ -1,0 +1,123 @@
+"""Property/recall tests for the approximate LLM-pipeline operators
+(SURVEY.md §5.2): MinHash vs exact Jaccard, LSH recall vs exact neighbors,
+SimHash determinism, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _planted_near_dups(spark):
+    """Corpus with known near-duplicates: pairs (0,1) and (2,3) share most
+    words; everything else is disjoint."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base + " extra"),                       # ~0.9 word overlap
+        (2, "one two three four five six seven"),
+        (3, "one two three four five six newword"),  # ~0.75 overlap
+        (4, "totally different words here nothing shared at all"),
+        (5, "unrelated content again completely disjoint tokens"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from pycaim_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _planted_near_dups(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, max_jaccard_dist=0.9).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (4, 5) not in pairs  # disjoint docs must not collide
+
+
+def test_simhash_deterministic_and_discriminative(spark):
+    from pycaim_spark.operators.dedup import simhash_candidate_pairs, with_simhash
+
+    docs = _planted_near_dups(spark)
+    sigs1 = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    sigs2 = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    assert sigs1 == sigs2  # process-independent (md5-based, not hash())
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(docs, max_hamming=20).collect()
+    }
+    assert (0, 1) in pairs
+    identical = with_simhash(
+        spark.createDataFrame([(0, "same text"), (1, "same text")],
+                              "doc_id long, text string")
+    ).collect()
+    assert identical[0].simhash == identical[1].simhash
+
+
+def test_brp_lsh_recall_vs_exact_euclidean(spark, sf_dir):
+    """sim_lsh_approx must recover ≥80% of exact euclidean pairs < 12.0."""
+    from pycaim_spark.registry import REGISTRY
+    from pycaim_spark.catalog import load_table
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    mat = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    d2 = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(-1) ** 0.5
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if d2[i, j] < 1.2
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["sim_lsh_approx"].fn(spark, sf_dir).collect()
+    }
+    assert got <= exact or not exact  # no false positives beyond threshold
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_sign_lsh_pairs_are_exact_verified_subset(spark, sf_dir):
+    """Every sign-LSH pair must appear in the exact all-pairs result."""
+    from pycaim_spark.registry import REGISTRY
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in REGISTRY["dedup_embedding"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in REGISTRY["sim_lsh_bucketed"].fn(spark, sf_dir).collect()
+    }
+    for pair, cos in approx.items():
+        assert pair in exact and exact[pair] == cos
+    if exact:
+        recall = len(approx) / len(exact)
+        # banded 16×4-bit sign-LSH at cos≥0.3: theoretical recall ≈ 0.89
+        assert recall >= 0.5, f"sign-LSH recall collapsed: {recall:.3f}"
+
+
+def test_mm_decode_stub_parses_planted_headers(spark, sf_dir):
+    from pycaim_spark.registry import REGISTRY
+
+    rows = REGISTRY["mm_decode_stub"].fn(spark, sf_dir).collect()
+    assert rows and all(r.valid for r in rows)
+    for r in rows:
+        assert r.kind == 1 and r.channels == 3
+        assert r.width == (r.doc_id % 512) + 16
+        assert r.height == (r.doc_id % 256) + 16
+        assert r.payload_bytes > 8
+
+
+def test_mm_decode_rejects_garbage(spark):
+    from pycaim_spark.operators.multimodal import decode_metadata
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOTMAGIC123"), "image/fake"), (2, None, "image/fake")],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = decode_metadata(bad).collect()
+    assert all(not r.valid and r.kind == -1 for r in rows)
