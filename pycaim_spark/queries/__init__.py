@@ -8,4 +8,5 @@ import pycaim_spark.queries.llm_dedup  # noqa: F401
 import pycaim_spark.queries.llm_text  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
 import pycaim_spark.queries.streaming_queries  # noqa: F401
+import pycaim_spark.queries.udfs  # noqa: F401
 import pycaim_spark.queries.windows  # noqa: F401
