@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fixture parquet files are ~10 MiB: split them finer so local[N] cores
+# parallelize the scan (a cluster keeps the 128 MiB default; see session.py).
+os.environ.setdefault("PYCAIM_MAX_PARTITION_BYTES", "4194304")
+
 # Headline queries: mirror BASELINE.md's measured-oracle table, plus the
 # reference-core CAIM path once implemented.
 HEADLINE = [
@@ -54,9 +58,14 @@ def main() -> None:
         if fn is None:
             continue
         try:
-            _run_once(fn, spark)  # warm-up (codegen + page cache)
-            runs = sorted(_run_once(fn, spark) for _ in range(3))
-            timings[name] = round(runs[1], 4)
+            first = _run_once(fn, spark)  # warm-up (codegen + page cache)
+            if first > 20.0:
+                # Heavy query: one more steady-state run, no median-of-3 —
+                # keeps the whole bench bounded.
+                timings[name] = round(_run_once(fn, spark), 4)
+            else:
+                runs = sorted(_run_once(fn, spark) for _ in range(3))
+                timings[name] = round(runs[1], 4)
         except Exception as exc:  # never let one query kill the bench line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -72,8 +72,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PYCAIM_DRIVER_MEM", "8g"))
-        # 128 MiB input splits: good default for parquet scans at scale.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 128 MiB input splits: the right default for 100 TB parquet
+        # layouts (≈1 task per HDFS/S3 block). Local benches on ~10 MiB
+        # fixture files override via env to parallelize the scan
+        # (bench.py sets 4 MiB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("PYCAIM_MAX_PARTITION_BYTES", "134217728"),
+        )
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

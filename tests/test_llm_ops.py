@@ -7,6 +7,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from pycaim_spark.registry import _ensure_loaded
+
+_ensure_loaded()
+
 
 def _planted_near_dups(spark):
     """Corpus with known near-duplicates: pairs (0,1) and (2,3) share most
