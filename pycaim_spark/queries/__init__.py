@@ -1,5 +1,6 @@
 """Query modules — importing this package registers every SURVEY §2 query."""
 
+import pycaim_spark.queries.advanced  # noqa: F401
 import pycaim_spark.queries.aggregates  # noqa: F401
 import pycaim_spark.queries.caim_queries  # noqa: F401
 import pycaim_spark.queries.functions  # noqa: F401

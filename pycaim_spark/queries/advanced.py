@@ -1,0 +1,294 @@
+"""Advanced relational surface: subqueries (Catalyst decorrelation),
+TPC-H-shaped composite queries, exact distribution statistics, unpivot,
+null semantics, distribution windows, and time-series resampling.
+
+The subquery/composite queries go through ``spark.sql`` over registered
+temp views — exercising the SQL entry point of the engine (SURVEY.md §3.1
+applies identically; the SQL parser feeds the same Catalyst pipeline).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pycaim_spark.catalog import load_table, register_temp_views
+from pycaim_spark.registry import register
+
+
+@register(
+    "subq_scalar",
+    tags=("subquery",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 3 * (SELECT MIN(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def subq_scalar(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates to an aggregate
+    + join (SURVEY §4 subquery decorrelation). MIN keeps it float-exact."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 3 * (SELECT MIN(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "subq_in",
+    tags=("subquery",),
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+      AND c_custkey NOT IN (SELECT user_id FROM events
+                            WHERE event_type = 'error')
+    """,
+)
+def subq_in(spark, sf_dir):
+    """IN + NOT IN subqueries (rewritten to semi/anti joins by Catalyst).
+
+    Null caveat: NOT IN over a nullable column would be three-valued; both
+    key columns here are non-null fixtures, so semantics align.
+    """
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+          AND c_custkey NOT IN (SELECT user_id FROM events
+                                WHERE event_type = 'error')
+        """
+    )
+
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(12,2)))
+                AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register("tpch_q3", tags=("composite", "flagship"), oracle=_Q3_SQL)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (SURVEY §5: mirrored TPC-H query shapes): shipping
+    priority — 3-way join, filtered both sides, group-agg, top-10.
+
+    Plan at scale: customer filter broadcast into orders, SMJ/SHJ to
+    lineitem on the shuffled orderkey, partial agg before the final
+    TakeOrdered."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(12,2)))
+                AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register("tpch_q5", tags=("composite",), oracle=_Q5_SQL)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier volume — 5-way star join with a
+    region filter cascading through broadcast dims."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
+@register(
+    "agg_stats",
+    tags=("agg",),
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           round(sqrt((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                                * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       - pow(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+                         / COUNT(*))
+                      / (COUNT(*) - 1)), 6) AS price_stddev,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS price_median
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Distribution statistics with order-independent arithmetic:
+    stddev from exact decimal Σx/Σx² (native stddev accumulates floats in
+    partition order), exact interpolated median (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``)."""
+    o = load_table(spark, sf_dir, "orders")
+    d2 = F.col("o_totalprice").cast("decimal(12,2)")
+    sum_sq = F.sum(d2 * d2).cast("double")
+    sum_x = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+    n = F.count(F.lit(1))
+    stddev = F.round(
+        F.sqrt((sum_sq - F.pow(sum_x, 2) / n) / (n - 1)), 6
+    )
+    return o.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        stddev.alias("price_stddev"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("price_median"),
+    )
+
+
+@register(
+    "agg_unpivot",
+    tags=("agg",),
+    oracle="""
+    SELECT c_custkey, metric, CAST(v AS DOUBLE) AS v
+    FROM (SELECT c_custkey,
+                 CAST(c_acctbal AS DOUBLE) AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey
+          FROM customer)
+    UNPIVOT (v FOR metric IN (acctbal, nationkey))
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot / melt wide → long (Spark DataFrame.unpivot vs SQL UNPIVOT)."""
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "v")
+
+
+@register(
+    "fn_null",
+    tags=("function",),
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'view') AS type_or_null,
+           coalesce(nullif(event_type, 'view'), 'suppressed') AS type_filled,
+           CAST(nullif(event_type, 'view') IS NOT DISTINCT FROM NULL AS INTEGER)
+               AS is_suppressed,
+           CASE WHEN json_extract(props, '$.missing') IS NULL THEN -1
+                ELSE 0 END AS missing_marker
+    FROM events
+    """,
+)
+def fn_null(spark, sf_dir):
+    """Null semantics: nullif/coalesce/null-safe equality (`<=>` ≡
+    IS NOT DISTINCT FROM)."""
+    ev = load_table(spark, sf_dir, "events")
+    type_or_null = F.nullif(F.col("event_type"), F.lit("view"))
+    return ev.select(
+        "event_id",
+        type_or_null.alias("type_or_null"),
+        F.coalesce(type_or_null, F.lit("suppressed")).alias("type_filled"),
+        type_or_null.eqNullSafe(F.lit(None).cast("string")).cast("int").alias("is_suppressed"),
+        F.when(
+            F.get_json_object("props", "$.missing").isNull(), -1
+        ).otherwise(0).alias("missing_marker"),
+    )
+
+
+@register(
+    "win_distribution",
+    tags=("window",),
+    oracle="""
+    SELECT c_custkey,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank, cume_dist, nth_value."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
+
+
+@register(
+    "ts_resample",
+    tags=("timeseries",),
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(MIN(ts) AS TIMESTAMP)) AS lo,
+               time_bucket(INTERVAL 1 HOUR, CAST(MAX(ts) AS TIMESTAMP)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ), counts AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hour_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT s.hour_start, COALESCE(c.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN counts c USING (hour_start)
+    """,
+)
+def ts_resample(spark, sf_dir):
+    """Gap-filled hourly resampling: dense hour spine (sequence+explode)
+    left-joined with bucketed counts, gaps coalesced to 0 — the hypertable
+    rollup / time-series densification shape. The spine is generated from
+    the aggregated min/max (two scalar rows), so it costs one broadcast
+    join regardless of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return spine.join(counts, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
