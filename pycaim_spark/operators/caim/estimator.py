@@ -75,10 +75,19 @@ class _CaimParams(Params):
         "compressed in the worker (approximation for near-unique columns)",
         typeConverter=TypeConverters.toInt,
     )
+    strategy = Param(
+        Params._dummy(), "strategy",
+        "'histogram' (Strategy B: per-feature applyInPandas over the "
+        "pre-aggregated histogram — the default) or 'jobs' (Strategy A: "
+        "driver-orchestrated distributed greedy, one Spark job per round — "
+        "exact even when a single feature's histogram exceeds one executor)",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self):
         super().__init__()
-        self._setDefault(outputSuffix="_bin", maxCandidates=100_000)
+        self._setDefault(outputSuffix="_bin", maxCandidates=100_000,
+                         strategy="histogram")
 
 
 def _compress_histogram(
@@ -108,10 +117,10 @@ class CaimDiscretizer(Estimator, _CaimParams):
     """Estimator learning CAIM cut points per feature column."""
 
     def __init__(self, inputCols=None, labelCol="label", outputSuffix="_bin",
-                 maxCandidates=100_000):
+                 maxCandidates=100_000, strategy="histogram"):
         super().__init__()
         self._set(labelCol=labelCol, outputSuffix=outputSuffix,
-                  maxCandidates=maxCandidates)
+                  maxCandidates=maxCandidates, strategy=strategy)
         if inputCols is not None:
             self._set(inputCols=inputCols)
 
@@ -126,6 +135,25 @@ class CaimDiscretizer(Estimator, _CaimParams):
             F.expr(f"stack({len(cols)}, {stack_args}) AS (feature, value)"),
             F.col(label).cast("string").alias("label"),
         ).filter(F.col("value").isNotNull() & F.col("label").isNotNull())
+
+        if self.getOrDefault(self.strategy) == "jobs":
+            # Strategy A: distributed greedy per feature, one Spark job per
+            # accepted cut (see strategy_a.py) — nothing single-node.
+            from pycaim_spark.operators.caim.strategy_a import (
+                fit_feature_distributed,
+            )
+
+            cuts = {
+                c: fit_feature_distributed(
+                    melted.filter(F.col("feature") == c).select("value", "label")
+                )
+                for c in cols
+            }
+            model = CaimDiscretizerModel(
+                cuts=cuts, outputSuffix=self.getOrDefault(self.outputSuffix)
+            )
+            model._set(inputCols=cols, labelCol=label)
+            return model
 
         # 2. The scale step: collapse raw rows to a per-feature histogram.
         hist = melted.groupBy("feature", "value", "label").agg(
@@ -178,6 +206,20 @@ class CaimDiscretizerModel(Model, _CaimParams):
         for feature, cuts in self.cuts.items():
             out = out.withColumn(f"{feature}{suffix}", self.bucket_expr(feature))
         return out
+
+    def save_cuts(self, path: str) -> None:
+        """Persist the fitted cuts as JSON (tiny driver-side artifact)."""
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.cuts, fh, sort_keys=True)
+
+    @classmethod
+    def load_cuts(cls, path: str, outputSuffix: str = "_bin") -> "CaimDiscretizerModel":
+        import json
+
+        with open(path) as fh:
+            return cls(cuts=json.load(fh), outputSuffix=outputSuffix)
 
     def bucket_expr(self, feature: str):
         """1 + #{cuts < v} as a codegen'd higher-order expression."""

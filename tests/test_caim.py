@@ -108,6 +108,42 @@ def test_spark_estimator_matches_numpy_on_events(spark, sf_dir):
         assert r.value_bin == bucketize_value(r.value, got)
 
 
+def test_strategy_a_matches_strategy_b_and_numpy(spark, sf_dir):
+    """The fully-distributed Strategy A greedy (one Spark job per round)
+    must learn the same cuts as the histogram Strategy B and the NumPy
+    core on the events fixture."""
+    from pycaim_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = ev.select("value", "event_type").toPandas()
+    values, counts, _ = histogram_from_arrays(
+        pdf["value"].to_numpy(), pdf["event_type"].to_numpy()
+    )
+    expected = caim_greedy(values, counts)
+
+    model_a = CaimDiscretizer(
+        inputCols=["value"], labelCol="event_type", strategy="jobs"
+    ).fit(ev)
+    assert np.array_equal(np.array(model_a.cuts["value"]), expected), (
+        f"{model_a.cuts['value']} vs {expected}"
+    )
+
+
+def test_model_cuts_persistence_roundtrip(spark, sf_dir, tmp_path):
+    from pycaim_spark.catalog import load_table
+    from pycaim_spark.operators.caim.estimator import CaimDiscretizerModel
+
+    ev = load_table(spark, sf_dir, "events")
+    model = CaimDiscretizer(inputCols=["value"], labelCol="event_type").fit(ev)
+    path = str(tmp_path / "cuts.json")
+    model.save_cuts(path)
+    loaded = CaimDiscretizerModel.load_cuts(path)
+    assert loaded.cuts == model.cuts
+    a = model.transform(ev).select("event_id", "value_bin").collect()
+    b = loaded.transform(ev).select("event_id", "value_bin").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_spark_estimator_multifeature_pipeline(spark, sf_dir):
     from pycaim_spark.catalog import load_table
     import pyspark.sql.functions as F
