@@ -8,6 +8,7 @@ import pycaim_spark.queries.joins  # noqa: F401
 import pycaim_spark.queries.llm_dedup  # noqa: F401
 import pycaim_spark.queries.llm_text  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
+import pycaim_spark.queries.storage  # noqa: F401
 import pycaim_spark.queries.streaming_queries  # noqa: F401
 import pycaim_spark.queries.udfs  # noqa: F401
 import pycaim_spark.queries.windows  # noqa: F401

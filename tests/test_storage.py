@@ -1,0 +1,57 @@
+"""Storage-layout plan assertions: partition pruning actually prunes and
+bucketed joins actually avoid the shuffle — checked on the physical plan,
+not just on results (SURVEY.md §7.9)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pycaim_spark.catalog import load_table
+from pycaim_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_sink_partitioned_prunes_partitions(spark, sf_dir):
+    df = REGISTRY["sink_partitioned"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # The status predicate must be a partition filter (directory pruning),
+    # not a data filter evaluated per row.
+    assert "PartitionFilters" in plan
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "o_orderstatus" in part_line
+    # Results equal the unpartitioned filter.
+    direct = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert df.count() == direct
+
+
+def test_join_bucketed_has_no_exchange(spark, sf_dir):
+    df = REGISTRY["join_bucketed"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # Co-located bucketed join: no shuffle may appear below the join.
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # And the result matches the plain-join twin.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    twin = {
+        (r.o_orderstatus, r.n_lines)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .collect()
+    }
+    got = {(r.o_orderstatus, r.n_lines) for r in df.collect()}
+    assert got == twin
