@@ -107,21 +107,51 @@ def simhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 16,
+    max_hamming: int = 7,
+    n_bands: int = 8,
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash Hamming distance.
+    """Candidate near-dup pairs by SimHash Hamming distance, band-blocked.
 
-    The pair comparison (xor + bit_count) is JVM-side. This demo compares
-    all pairs; the scale path blocks on signature bands (e.g. 4×16-bit
-    chunks joined per-chunk) exactly like MinHash banding.
+    The 64-bit signature splits into ``n_bands`` chunks; candidates are
+    pairs that agree EXACTLY on at least one band (equi-join per band —
+    shuffle-based, never an all-pairs nested loop). By pigeonhole, a pair
+    with hamming ≤ n_bands−1 must agree on some band, so recall is exact
+    for ``max_hamming < n_bands`` (the defaults: ≤7 with 8 bands);
+    beyond that it degrades gracefully like MinHash banding. The hamming
+    check itself is JVM-side xor + bit_count.
     """
+    width = 64 // n_bands
     sigs = with_simhash(docs, text_col).select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
     )
-    other = sigs.select(
-        F.col("id_a").alias("id_b"), F.col("sig_a").alias("sig_b")
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
     )
-    pairs = sigs.join(other, F.col("id_a") < F.col("id_b"))
+    a = bands.select(
+        "band_id", "band_val",
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = bands.select(
+        "band_id", "band_val",
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

@@ -207,7 +207,7 @@ def dedup_simhash(spark, sf_dir):
     from pycaim_spark.operators.dedup import simhash_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(d, max_hamming=8)
+    return simhash_candidate_pairs(d, max_hamming=7, n_bands=8)
 
 
 # --------------------------------------------------------------------------

@@ -46,9 +46,13 @@ def test_simhash_deterministic_and_discriminative(spark):
     sigs1 = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
     sigs2 = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
     assert sigs1 == sigs2  # process-independent (md5-based, not hash())
+    # 32 bands of 2 bits: pigeonhole-exact candidate recall up to
+    # hamming 31, so the ≤20 filter below is exact.
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in simhash_candidate_pairs(docs, max_hamming=20).collect()
+        for r in simhash_candidate_pairs(
+            docs, max_hamming=20, n_bands=32
+        ).collect()
     }
     assert (0, 1) in pairs
     identical = with_simhash(
