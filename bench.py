@@ -35,6 +35,9 @@ HEADLINE = [
     "caim_fit",
     "sim_cosine_exact",
     "dedup_minhash",
+    "tpch_q3",
+    "text_tfidf",
+    "sim_lsh_bucketed",
 ]
 
 

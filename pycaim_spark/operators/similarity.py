@@ -13,9 +13,16 @@ the pair space never materializes.
 
 from __future__ import annotations
 
+import sys as _sys
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+
+try:
+    from pyspark import cloudpickle as _cloudpickle
+except ImportError:  # pragma: no cover
+    import cloudpickle as _cloudpickle
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -82,19 +89,32 @@ def bucketed_cosine_neighbors(
     space stays a small fraction of all-pairs. Returns (vec_a, vec_b, cos)
     with vec_a < vec_b, bit-identical cosine to the exact operator.
     """
+    import numpy as np
+    import pandas as pd
+
+    # All-table signatures in ONE Arrow-batched matrix multiply per batch:
+    # (batch × dim) @ (dim × n_tables·n_planes) then sign-pack per table.
+    # ~64 HOF fold expressions per row would evaluate interpretively; the
+    # BLAS path is two orders of magnitude cheaper and equally
+    # deterministic on fixed inputs.
+    planes_all = np.vstack(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+
+    def _signatures(col):
+        mat = np.stack(col.to_numpy())  # (batch, dim) float32
+        bits = (mat.astype(np.float64) @ planes_all.T) >= 0  # (batch, T*P)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        sigs = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(sigs.astype(np.int64)))
+
+    signatures = F.pandas_udf(_signatures, "array<long>")
+
     sig = emb.select(
         F.col("vec_id"),
         F.col("embedding"),
         norm_expr(F.col("embedding")).alias("_norm"),
-        F.array(
-            *[
-                lsh_signature_expr(
-                    F.col("embedding"),
-                    random_hyperplanes(dim, n_planes, seed + t),
-                )
-                for t in range(n_tables)
-            ]
-        ).alias("sigs"),
+        signatures(F.col("embedding")).alias("sigs"),
     )
     # (table_id, signature) is the bucket key; posexplode keeps tables
     # independent. Candidates are deduped before the exact-cosine pass.
@@ -128,3 +148,8 @@ def bucketed_cosine_neighbors(
     return pairs.select("vec_a", "vec_b", cos.alias("cos")).filter(
         F.col("cos") >= min_cos
     )
+
+
+# Ship by value: Spark workers cannot import pycaim_spark (driver-only
+# sys.path); nested UDF closures resolve module globals through this.
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
