@@ -71,6 +71,26 @@ def main() -> None:
                 timings[name] = round(runs[1], 4)
         except Exception as exc:  # never let one query kill the bench line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+    # CAIM reference point (BASELINE.md §Protocol): single-core NumPy fit
+    # on the same data, as the stand-in for the unavailable reference
+    # timing. Uses the same vectorized greedy the estimator ships.
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pycaim_spark.operators.caim.core import caim_greedy, histogram_from_arrays
+
+        tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                            columns=["value", "event_type"])
+        x = tbl["value"].to_numpy()
+        y = np.asarray(tbl["event_type"].to_pylist())
+        t0 = time.perf_counter()
+        values, counts, _ = histogram_from_arrays(x, y)
+        caim_greedy(values, counts)
+        timings["caim_fit_numpy_ref"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:
+        print(f"bench: numpy caim ref failed: {exc}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
     print(
