@@ -9,6 +9,7 @@ import pycaim_spark.queries.llm_dedup  # noqa: F401
 import pycaim_spark.queries.llm_text  # noqa: F401
 import pycaim_spark.queries.misc_ops  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
+import pycaim_spark.queries.scale_patterns  # noqa: F401
 import pycaim_spark.queries.storage  # noqa: F401
 import pycaim_spark.queries.streaming_queries  # noqa: F401
 import pycaim_spark.queries.udfs  # noqa: F401

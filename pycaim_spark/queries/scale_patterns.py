@@ -1,0 +1,133 @@
+"""Scale-pattern operators: multi-resolution time rollups (hypertable-style)
+and skew-salted joins — patterns whose OUTPUT equals a simple formulation
+(hence oracle-checkable) but whose plan shape is the one that survives
+100 TB."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pycaim_spark.catalog import load_table
+from pycaim_spark.functions.exact import DEC
+from pycaim_spark.registry import register
+
+
+@register(
+    "ts_rollup_multires",
+    tags=("timeseries",),
+    oracle="""
+    SELECT '1h' AS resolution,
+           time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY bucket_start
+    UNION ALL
+    SELECT '1d', time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT '7d', time_bucket(INTERVAL 7 DAY, CAST(ts AS TIMESTAMP)),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def ts_rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hour/day/week aggregates
+    in one result, tagged by resolution.
+
+    Scale shape: the day and week levels REUSE the hourly aggregate
+    (re-aggregation of ~total/3600 rows) instead of rescanning raw data —
+    at 100 TB the raw scan happens exactly once. Decimal partials re-sum
+    exactly, so the rollup is bit-identical to direct aggregation (which
+    is what the oracle computes).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        )
+        .cache()
+    )
+
+    def level(tag, trunc_unit, src_col):
+        return (
+            hourly.groupBy(F.date_trunc(trunc_unit, src_col).alias("bucket_start"))
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_dec").alias("sum_dec"),
+            )
+            .select(
+                F.lit(tag).alias("resolution"),
+                F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+                "n_events",
+                F.col("sum_dec").cast("double").alias("total_value"),
+            )
+        )
+
+    one_h = hourly.select(
+        F.lit("1h").alias("resolution"),
+        F.col("h").cast("timestamp_ntz").alias("bucket_start"),
+        "n_events",
+        F.col("sum_dec").cast("double").alias("total_value"),
+    )
+    one_d = level("1d", "day", F.col("h"))
+    # Week buckets: 7-day windows aligned to DuckDB's time_bucket origin
+    # 2000-01-03 (a Monday, epoch 946857600). Integer DIV truncates toward
+    # zero, which equals floor for the post-2000 fixture timestamps.
+    week_start = F.expr(
+        "timestamp_seconds(((unix_timestamp(CAST(h AS TIMESTAMP)) - 946857600) "
+        "DIV 604800) * 604800 + 946857600)"
+    )
+    seven_d = (
+        hourly.groupBy(week_start.alias("bucket_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+        .select(
+            F.lit("7d").alias("resolution"),
+            F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+            "n_events",
+            F.col("sum_dec").cast("double").alias("total_value"),
+        )
+    )
+    return one_h.unionByName(one_d).unionByName(seven_d)
+
+
+@register(
+    "join_salted",
+    tags=("join",),
+    oracle="""
+    SELECT e.user_id, c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id, c.c_mktsegment
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Skew-salted join: the fact side gets a random-salt column, the dim
+    side is replicated SALT-fold, and the join key becomes (key, salt) —
+    splitting any hot key across SALT reducers. Output is provably
+    identical to the plain join (the oracle), which is exactly why salting
+    is safe to deploy; AQE's skew-join handles moderate skew, salting is
+    the explicit heavy-hitter fallback (SURVEY §7.9).
+    """
+    salt_n = 8
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(salt_n)).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    return (
+        ev.join(
+            c,
+            (ev.user_id == c.c_custkey) & (ev.salt == c.salt),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
