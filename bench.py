@@ -36,8 +36,10 @@ HEADLINE = [
     "sim_cosine_exact",
     "dedup_minhash",
     "tpch_q3",
+    "tpch_q10",
     "text_tfidf",
     "sim_lsh_bucketed",
+    "sim_ivf",
 ]
 
 

@@ -10,7 +10,9 @@ import pycaim_spark.queries.llm_text  # noqa: F401
 import pycaim_spark.queries.misc_ops  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
 import pycaim_spark.queries.scale_patterns  # noqa: F401
+import pycaim_spark.queries.sketches  # noqa: F401
 import pycaim_spark.queries.storage  # noqa: F401
+import pycaim_spark.queries.tpch_more  # noqa: F401
 import pycaim_spark.queries.streaming_queries  # noqa: F401
 import pycaim_spark.queries.udfs  # noqa: F401
 import pycaim_spark.queries.windows  # noqa: F401

@@ -310,6 +310,31 @@ def sim_lsh_approx(spark, sf_dir):
 
 
 @register(
+    "sim_ivf",
+    tags=("llm", "similarity"),
+    rows_only_reason="IVF probes nprobe/n_cells of the corpus (recall < 1 "
+    "by design); tests/test_llm_ops.py asserts recall vs sim_cosine_exact "
+    "top-5 and that every returned cosine is exact",
+)
+def sim_ivf(spark, sf_dir):
+    """IVF approximate top-5 cosine neighbors for 10 query vectors —
+    coarse-quantize the corpus into 32 k-means cells, probe the 12 nearest
+    cells per query (SURVEY §2.C sim_lsh_approx scale path, FAISS-style
+    alternative to LSH).
+
+    The fixture embeddings are near-isotropic (no cluster structure — the
+    adversarial case for IVF), so recall ≈ scanned fraction (~0.8 at 37%
+    probed); on real clustered embeddings the same settings give far
+    higher recall at far lower scan fractions."""
+    from pycaim_spark.operators.similarity import ivf_topk_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_neighbors(
+        emb, n_cells=32, nprobe=12, k=5, n_queries=10, seed=42
+    )
+
+
+@register(
     "sim_lsh_bucketed",
     tags=("llm", "similarity"),
     rows_only_reason="sign-LSH bucketing is an approximation (recall < 1); "

@@ -43,6 +43,27 @@ def sink_partitioned(spark, sf_dir):
 
 
 @register(
+    "sink_orc",
+    tags=("sink", "storage"),
+    rows_only_reason="sink + re-read through a second columnar format; "
+    "round-trip equality vs the parquet source is asserted in "
+    "tests/test_storage.py",
+)
+def sink_orc(spark, sf_dir):
+    """ORC write + filtered re-read — the second columnar format Spark
+    ships natively (vectorized reader + predicate pushdown, same as
+    parquet). Exercises that the engine is not parquet-bound: the same
+    declarative plan runs over either format, and the ORC scan still
+    shows PushedFilters."""
+    out = _scratch("sink_orc")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).filter(F.col("o_orderpriority") == "1-URGENT")
+
+
+@register(
     "join_bucketed",
     tags=("join", "storage"),
     rows_only_reason="bucketed-table join; the shuffle-free plan (no "

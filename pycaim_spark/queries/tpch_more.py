@@ -1,0 +1,96 @@
+"""Additional TPC-H-shaped composite queries (SURVEY.md §5 mirrors TPC-H
+query shapes without claiming compliance): Q6 forecast-revenue filter-agg,
+Q10 returned-item report, Q18 large-volume customer.
+
+These exercise plan shapes the single-operator queries don't: a scan-only
+aggregate with every predicate pushed to parquet (Q6), a 4-way join with a
+broadcast dim chain feeding a top-k (Q10), and a self-join against a
+HAVING-filtered aggregate subquery (Q18 — Catalyst plans the IN subquery as
+a left-semi join against the re-aggregated lineitem).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pycaim_spark.catalog import register_temp_views
+from pycaim_spark.registry import register
+
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("tpch_q6", tags=("composite",), oracle=_Q6_SQL)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: forecasting revenue change — pure filter+agg, no
+    join, no groupBy key. Every predicate reaches the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity), so at 100 TB this
+    reads only matching row groups and aggregates map-side; the exchange
+    moves one partial-agg row per partition."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(12,2)))
+                AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register("tpch_q10", tags=("composite",), oracle=_Q10_SQL)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item reporting — 4-way join (nation
+    broadcasts, orders filtered to one quarter before joining lineitem),
+    group-agg, global top-20 via TakeOrderedAndProject."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@register("tpch_q18", tags=("composite",), oracle=_Q18_SQL)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume customer — IN over a HAVING-filtered
+    aggregate of lineitem (planned as aggregate → left-semi join), then the
+    3-way join re-aggregates per order. The threshold (180 ≈ p90 of
+    per-order quantity) keeps the semi-join side small enough to broadcast
+    under AQE at any scale factor."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

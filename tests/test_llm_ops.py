@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from pycaim_spark.registry import _ensure_loaded
+from pycaim_spark.registry import REGISTRY, _ensure_loaded
 
 _ensure_loaded()
 
@@ -129,3 +129,16 @@ def test_mm_decode_rejects_garbage(spark):
     )
     rows = decode_metadata(bad).collect()
     assert all(not r.valid and r.kind == -1 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """sim_ivf rows-only gate: recall vs sim_cosine_exact top-5. Fixture
+    embeddings are near-isotropic (IVF's adversarial case), so the bound
+    tracks the probed fraction (12/32 cells → recall ≈ 0.8)."""
+    exact = {(r.query_id, r.neighbor_id)
+             for r in REGISTRY["sim_cosine_exact"].fn(spark, sf_dir).collect()}
+    rows = REGISTRY["sim_ivf"].fn(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(rows) == 50  # 10 queries × top-5, rn dense per query
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall collapsed: {recall:.2f}"

@@ -46,3 +46,43 @@ def test_caim_core_matches_reference_fuzzed(data):
     values, counts, _ = histogram_from_arrays(x, y)
     got = caim_greedy(values, counts)
     assert np.array_equal(got, expected), f"{got} vs {expected} on {data}"
+
+
+def test_hll_sketch_within_5pct_of_exact(spark, sf_dir):
+    """agg_hll_sketch rows-only gate (SURVEY §5.2): every per-group HLL
+    estimate and the merged-union estimate within ±5% of exact."""
+    import pyspark.sql.functions as F
+
+    from pycaim_spark.catalog import load_table
+
+    got = {r.l_returnflag: r.est for r in
+           REGISTRY["agg_hll_sketch"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r.l_returnflag: r.d for r in
+             li.groupBy("l_returnflag")
+               .agg(F.countDistinct("l_partkey").alias("d")).collect()}
+    exact["__all__"] = li.select("l_partkey").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """agg_approx_percentile rows-only gate: with accuracy 10000 the GK
+    summary is exact on fixture sizes — compare against exact percentile."""
+    import pyspark.sql.functions as F
+
+    from pycaim_spark.catalog import load_table
+
+    got = {r.o_orderstatus: (r.p50, r.p90, r.p99) for r in
+           REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    exact = {r.o_orderstatus: r.qs for r in
+             o.groupBy("o_orderstatus")
+              .agg(F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+                   .alias("qs")).collect()}
+    for k, (p50, p90, p99) in got.items():
+        for est, ex in zip((p50, p90, p99), exact[k]):
+            # GK guarantees rank error ≤ n/accuracy; on these sizes the
+            # estimate must land within 1% of the exact value.
+            assert abs(est - ex) <= 0.01 * abs(ex) + 1e-9, (k, est, ex)

@@ -55,3 +55,18 @@ def test_join_bucketed_has_no_exchange(spark, sf_dir):
     }
     got = {(r.o_orderstatus, r.n_lines) for r in df.collect()}
     assert got == twin
+
+
+def test_sink_orc_round_trip_and_pushdown(spark, sf_dir):
+    """sink_orc rows-only gate: ORC round-trip preserves rows exactly and
+    the ORC scan pushes the filter down."""
+    from pycaim_spark.catalog import load_table
+
+    df = REGISTRY["sink_orc"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderpriority" in plan
+    got = sorted((r.o_orderkey, r.o_totalprice) for r in df.collect())
+    src = load_table(spark, sf_dir, "orders").filter(
+        "o_orderpriority = '1-URGENT'")
+    expected = sorted((r.o_orderkey, r.o_totalprice) for r in src.collect())
+    assert got == expected
