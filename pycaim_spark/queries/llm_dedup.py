@@ -133,6 +133,70 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    tags=("llm", "dedup", "graph"),
+    oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS g) t
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.bg = b.bg AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labels AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(l.comp, d.doc_id) AS cluster_id,
+           CAST(COALESCE(l.comp, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: bigram-Jaccard pairs (≥ 0.2) → distributed
+    connected components → (doc_id, cluster_id, is_canonical) over ALL
+    documents (singletons are their own cluster). The canonical-per-cluster
+    flag is the keep/drop decision of a dedup pipeline.
+
+    Spark side is iterative min-label propagation (operators/graph.py);
+    the oracle computes the same components exactly via a recursive-CTE
+    transitive closure — an iterative distributed algorithm with a
+    bit-exact SQL twin."""
+    from pycaim_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+@register(
     "dedup_embedding",
     tags=("llm", "dedup"),
     oracle=f"""

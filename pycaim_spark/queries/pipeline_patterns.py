@@ -1,0 +1,175 @@
+"""Data-pipeline patterns: ordered event funnels, forward-fill gap repair,
+and Delta-less upsert (latest-wins CDC compaction).
+
+These are the composite shapes a production pipeline runs daily; each is
+expressed as stock declarative ops so Catalyst plans them (no UDFs, no
+driver loops), with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pycaim_spark.catalog import load_table
+from pycaim_spark.registry import register
+
+
+@register(
+    "events_funnel",
+    tags=("pipeline", "analytics"),
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+                      AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+                      AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CAST(c.user_id IS NOT NULL AS INTEGER)
+             + CAST(p.user_id IS NOT NULL AS INTEGER) AS steps_reached
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase per user: each step's
+    timestamp is the first occurrence STRICTLY AFTER the previous step
+    (not just any occurrence — ordering is the point of a funnel).
+
+    Plan shape: three per-user aggregates chained by equi-joins on
+    user_id — all three shuffles share the same key, so at 100 TB AQE
+    reuses one partitioning; no window over the full event stream is
+    needed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("steps_reached"),
+        )
+    )
+
+
+@register(
+    "win_gap_fill",
+    tags=("pipeline", "window", "timeseries"),
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           v AS value_raw,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill,
+           CAST(v IS NULL AS INTEGER) AS was_gap
+    FROM (SELECT *, CASE WHEN event_type = 'view' THEN NULL
+                         ELSE value END AS v
+          FROM events)
+    """,
+)
+def win_gap_fill(spark, sf_dir):
+    """Forward-fill gap repair: sensor-style series with holes (here:
+    'view' rows nulled deterministically) repaired by last-non-null
+    carry-forward per user in event-time order — `last(..., ignorenulls)`
+    over a running rows frame. One shuffle on the partition key; the fill
+    itself is a linear in-partition scan."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn("v", v).select(
+        "event_id", "user_id", "ts",
+        F.col("v").alias("value_raw"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    )
+
+
+@register(
+    "upsert_merge",
+    tags=("pipeline", "cdc"),
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders
+    ), updates AS (
+        SELECT o_orderkey, 'D' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                    * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+               2 AS version
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+    ), unioned AS (
+        SELECT * FROM base UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, version
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY version DESC) AS rn
+          FROM unioned)
+    WHERE rn = 1
+    """,
+)
+def upsert_merge(spark, sf_dir):
+    """Delta-less MERGE/upsert: base ∪ CDC-updates → latest version wins
+    per key (row_number over version desc). The updates here are derived
+    deterministically from the base so both engines see identical input.
+
+    This union + window compaction is the engine-native upsert at 100 TB:
+    one shuffle on the merge key; with the base bucketed on the key
+    (join_bucketed layout) the exchange disappears entirely. Lakehouse
+    table formats run the same logical plan under MERGE INTO."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0))
+        .select(
+            "o_orderkey",
+            F.lit("D").alias("o_orderstatus"),
+            (
+                F.col("o_totalprice").cast("decimal(12,2)")
+                * F.lit(1.1).cast("decimal(3,2)")
+            ).cast("double").alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -142,3 +142,16 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(rows) == 50  # 10 queries × top-5, rn dense per query
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation handles a 5-node chain (diameter > 1 forces
+    multi-round convergence) plus a separate 2-clique."""
+    from pycaim_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
