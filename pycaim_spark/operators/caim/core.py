@@ -35,11 +35,19 @@ def bucketize_value(v: float, cuts: np.ndarray) -> int:
 
 
 def caim_value(bucket_class_counts: np.ndarray) -> float:
-    """CAIM criterion from a quanta matrix of shape (n_intervals, S)."""
+    """CAIM criterion from a quanta matrix of shape (n_intervals, S).
+
+    Divides by the TOTAL interval count n (paper-faithful, Kurgan & Cios
+    2004 eq. 2), not the non-empty count: an empty interval contributes a
+    zero term to the sum but still counts in the denominator. During the
+    greedy fit the distinction is moot (midpoint cuts never create empty
+    intervals), but externally supplied cut schemes may contain them.
+    """
     totals = bucket_class_counts.sum(axis=1)
     keep = totals > 0
     maxes = bucket_class_counts.max(axis=1)[keep]
-    return float((maxes.astype(np.float64) ** 2 / totals[keep]).sum() / keep.sum())
+    n = bucket_class_counts.shape[0]
+    return float((maxes.astype(np.float64) ** 2 / totals[keep]).sum() / n)
 
 
 def caim_greedy(

@@ -56,14 +56,18 @@ def fit_feature_distributed(
         min_intervals = n_classes
 
     # Distributed histogram, pivoted to one column per class; built once.
+    # Pivoted columns are selected POSITIONALLY (pivot emits them in the
+    # order of the `labels` list after the groupBy key) — label strings
+    # containing '.' or backticks would mis-parse as nested-field refs if
+    # selected by name.
+    pivoted = melted.groupBy("value").pivot("label", labels).count().na.fill(0)
     hist = (
-        melted.groupBy("value")
-        .pivot("label", labels)
-        .count()
-        .na.fill(0)
-        .select(
+        pivoted.select(
             "value",
-            *[F.col(l).cast("long").alias(f"c{i}") for i, l in enumerate(labels)],
+            *[
+                F.col(pivoted.columns[i + 1]).cast("long").alias(f"c{i}")
+                for i in range(len(labels))
+            ],
         )
         .cache()
     )
@@ -80,9 +84,15 @@ def fit_feature_distributed(
             bucketed = hist.withColumn("b", _bucket_expr(cuts))
 
             # Per-bucket class totals → per-bucket terms (tiny: k rows).
-            seg = bucketed.groupBy("b").agg(
-                *[F.sum(c).alias(c) for c in ccols]
-            ).collect()
+            # Sorted by bucket id so the float fold order of `base` is fixed
+            # regardless of partitioning/collect order (determinism contract:
+            # an exact CAIM-score tie must break identically across reruns).
+            seg = sorted(
+                bucketed.groupBy("b").agg(
+                    *[F.sum(c).alias(c) for c in ccols]
+                ).collect(),
+                key=lambda r: r["b"],
+            )
             seg_tot = {r["b"]: sum(r[c] for c in ccols) for r in seg}
             seg_term = {
                 r["b"]: float(max(r[c] for c in ccols)) ** 2 / sum(r[c] for c in ccols)

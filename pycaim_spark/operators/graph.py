@@ -50,6 +50,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -71,4 +72,12 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # A component with eccentricity > max_iter would otherwise return
+        # silently-wrong labels (long near-dup chains at production scale).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to the large-star/small-star variant for high-diameter graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))

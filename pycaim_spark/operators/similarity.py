@@ -117,29 +117,50 @@ def bucketed_cosine_neighbors(
         signatures(F.col("embedding")).alias("sigs"),
     )
     # (table_id, signature) is the bucket key; posexplode keeps tables
-    # independent. Candidate generation and dedup move ONLY id triples —
-    # the vectors (64 floats each) re-attach after dropDuplicates, so the
-    # bucket self-join and the dedup exchange shuffle 16-byte rows instead
-    # of 0.5 KB embedding pairs, and exact cosine runs once per unique
-    # candidate. At fixture scale the vector side broadcasts; at 100 TB it
-    # degrades gracefully to a shuffled join keyed on vec_id.
+    # independent. Candidate generation runs INSIDE each bucket as one
+    # BLAS gemm (applyInPandas): a bucket of m members scores its m²/2
+    # pairs in a single matrix multiply and emits only near-threshold ids
+    # — the full candidate pair space (the overwhelming majority of which
+    # scores below threshold) is never materialized as rows or shuffled.
+    # At 100 TB each bucket is one task; oversized buckets are the skew
+    # knob (cap bucket size or add planes).
     buckets = sig.select(
-        "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
+        "vec_id", "embedding", "_norm",
+        F.posexplode("sigs").alias("table_id", "bucket"),
     )
-    pairs = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["table_id", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
+
+    # The gemm prefilter keeps a 1e-6 safety margin below min_cos: BLAS
+    # summation order differs from the index-order fold by ~1e-14, and
+    # HALF_UP rounding at 6 dp can lift a raw cosine by at most 5e-7, so
+    # no pair whose EXACT rounded cosine passes the threshold is lost.
+    margin = 1.0e-6
+
+    def _bucket_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["_norm"].to_numpy()
+        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= min_cos - margin
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
+        ).astype("int64")
+
+    candidates = (
+        buckets.groupBy("table_id", "bucket")
+        .applyInPandas(_bucket_pairs, "vec_a long, vec_b long")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    # Final score: the SAME index-order fold + HALF_UP round as the exact
+    # all-pairs operator, so surviving pairs carry bit-identical cosines.
+    # Runs only on the few candidates that pass the prefilter.
     vecs = sig.select("vec_id", "embedding", "_norm")
     joined = (
-        pairs.join(vecs.alias("va"), pairs.vec_a == F.col("va.vec_id"))
-        .join(vecs.alias("vb"), pairs.vec_b == F.col("vb.vec_id"))
+        candidates.join(vecs.alias("va"), candidates.vec_a == F.col("va.vec_id"))
+        .join(vecs.alias("vb"), candidates.vec_b == F.col("vb.vec_id"))
     )
     cos = F.round(
         dot_expr(F.col("va.embedding"), F.col("vb.embedding"))

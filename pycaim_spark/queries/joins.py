@@ -268,8 +268,8 @@ def join_theta(spark, sf_dir):
     FROM events a
     JOIN events b
       ON a.user_id = b.user_id
-     AND b.ts BETWEEN CAST(a.ts AS TIMESTAMP) - INTERVAL 2 HOUR
-                  AND CAST(a.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+     AND CAST(b.ts AS TIMESTAMP) BETWEEN CAST(a.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+                                     AND CAST(a.ts AS TIMESTAMP) + INTERVAL 2 HOUR
      AND a.event_id <> b.event_id
     WHERE a.event_type = 'signup'
     """,
@@ -309,8 +309,10 @@ def join_range_interval(spark, sf_dir):
     tags=("join",),
     oracle="""
     SELECT p.event_id AS purchase_id, v.ts AS last_view_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
 )
