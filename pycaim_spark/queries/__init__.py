@@ -13,6 +13,7 @@ import pycaim_spark.queries.relational  # noqa: F401
 import pycaim_spark.queries.scale_patterns  # noqa: F401
 import pycaim_spark.queries.sketches  # noqa: F401
 import pycaim_spark.queries.storage  # noqa: F401
+import pycaim_spark.queries.tpch_full  # noqa: F401
 import pycaim_spark.queries.tpch_more  # noqa: F401
 import pycaim_spark.queries.streaming_queries  # noqa: F401
 import pycaim_spark.queries.udfs  # noqa: F401
