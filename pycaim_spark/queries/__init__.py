@@ -8,6 +8,7 @@ import pycaim_spark.queries.joins  # noqa: F401
 import pycaim_spark.queries.llm_dedup  # noqa: F401
 import pycaim_spark.queries.llm_text  # noqa: F401
 import pycaim_spark.queries.misc_ops  # noqa: F401
+import pycaim_spark.queries.pipeline_ops  # noqa: F401
 import pycaim_spark.queries.pipeline_patterns  # noqa: F401
 import pycaim_spark.queries.relational  # noqa: F401
 import pycaim_spark.queries.scale_patterns  # noqa: F401

@@ -1,0 +1,276 @@
+"""Training-data-pipeline operators beyond SURVEY §2.C's first wave:
+document chunking, context-window packing, stratified sampling, PII
+redaction, embedding normalization/quantization (task north star: the
+operations a large-scale training-data pipeline needs at 100 TB).
+
+All five are oracle-checked: each is a deterministic, per-row or
+windowed transformation both engines can express exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pycaim_spark.catalog import load_table
+from pycaim_spark.registry import register
+
+
+@register(
+    "text_chunk",
+    tags=("llm", "text", "pipeline"),
+    oracle="""
+    SELECT doc_id,
+           CAST(c AS INT) AS chunk_id,
+           array_to_string(ws[(c * 6 + 1):(c * 6 + 8)], ' ') AS chunk_text,
+           CAST(len(ws[(c * 6 + 1):(c * 6 + 8)]) AS INT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         LATERAL (SELECT unnest(generate_series(0,
+                      CAST(ceil((len(ws) - 2) / 6.0) AS BIGINT) - 1)) AS c) t
+    """,
+)
+def text_chunk(spark, sf_dir):
+    """Overlapping document chunking: windows of 8 tokens with stride 6
+    (2-token overlap) — the standard pre-tokenization split for long
+    documents entering a context-bounded trainer.
+
+    Pure JVM expressions: token array built ONCE per row in its own
+    projection (outer columns referenced inside HOF lambdas are
+    re-evaluated per element otherwise), then slice+explode. Scales
+    embarrassingly: no shuffle, chunk count ∝ document length.
+    Chunk count = ceil((n_tokens - overlap) / stride), so every token is
+    covered and the final partial chunk is kept.
+    """
+    size, stride = 8, 6
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n_chunks = F.ceil(
+        (F.size("ws") - F.lit(size - stride)) / F.lit(float(stride))
+    ).cast("int")
+    # Guard: Spark's sequence(0, -1) DESCENDS (it would fabricate chunks
+    # for sub-stride docs); emit an empty array instead so explode drops
+    # the row, matching generate_series semantics in the oracle.
+    chunk_ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = toks.select(
+        "doc_id",
+        F.explode(chunk_ids).alias("chunk_id"),
+        F.col("ws"),
+    )
+    piece = F.slice(F.col("ws"), F.col("chunk_id") * stride + 1, size)
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+@register(
+    "text_pack",
+    tags=("llm", "text", "pipeline"),
+    oracle="""
+    SELECT bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc
+    FROM (
+        SELECT doc_id, n_tok,
+               lang || '#' || CAST(CAST(FLOOR(
+                   (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok) / 512.0) AS BIGINT) AS VARCHAR) AS bin_id
+        FROM (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents)
+    ) b
+    GROUP BY bin_id
+    """,
+)
+def text_pack(spark, sf_dir):
+    """Context-window packing: assign documents (grouped per language,
+    ordered by doc_id) to 512-token training bins by running token count.
+
+    The bin id is floor(tokens_before_this_doc / budget) — "soft" packing:
+    a document whose tokens straddle a boundary stays in the earlier bin,
+    so bins can overflow by at most one document (exact greedy packing is
+    inherently sequential; this windowed form is deterministic, one
+    shuffle, and what large-scale packers actually run). Per-language
+    partitioning mirrors how packing parallelizes at 100 TB: the running
+    sum never crosses partition keys.
+    """
+    budget = 512
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select("doc_id", "lang", n_tok.alias("n_tok")).select(
+        "doc_id",
+        "n_tok",
+        F.concat(
+            F.col("lang"),
+            F.lit("#"),
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(budget))
+            .cast("bigint")
+            .cast("string"),
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "sample_stratified",
+    tags=("llm", "pipeline"),
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    WHERE rn <= CAST(ceil(n_lang * CASE lang WHEN 'en' THEN 0.5
+                                             WHEN 'zh' THEN 0.2
+                                             ELSE 0.1 END) AS BIGINT)
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling with per-stratum rates (en 50%, zh 20%, rest
+    10%) — the language-rebalancing step of a pretraining mix.
+
+    Exact and deterministic: rank within stratum (here by doc_id; at
+    100 TB use a salted hash ordering for an unbiased draw), keep the
+    first ceil(rate·|stratum|). One shuffle on the stratum key; the two
+    windows share a single partitioning.
+    """
+    rates = {"en": 0.5, "zh": 0.2}
+    default_rate = 0.1
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    wc = Window.partitionBy("lang")
+    rate = F.when(F.col("lang") == "en", rates["en"]).when(
+        F.col("lang") == "zh", rates["zh"]
+    ).otherwise(default_rate)
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") * rate).cast("bigint"))
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "text_pii_redact",
+    tags=("llm", "text", "pipeline"),
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(synth,
+               '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(synth, '[a-z0-9._]+@[a-z0-9.]+'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(synth, '\b[0-9]{3}-[0-9]{4}\b'))
+                AS INT) AS n_phones
+    FROM (
+        SELECT doc_id,
+               'contact user' || CAST(doc_id AS VARCHAR) || '@' || lang ||
+               '.example or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+               ' re: ' || text AS synth
+        FROM documents
+    )
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction: regex-scrub emails and phone-shaped tokens, keeping
+    match counts for audit — the scrubbing pass of a compliance pipeline.
+
+    The fixture corpus carries no PII, so each row first synthesizes a
+    deterministic contact header from its own keys (both engines build the
+    identical string); the redaction expressions then run on real
+    documents + planted PII. The regexes stay in the Java∩RE2 common
+    dialect so Spark and DuckDB match identically. Pure projection — no
+    shuffle, linear scan at any scale.
+    """
+    email_re = r"[a-z0-9._]+@[a-z0-9.]+"
+    phone_re = r"\b[0-9]{3}-[0-9]{4}\b"
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("lang"),
+        F.lit(".example or 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    with_synth = d.select("doc_id", synth.alias("synth"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("synth"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return with_synth.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("synth"), F.lit(email_re), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("synth"), F.lit(phone_re), F.lit(0)))
+        .alias("n_phones"),
+    )
+
+
+@register(
+    "emb_quantize",
+    tags=("llm", "similarity", "pipeline"),
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / mx * 127.0, 0) AS INT))
+               AS q8,
+           round(mx, 6) AS scale_val
+    FROM (
+        SELECT vec_id, embedding,
+               list_reduce(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)) AS mx
+        FROM embeddings
+    )
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization: per-vector max-abs scale,
+    q = round(x / scale · 127) — 4× storage reduction before ANN indexing
+    (the dequantized dot error is bounded by scale/127 per dim).
+
+    Max-abs is an order-independent fold (greatest is associative and
+    commutative), so both engines compute identical scales; the division
+    and HALF_UP rounding are then per-element deterministic. Pure
+    projection, no shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    staged = emb.select("vec_id", "embedding", mx.alias("mx"))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("mx") * 127.0, 0).cast("int"),
+    )
+    return staged.select(
+        "vec_id", q8.alias("q8"), F.round(F.col("mx"), 6).alias("scale_val")
+    )
