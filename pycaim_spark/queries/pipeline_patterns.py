@@ -173,3 +173,89 @@ def upsert_merge(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "events_cohort_retention",
+    tags=("pipeline", "analytics"),
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS activity_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) / 7 AS INT)
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY f.cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week; each cell
+    counts cohort members still active N weeks later — the canonical
+    product-analytics rollup.
+
+    Two aggregates over the same scan (first-week per user, distinct
+    active weeks per user) joined on user_id: the join key is also both
+    groupBy keys, so at 100 TB a single hash-partitioning on user_id
+    serves the aggregate AND the join (no second shuffle until the final
+    small cohort-cell rollup). Week arithmetic is integer day-diff / 7 —
+    no float time math."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    week_offset = (
+        F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", week_offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "scd2_history",
+    tags=("pipeline",),
+    oracle="""
+    SELECT user_id, event_id, value AS attr_value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+           CASE WHEN LEAD(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2: each change event becomes a
+    version row with [valid_from, valid_to) effectivity and a current
+    flag — the dimension-table build step of a warehouse load.
+
+    One window over (user_id, ts): valid_to is simply the next version's
+    valid_from (lead), null marking the open current row. Deterministic
+    under timestamp ties via the event_id tiebreak. Scales as a single
+    shuffle on the dimension key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
