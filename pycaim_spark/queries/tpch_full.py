@@ -418,3 +418,34 @@ tpch_q22 = _sql_query(
     every scale factor), grouped conditional aggregate. Country code →
     market segment (no c_phone in the fixture).""",
 )
+
+_Q11_SQL = """
+    SELECT l_partkey, part_value
+    FROM (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS part_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 0
+        GROUP BY l_partkey
+    ) pv
+    WHERE part_value > (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               * 0.001
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 0
+    )
+    ORDER BY part_value DESC, l_partkey
+"""
+
+tpch_q11 = _sql_query(
+    "tpch_q11",
+    _Q11_SQL,
+    """TPC-H Q11 shape: important stock identification — the same join
+    tree aggregated twice (per-part value vs an uncorrelated scalar
+    fraction of the total), filtered by the share threshold. partsupp
+    value maps to shipped extended price over the lineitem bridge;
+    the nation filter keeps the original's single-country scope.""",
+)
