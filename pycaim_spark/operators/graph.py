@@ -77,7 +77,109 @@ def connected_components(
         # silently-wrong labels (long near-dup chains at production scale).
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch "
-            "to the large-star/small-star variant for high-diameter graphs"
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_star for high-diameter graphs"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _min_neighbor(sym: DataFrame) -> DataFrame:
+    """m(u) = min(Γ(u) ∪ {u}) for every node of a symmetrized edge set."""
+    return (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select("a", F.least(F.col("a"), F.col("nmin")).alias("m"))
+    )
+
+
+def _star_round(sym: DataFrame, keep_larger: bool) -> DataFrame:
+    """One large-star (keep_larger) or small-star step.
+
+    large-star: for each u, rewire every neighbor v > u to m(u).
+    small-star: for each u, rewire every neighbor v ≤ u, and u itself,
+    to m(u). Both emit (child, parent) with child > parent, deduped.
+    """
+    m = _min_neighbor(sym)
+    joined = sym.join(m, "a")
+    if keep_larger:
+        moved = joined.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("child"), F.col("m").alias("parent")
+        )
+    else:
+        moved = (
+            joined.filter(F.col("b") <= F.col("a"))
+            .select(F.col("b").alias("child"), F.col("m").alias("parent"))
+            .union(joined.select(F.col("a").alias("child"), F.col("m").alias("parent")))
+        )
+    return (
+        moved.filter(F.col("child") != F.col("parent"))
+        .distinct()
+        .select(F.col("child").alias("a"), F.col("parent").alias("b"))
+        .union(
+            moved.filter(F.col("child") != F.col("parent"))
+            .distinct()
+            .select(F.col("parent").alias("a"), F.col("child").alias("b"))
+        )
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 100 TB scale path.
+
+    Converges in O(log² n) rounds regardless of graph DIAMETER, unlike
+    min-label propagation's O(diameter): a million-node chain finishes in
+    ~20 rounds instead of a million. Each round is two small shuffles over
+    (long, long) edge rows — per-node neighborhood minima via groupBy
+    (never a collect_list, so hub nodes cannot blow up a task) and an
+    equi-join to rewire children to their star root. Same output contract
+    as :func:`connected_components`: (node, component=min reachable id);
+    isolated nodes absent.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = _star_round(sym, keep_larger=True)
+        sym = _star_round(sym, keep_larger=False).localCheckpoint(eager=True)
+        # Convergence: the edge set is a fixed point (stars pointing at
+        # roots). One tiny agg per round; deterministic order-free check.
+        sig = sym.agg(
+            F.count(F.lit(1)).alias("n"),
+            # XOR-fold, not SUM: order-free like sum but cannot overflow
+            # (ANSI mode makes bigint-sum overflow a runtime error).
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (theoretical bound is O(log² n) ≈ a few dozen)"
+        )
+    # Converged edge set is a star forest: every edge (child, root) with
+    # root = component min. Children label from their root; roots label
+    # themselves.
+    child_labels = sym.filter(F.col("a") > F.col("b")).select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    )
+    root_labels = all_nodes.join(
+        child_labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return child_labels.union(root_labels)

@@ -132,10 +132,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_clusters",
-    tags=("llm", "dedup", "graph"),
-    oracle="""
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE grams AS (
         SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] AS bg
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -168,7 +165,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
            COALESCE(l.comp, d.doc_id) AS cluster_id,
            CAST(COALESCE(l.comp, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
     FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_clusters",
+    tags=("llm", "dedup", "graph"),
+    oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(spark, sf_dir):
     """Near-dup clustering: bigram-Jaccard pairs (≥ 0.2) → distributed
@@ -415,4 +418,33 @@ def sim_lsh_bucketed(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return bucketed_cosine_neighbors(
         emb, n_planes=4, n_tables=16, dim=64, seed=42, min_cos=0.3
+    )
+
+
+@register(
+    "dedup_clusters_star",
+    tags=("llm", "dedup", "graph"),
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Near-dup clustering via alternating large-star/small-star connected
+    components (operators/graph.py) — same contract and oracle as
+    dedup_clusters, different distributed algorithm: O(log² n) rounds
+    independent of component diameter, so million-document duplicate
+    CHAINS (the case where min-label propagation needs O(diameter) rounds)
+    converge in a few dozen small shuffles. The hash gate proves both
+    algorithms produce identical clusters."""
+    from pycaim_spark.operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).cast("int").alias("is_canonical"),
+        )
     )

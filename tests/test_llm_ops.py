@@ -155,3 +155,32 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_star_cc_matches_propagation_and_handles_high_diameter(spark):
+    """Large-star/small-star must (a) agree with propagation on a mixed
+    graph and (b) converge on a 60-node chain whose diameter exceeds
+    propagation's max_iter=20 default (which must raise, not silently
+    mislabel)."""
+    import pytest
+
+    from pycaim_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (20, 21)],
+        "src long, dst long",
+    )
+    prop = {r.node: r.component for r in connected_components(mixed).collect()}
+    star = {r.node: r.component for r in connected_components_star(mixed).collect()}
+    assert star == prop
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=20)
+    got = {r.node: r.component for r in connected_components_star(chain).collect()}
+    assert got == {i: 0 for i in range(61)}
