@@ -56,16 +56,19 @@ def fit_feature_distributed(
         min_intervals = n_classes
 
     # Distributed histogram, pivoted to one column per class; built once.
-    # Pivoted columns are selected POSITIONALLY (pivot emits them in the
-    # order of the `labels` list after the groupBy key) — label strings
-    # containing '.' or backticks would mis-parse as nested-field refs if
-    # selected by name.
+    # Pivoted columns come out in the order of the `labels` list after the
+    # groupBy key; they are re-selected by backtick-QUOTED name so a label
+    # containing '.' or '`' cannot mis-parse as a nested-field reference.
     pivoted = melted.groupBy("value").pivot("label", labels).count().na.fill(0)
+
+    def _quoted(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     hist = (
         pivoted.select(
             "value",
             *[
-                F.col(pivoted.columns[i + 1]).cast("long").alias(f"c{i}")
+                _quoted(pivoted.columns[i + 1]).cast("long").alias(f"c{i}")
                 for i in range(len(labels))
             ],
         )

@@ -63,7 +63,9 @@ def minhash_candidate_pairs(
     # Catalyst (no CSE across lambda scopes) — inlining the regex split
     # into the shingle lambda costs ~3 regex splits per shingle per row,
     # measured 40× slower than this layered form.
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # trim first: split(r"\s+") keeps an empty leading token for
+    # whitespace-prefixed docs (trailing empties are already dropped).
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_sh = F.size(F.col("_toks")) - (shingle_n - 1)
     shingle_at = lambda i: F.concat_ws(  # noqa: E731 — 1-based token index
         " ", *[F.element_at(F.col("_toks"), i + j) for j in range(shingle_n)]

@@ -118,13 +118,16 @@ def caim_quanta(spark, sf_dir):
         SELECT bucket, MAX(c) AS mx, SUM(c) AS tot FROM q GROUP BY bucket
     )
     SELECT CAST(SUM(CAST(round(CAST(mx * mx AS DOUBLE) / tot, 6)
-                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS caim_value
+                         AS DECIMAL(18,6))) AS DOUBLE) / 4 AS caim_value
     FROM seg
     """,
 )
 def caim_criterion(spark, sf_dir):
     """CAIM(C,D|F) = (1/n)·Σ max_r²/M_+r for the fixed scheme (SURVEY §2.A).
 
+    n is the TOTAL interval count of the scheme (literal 4 for cuts
+    {100,200,300}), matching paper eq. 2 and core.caim_value — an empty
+    interval contributes a zero term but still counts in the denominator.
     Per-interval terms are rounded then decimal-summed so the tiny final
     reduction is order-independent (exact-decimal policy).
     """
@@ -136,8 +139,9 @@ def caim_criterion(spark, sf_dir):
     )
     seg = q.groupBy("bucket").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
     term = F.round((F.col("mx") * F.col("mx")).cast("double") / F.col("tot"), 6)
+    n_intervals = len(_CUTS) + 1
     return seg.select(term.cast("decimal(18,6)").alias("term")).agg(
-        (F.sum("term").cast("double") / F.count(F.lit(1))).alias("caim_value")
+        (F.sum("term").cast("double") / F.lit(n_intervals)).alias("caim_value")
     )
 
 

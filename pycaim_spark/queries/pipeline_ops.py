@@ -238,9 +238,9 @@ def text_pii_redact(spark, sf_dir):
     tags=("llm", "similarity", "pipeline"),
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
+           CASE WHEN mx > 0 THEN list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) / mx * 127.0, 0) AS INT))
-               AS q8,
+           ELSE list_transform(embedding, x -> 0) END AS q8,
            round(mx, 6) AS scale_val
     FROM (
         SELECT vec_id, embedding,
@@ -267,10 +267,15 @@ def emb_quantize(spark, sf_dir):
         lambda a, b: F.greatest(a, b),
     )
     staged = emb.select("vec_id", "embedding", mx.alias("mx"))
-    q8 = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") / F.col("mx") * 127.0, 0).cast("int"),
-    )
+    # All-zero embedding → mx = 0: x/mx would raise under ANSI Spark while
+    # DuckDB yields NaN — both sides define the quantized zero vector as 0s.
+    q8 = F.when(
+        F.col("mx") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") / F.col("mx") * 127.0, 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
     return staged.select(
         "vec_id", q8.alias("q8"), F.round(F.col("mx"), 6).alias("scale_val")
     )
