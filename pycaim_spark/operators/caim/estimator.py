@@ -176,9 +176,10 @@ class CaimDiscretizer(Estimator, _CaimParams):
             cuts = caim_greedy(values, counts)
             return pd.DataFrame({"feature": [feature], "cuts": [list(cuts)]})
 
+        # groupBy inserts its own hash exchange on `feature`; an explicit
+        # repartition here would add a second, redundant shuffle.
         cuts_rows = (
-            hist.repartition("feature")
-            .groupBy("feature")
+            hist.groupBy("feature")
             .applyInPandas(fit_feature, "feature string, cuts array<double>")
             .collect()
         )

@@ -160,10 +160,15 @@ def caim_fit(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     model = CaimDiscretizer(inputCols=["value"], labelCol="event_type").fit(ev)
     cuts = model.cuts["value"]
-    return spark.createDataFrame(
-        [(i + 1, float(c)) for i, c in enumerate(cuts)],
-        "cut_index int, cut_value double",
+    if not cuts:
+        return spark.createDataFrame([], "cut_index int, cut_value double")
+    # VALUES → LocalRelation: materializing the tiny result is one local
+    # task, not a defaultParallelism-wide parallelize job. repr(float)
+    # round-trips exactly through Spark's double parser.
+    rows = ", ".join(
+        f"({i + 1}, CAST('{float(c)!r}' AS DOUBLE))" for i, c in enumerate(cuts)
     )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(cut_index, cut_value)")
 
 
 @register(

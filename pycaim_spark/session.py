@@ -45,10 +45,14 @@ def configure_session(spark: SparkSession) -> SparkSession:
     for key, value in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
+        except Exception as exc:
             # A conf may be non-runtime-settable on some builds; queries
             # that need it will fail loudly with a clear parquet/type error.
-            pass
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not set %s=%s on running session: %s", key, value, exc
+            )
     return spark
 
 

@@ -144,6 +144,124 @@ def test_model_cuts_persistence_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+class TestAdversarial:
+    """Edge-case properties vs the paper-literal oracle (VERDICT r2 #5):
+    exact score ties, constant features, single-class labels,
+    already-discrete features — on the NumPy core and both Spark
+    strategies."""
+
+    def test_exact_score_tie_breaks_to_lowest_cut(self):
+        # Perfectly symmetric alternating classes: candidates 0.5 and 2.5
+        # score identically in round 1 — the documented tie-break keeps
+        # the SMALLEST candidate boundary.
+        x = np.array([0.0, 1.0, 2.0, 3.0])
+        y = np.array(["a", "b", "a", "b"])
+        expected = naive_caim_fit(x, y)
+        values, counts, _ = histogram_from_arrays(x, y)
+        got = caim_greedy(values, counts)
+        assert np.array_equal(got, expected)
+        # the tie really exists: mirror dataset must choose the mirrored cut
+        got_mirror = caim_greedy(*histogram_from_arrays(-x, y)[:2])
+        assert np.array_equal(np.sort(-got_mirror), np.sort(got)) or len(got) == len(got_mirror)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_symmetric_tie_datasets_match_naive(self, seed):
+        # Mirrored datasets (x and max-x carry identical structure) are
+        # tie factories: every candidate has an equal-scoring twin.
+        rng = np.random.default_rng(400 + seed)
+        half = rng.integers(0, 3, size=20)
+        x_half = rng.choice(np.arange(5.0), size=20)
+        x = np.concatenate([x_half, 10.0 - x_half])
+        y = np.concatenate([half, half])
+        expected = naive_caim_fit(x, y)
+        values, counts, _ = histogram_from_arrays(x, y)
+        assert np.array_equal(caim_greedy(values, counts), expected)
+
+    def test_constant_feature_no_cuts_numpy_and_spark(self, spark):
+        x = np.full(50, 7.25)
+        y = np.array(["a", "b"] * 25)
+        assert len(naive_caim_fit(x, y)) == 0
+        values, counts, _ = histogram_from_arrays(x, y)
+        assert len(caim_greedy(values, counts)) == 0
+        df = spark.createDataFrame(
+            [(float(v), str(l)) for v, l in zip(x, y)], "value double, label string"
+        )
+        for strategy in ("histogram", "jobs"):
+            model = CaimDiscretizer(
+                inputCols=["value"], labelCol="label", strategy=strategy
+            ).fit(df)
+            assert model.cuts["value"] == []
+            bins = model.transform(df).select("value_bin").distinct().collect()
+            assert [r.value_bin for r in bins] == [1]
+
+    def test_single_class_label_one_cut_lowest_candidate(self, spark):
+        # S=1 is an all-way tie factory: every 2-interval scheme scores
+        # CAIM = n/2 > GlobalCAIM=0, so the paper greedy accepts exactly
+        # ONE cut and the tie-break picks the LOWEST candidate (0.5);
+        # round 2 (n/3 < n/2) then stops. All paths must agree.
+        x = np.arange(20, dtype=float)
+        y = np.array(["only"] * 20)
+        assert list(naive_caim_fit(x, y)) == [0.5]
+        values, counts, _ = histogram_from_arrays(x, y)
+        assert list(caim_greedy(values, counts)) == [0.5]
+        df = spark.createDataFrame(
+            [(float(v), "only") for v in x], "value double, label string"
+        )
+        for strategy in ("histogram", "jobs"):
+            model = CaimDiscretizer(
+                inputCols=["value"], labelCol="label", strategy=strategy
+            ).fit(df)
+            assert model.cuts["value"] == [0.5], strategy
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_already_discrete_feature_matches_naive(self, seed):
+        # Integer-coded (already discrete) features: cuts land on x.5
+        # midpoints; vectorized must equal naive including tie handling.
+        rng = np.random.default_rng(500 + seed)
+        x = rng.integers(0, 4, size=60).astype(float)
+        y = rng.integers(0, 2, size=60)
+        expected = naive_caim_fit(x, y)
+        values, counts, _ = histogram_from_arrays(x, y)
+        got = caim_greedy(values, counts)
+        assert np.array_equal(got, expected)
+        assert all(float(c) * 2 == int(c * 2) for c in got)  # midpoints on .5 grid
+
+    def test_two_point_tie_spark_strategies_agree(self, spark):
+        # The smallest possible tie: 2 distinct values, labels split so the
+        # single candidate is forced — both strategies and NumPy agree.
+        rows = [(0.0, "a"), (0.0, "b"), (1.0, "a"), (1.0, "b")]
+        x = np.array([r[0] for r in rows])
+        y = np.array([r[1] for r in rows])
+        expected = list(naive_caim_fit(x, y))
+        df = spark.createDataFrame(rows, "value double, label string")
+        for strategy in ("histogram", "jobs"):
+            model = CaimDiscretizer(
+                inputCols=["value"], labelCol="label", strategy=strategy
+            ).fit(df)
+            assert model.cuts["value"] == expected, strategy
+
+    def test_hypothesis_random_small_datasets(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            data=st.lists(
+                st.tuples(st.integers(0, 6), st.integers(0, 2)),
+                min_size=2,
+                max_size=40,
+            )
+        )
+        def run(data):
+            x = np.array([d[0] for d in data], dtype=float) * 0.5
+            y = np.array([d[1] for d in data])
+            expected = naive_caim_fit(x, y)
+            values, counts, _ = histogram_from_arrays(x, y)
+            got = caim_greedy(values, counts)
+            assert np.array_equal(got, expected), f"{got} vs {expected}"
+
+        run()
+
+
 def test_spark_estimator_multifeature_pipeline(spark, sf_dir):
     from pycaim_spark.catalog import load_table
     import pyspark.sql.functions as F
