@@ -223,8 +223,24 @@ def dedup_embedding(spark, sf_dir):
     product is an index-ordered fold so both engines produce identical
     doubles. The all-pairs form is the small-corpus baseline; the
     sign-LSH bucketed variant (sim_lsh_bucketed) is the scale path.
+
+    Scale guard: the O(n²) pair space is intentional only at oracle/fixture
+    scale. Above ``PYCAIM_ALLPAIRS_MAX_ROWS`` (default 200k → ≤20G pairs)
+    the query refuses to run instead of silently melting a cluster.
     """
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
+    max_rows = int(os.environ.get("PYCAIM_ALLPAIRS_MAX_ROWS", "200000"))
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding is an exact all-pairs baseline: {n} rows would "
+            f"generate ~{n * (n - 1) // 2:,} candidate pairs (cap {max_rows}). "
+            "At corpus scale use dedup_minhash / sim_lsh_bucketed for "
+            "candidates and dedup_clusters_star for transitive clusters, or "
+            "raise PYCAIM_ALLPAIRS_MAX_ROWS explicitly."
+        )
     v = emb.select("vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm"))
     a = v.select(
         F.col("vec_id").alias("vec_a"),

@@ -184,3 +184,15 @@ def test_star_cc_matches_propagation_and_handles_high_diameter(spark):
         connected_components(chain, max_iter=20)
     got = {r.node: r.component for r in connected_components_star(chain).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def test_dedup_embedding_guard_raises_at_scale(spark, sf_dir, monkeypatch):
+    """The all-pairs baseline must refuse to run above the configured row
+    cap, pointing the user at the bucketed scale paths."""
+    from pycaim_spark.registry import REGISTRY
+
+    monkeypatch.setenv("PYCAIM_ALLPAIRS_MAX_ROWS", "3")
+    with pytest.raises(ValueError, match="dedup_minhash"):
+        REGISTRY["dedup_embedding"].fn(spark, sf_dir)
+    monkeypatch.delenv("PYCAIM_ALLPAIRS_MAX_ROWS")
+    assert REGISTRY["dedup_embedding"].fn(spark, sf_dir).count() > 0

@@ -16,7 +16,9 @@ CARTESIAN_OK = {
     "join_cross",        # the cartesian operator itself
     "join_theta",        # BroadcastNestedLoop is the theta-join plan
     "sim_cosine_exact",  # broadcast query-set × corpus is the intended scan
-    "dedup_embedding",   # all-pairs baseline (the LSH variants are the scale path)
+    "dedup_embedding",   # all-pairs baseline, guarded: raises above
+                         # PYCAIM_ALLPAIRS_MAX_ROWS rows instead of running
+                         # O(n²) at corpus scale (test_llm_ops.py asserts)
     "ts_resample",       # 1-row bounds × spine explode
     "agg_stats",         # scalar subquery for percentile uses a 1-row BNLJ
 }
