@@ -154,8 +154,9 @@ def source_stream(spark, sf_dir):
     "stream_watermark_agg",
     tags=("streaming",),
     rows_only_reason="watermark semantics exist only in streaming execution; "
-    "twin-equality (ordered replay has no late drops) asserted in "
-    "tests/test_streaming.py",
+    "twin-equality asserted in tests/test_streaming.py, and true late-data "
+    "drops are exercised by an out-of-order multi-batch replay "
+    "(test_out_of_order_replay_drops_exactly_the_late_rows)",
 )
 def stream_watermark_agg(spark, sf_dir):
     """Watermarked tumbling aggregation over the replayed stream
@@ -180,7 +181,9 @@ def stream_watermark_agg(spark, sf_dir):
     "stream_dedup_watermark",
     tags=("streaming",),
     rows_only_reason="dropDuplicatesWithinWatermark is stateful-streaming "
-    "only; equality vs batch distinct asserted in tests/test_streaming.py",
+    "only; equality vs batch distinct asserted in tests/test_streaming.py, "
+    "plus out-of-order state-expiry semantics "
+    "(test_out_of_order_dedup_reemits_after_state_expiry)",
 )
 def stream_dedup_watermark(spark, sf_dir):
     """Stateful streaming dedup bounded by a watermark (SURVEY §2.B

@@ -73,6 +73,163 @@ def test_stream_sink_roundtrip_preserves_rows(spark, sf_dir):
     assert _rows(got, "event_id", "user_id") == _rows(ev, "event_id", "user_id")
 
 
+def _t(h, m):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def _write_ordered_files(dirpath, files):
+    """Write parquet micro-batch files with forced modification-time order
+    (FileStreamSource replays oldest-modified first)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000
+    for i, (name, cols) in enumerate(files):
+        path = str(dirpath / name)
+        pq.write_table(
+            pa.table(
+                {
+                    k: pa.array(v, type=pa.timestamp("us")) if k == "ts" else pa.array(v)
+                    for k, v in cols.items()
+                }
+            ),
+            path,
+        )
+        os.utime(path, (base + 100 * i, base + 100 * i))
+
+
+def _run_stream(result, output_mode):
+    """availableNow run returning (materialized rows DataFrame, progress)."""
+    import os
+    import uuid
+
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(_SCRATCH, "checkpoints", name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return result.sparkSession.table(name), query.recentProgress
+
+
+def test_out_of_order_replay_drops_exactly_the_late_rows(spark, tmp_path):
+    """True late-data semantics (VERDICT r2 #4): an out-of-order replay in
+    which one row is genuinely late past the watermark, asserted against a
+    hand computation of Spark's documented two-watermark rule (late-row
+    filtering uses the PREVIOUS batch's eviction watermark; eviction uses
+    the current one — SPARK-24634 semantics):
+
+    - file 0: 3 events in [10:00,11:00) + one at 12:00 → eviction
+      watermark after this batch = 11:50.
+    - file 1: an out-of-order row 11:51 (admitted: > watermark) — during
+      this batch the 10:00 window (end 11:00 ≤ 11:50) finalizes with n=3.
+    - file 2: a LATE row 10:30 — its window finalized a batch ago, the
+      late filter (now at 11:50) DROPS it — plus 12:30 (admitted).
+    - final: watermark 12:20 finalizes the 11:00 window (n=1); the 12:00
+      window (end 13:00 > 12:20) is open and correctly never emitted.
+
+    Removing withWatermark fails this test: append-mode streaming
+    aggregation requires one, and the late row would otherwise count.
+    """
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _write_ordered_files(
+        src,
+        [
+            ("f0.parquet", {"ts": [_t(10, 0), _t(10, 15), _t(10, 45), _t(12, 0)]}),
+            ("f1.parquet", {"ts": [_t(11, 51)]}),
+            ("f2.parquet", {"ts": [_t(10, 30), _t(12, 30)]}),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    table, progress = _run_stream(agg, "append")
+    got = _rows(table, "window_start", "n_events")
+    # 10:00 window: 3 on-time rows, late 10:30 DROPPED; 11:00 window: the
+    # out-of-order 11:51 row; 12:00 window: still open, not emitted.
+    assert got == [(_t(10, 0), 3), (_t(11, 0), 1)]
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1, f"exactly the 10:30 row must be watermark-dropped: {dropped}"
+
+    # The naive no-watermark batch aggregation counts the late row and the
+    # open tail — the streaming result is genuinely watermark-governed.
+    naive = (
+        spark.createDataFrame(
+            [(ts,) for ts in [_t(10, 0), _t(10, 15), _t(10, 45), _t(12, 0),
+                              _t(11, 51), _t(10, 30), _t(12, 30)]],
+            "ts timestamp",
+        )
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    assert _rows(naive, "window_start", "n_events") == [
+        (_t(10, 0), 4),
+        (_t(11, 0), 1),
+        (_t(12, 0), 2),
+    ]
+
+
+def test_out_of_order_dedup_reemits_after_state_expiry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark under out-of-order replay: duplicates
+    within the watermark are suppressed (including in-batch); a duplicate
+    arriving after its key's state expired is re-emitted — exactly-once
+    holds only within the watermark, by contract."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    _write_ordered_files(
+        src,
+        [
+            # K first seen 10:00 (state expires at 11:00 with 1h delay);
+            # the 10:05 duplicate is suppressed; X pushes event time ahead.
+            ("f0.parquet", {"k": ["K", "K", "X"],
+                            "ts": [_t(10, 0), _t(10, 5), _t(14, 0)]}),
+            # watermark advances to 13:00 during this batch → K's state
+            # (expiry 11:00) is evicted.
+            ("f1.parquet", {"k": ["Y"], "ts": [_t(14, 30)]}),
+            # K returns at 13:30: above the late filter, state gone → re-emitted.
+            ("f2.parquet", {"k": ["K"], "ts": [_t(13, 30)]}),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    table, _ = _run_stream(deduped, "append")
+    got = sorted((r.k, r.ts) for r in table.collect())
+    assert got == [
+        ("K", _t(10, 0)),
+        ("K", _t(13, 30)),
+        ("X", _t(14, 0)),
+        ("Y", _t(14, 30)),
+    ], "K must appear exactly twice (pre- and post-expiry), 10:05 dup suppressed"
+
+
 def test_session_window_spark_semantics_match_islands(spark, sf_dir):
     """Redundant with the oracle hash but pins the exact gap boundary:
     Spark merges while ts < prev_end (gap ≥ 30 min ⇒ new session)."""
