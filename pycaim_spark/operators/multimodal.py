@@ -110,4 +110,189 @@ def pack_demo_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- Real binary formats -----------------------------------------------------
+# Genuine PNG and WAV payloads, generated and decoded with the stdlib only
+# (zlib + struct + crc32): the decode path parses REAL container formats —
+# CRC-validated PNG IHDR, RIFF chunk walk for WAV — not a toy header.
+
+import binascii as _binascii
+import struct as _struct
+import zlib as _zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(data))
+        + tag
+        + data
+        + _struct.pack(">I", _binascii.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A fully valid 8-bit grayscale PNG (signature, CRC'd IHDR/IDAT/IEND,
+    zlib-compressed scanlines with filter byte 0)."""
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((seed + y + x) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """A fully valid 16-bit PCM RIFF/WAVE file with deterministic samples."""
+    frames = b"".join(
+        _struct.pack("<h", ((i * 1103) % 20000) - 10000)
+        for i in range(n_samples * channels)
+    )
+    bits = 16
+    fmt = _struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+        + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(frames)) + frames
+    )
+
+
+def decode_media(blob: bytes) -> dict | None:
+    """Parse a real PNG or WAV payload into typed metadata.
+
+    PNG: signature + IHDR (first chunk, CRC-verified) → width/height/
+    bit-depth. WAV: RIFF/WAVE chunk walk → fmt (PCM only) + data size →
+    channels/sample-rate/bit-depth/sample count. Returns None for anything
+    unparseable — including a corrupted IHDR CRC.
+    """
+    if blob is None:
+        return None
+    b = bytes(blob)
+    if b.startswith(_PNG_SIG) and len(b) >= 33:
+        (length,) = _struct.unpack(">I", b[8:12])
+        tag, data = b[12:16], b[16 : 16 + length]
+        (stored_crc,) = _struct.unpack(">I", b[16 + length : 20 + length])
+        if tag != b"IHDR" or length != 13:
+            return None
+        if (_binascii.crc32(tag + data) & 0xFFFFFFFF) != stored_crc:
+            return None  # corrupted header
+        width, height = _struct.unpack(">II", data[:8])
+        return {
+            "fmt": "png", "width": width, "height": height,
+            "bit_depth": data[8], "channels": -1, "sample_rate": -1,
+            "n_samples": -1,
+        }
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, fmt_info, data_size = 12, None, None
+        while pos + 8 <= len(b):
+            tag = b[pos : pos + 4]
+            (size,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = b[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                return None  # truncated chunk
+            if tag == b"fmt " and size >= 16:
+                audio_fmt, ch, sr, _, _, bits = _struct.unpack("<HHIIHH", body[:16])
+                if audio_fmt != 1:
+                    return None  # non-PCM not supported
+                fmt_info = (ch, sr, bits)
+            elif tag == b"data":
+                data_size = size
+            pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+        if fmt_info is None or data_size is None:
+            return None
+        ch, sr, bits = fmt_info
+        return {
+            "fmt": "wav", "width": -1, "height": -1, "bit_depth": bits,
+            "channels": ch, "sample_rate": sr,
+            "n_samples": data_size // (ch * bits // 8),
+        }
+    return None
+
+
+MEDIA_SCHEMA = (
+    "doc_id long, mime string, fmt string, width long, height long, "
+    "bit_depth long, channels long, sample_rate long, n_samples long, "
+    "valid boolean"
+)
+
+
+def media_params_for_doc(doc_id: int) -> dict:
+    """Deterministic per-document media parameters (shared by the packer
+    and the SQL oracle): even ids carry a PNG, odd ids a WAV."""
+    if doc_id % 2 == 0:
+        return {
+            "kind": "png",
+            "width": 16 + doc_id % 64,
+            "height": 16 + doc_id % 32,
+        }
+    return {
+        "kind": "wav",
+        "sample_rate": 8000 + (doc_id % 8) * 1000,
+        "channels": 1 if doc_id % 4 == 1 else 2,
+        "n_samples": 40 + doc_id % 50,
+    }
+
+
+def pack_media_payload(docs: DataFrame) -> DataFrame:
+    """Generate real PNG/WAV payloads per document via mapInPandas
+    (binary generation needs zlib → Python; Arrow ships the bytes back)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id in pdf["doc_id"]:
+                p = media_params_for_doc(int(doc_id))
+                if p["kind"] == "png":
+                    payloads.append(
+                        make_png(p["width"], p["height"], seed=int(doc_id))
+                    )
+                    mimes.append("image/png")
+                else:
+                    payloads.append(
+                        make_wav(p["sample_rate"], p["channels"], p["n_samples"])
+                    )
+                    mimes.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary, mime string"
+    )
+
+
+def decode_media_df(packed: DataFrame) -> DataFrame:
+    """mapInPandas real-format decode: PNG/WAV payload bytes → metadata."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_media(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "fmt": [m["fmt"] if m else "unknown" for m in metas],
+                    "width": [m["width"] if m else -1 for m in metas],
+                    "height": [m["height"] if m else -1 for m in metas],
+                    "bit_depth": [m["bit_depth"] if m else -1 for m in metas],
+                    "channels": [m["channels"] if m else -1 for m in metas],
+                    "sample_rate": [m["sample_rate"] if m else -1 for m in metas],
+                    "n_samples": [m["n_samples"] if m else -1 for m in metas],
+                    "valid": [m is not None for m in metas],
+                }
+            )
+
+    return packed.mapInPandas(decode_batches, MEDIA_SCHEMA)
+
+
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])

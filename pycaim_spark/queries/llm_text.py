@@ -281,6 +281,40 @@ def mm_column(spark, sf_dir):
 
 
 @register(
+    "mm_decode",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+           CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 64 ELSE -1 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE -1 END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
+           CASE WHEN doc_id % 2 = 0 THEN -1
+                WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN -1
+                ELSE 8000 + (doc_id % 8) * 1000 END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 40 + doc_id % 50 END AS n_samples,
+           TRUE AS valid
+    FROM documents
+    """,
+)
+def mm_decode(spark, sf_dir):
+    """REAL multimodal decode (SURVEY §2.C): generate genuinely valid PNG
+    (CRC'd IHDR/IDAT/IEND, zlib scanlines) and 16-bit PCM WAV payloads per
+    document, then parse them back with a pure-binary decoder — PNG
+    signature + CRC-verified IHDR, RIFF chunk walk for WAV — via Arrow
+    mapInPandas. The oracle recomputes every decoded field arithmetically
+    from doc_id, so this checks the encode→decode round trip end-to-end:
+    a single byte-offset bug in either direction hash-mismatches.
+    """
+    from pycaim_spark.operators.multimodal import decode_media_df, pack_media_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_media_df(pack_media_payload(d))
+
+
+@register(
     "mm_decode_stub",
     tags=("llm", "multimodal"),
     rows_only_reason="decode plumbing (mapInPandas over binary payloads) has "

@@ -196,3 +196,52 @@ def test_dedup_embedding_guard_raises_at_scale(spark, sf_dir, monkeypatch):
         REGISTRY["dedup_embedding"].fn(spark, sf_dir)
     monkeypatch.delenv("PYCAIM_ALLPAIRS_MAX_ROWS")
     assert REGISTRY["dedup_embedding"].fn(spark, sf_dir).count() > 0
+
+
+def test_real_png_wav_roundtrip_and_corruption():
+    """make_png/make_wav emit genuinely valid containers; decode_media
+    parses them back field-exact, verifies the IHDR CRC, and rejects
+    corrupted or truncated payloads."""
+    import zlib
+
+    from pycaim_spark.operators.multimodal import decode_media, make_png, make_wav
+
+    png = make_png(33, 21, seed=5)
+    meta = decode_media(png)
+    assert meta == {
+        "fmt": "png", "width": 33, "height": 21, "bit_depth": 8,
+        "channels": -1, "sample_rate": -1, "n_samples": -1,
+    }
+    # the IDAT really is a decompressible image: h scanlines of 1+w bytes
+    idat = png[png.index(b"IDAT") + 4:png.index(b"IEND") - 8]
+    assert len(zlib.decompress(idat)) == 21 * (33 + 1)
+
+    wav = make_wav(11000, 2, 77)
+    assert decode_media(wav) == {
+        "fmt": "wav", "width": -1, "height": -1, "bit_depth": 16,
+        "channels": 2, "sample_rate": 11000, "n_samples": 77,
+    }
+
+    # flip one IHDR byte → CRC mismatch → rejected
+    corrupted = bytearray(png)
+    corrupted[16] ^= 0xFF
+    assert decode_media(bytes(corrupted)) is None
+    assert decode_media(wav[:20]) is None          # truncated RIFF
+    assert decode_media(b"\x89PNGnope") is None    # bad signature
+    assert decode_media(None) is None
+
+
+def test_mm_decode_spark_parses_real_payloads(spark, sf_dir):
+    from pycaim_spark.operators.multimodal import media_params_for_doc
+    from pycaim_spark.registry import REGISTRY
+
+    rows = REGISTRY["mm_decode"].fn(spark, sf_dir).collect()
+    assert rows and all(r.valid for r in rows)
+    for r in rows[:50]:
+        p = media_params_for_doc(r.doc_id)
+        if p["kind"] == "png":
+            assert (r.fmt, r.width, r.height, r.bit_depth) == (
+                "png", p["width"], p["height"], 8)
+        else:
+            assert (r.fmt, r.channels, r.sample_rate, r.n_samples) == (
+                "wav", p["channels"], p["sample_rate"], p["n_samples"])
