@@ -1,0 +1,111 @@
+"""Scaling bench: Spark vs DuckDB on the same parquet at increasing scale
+(VERDICT r2 #1). Runs the five BASELINE-comparable headline queries at each
+given sf dir on BOTH engines (warm, median of 3) and prints a per-sf ratio
+table, demonstrating whether the sf0.1 gap is Spark's fixed per-action
+floor (ratio falls with scale) or an asymptotic defect (ratio holds/grows).
+
+Usage: python bench_scaling.py [sf_dir ...]
+Defaults: /root/testdata/sf0.01 /root/testdata/sf0.1 .scratch/sf1
+(generate the last one with tools/make_scaled_sf.py first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "agg_hash",
+    "join_broadcast",
+    "topk_per_group",
+    "dedup_exact",
+    "stream_session",
+]
+
+HOT_TABLES = ("lineitem", "orders", "customer", "nation", "events", "documents")
+
+
+def _median3(fn) -> float:
+    fn()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[1]
+
+
+def _tune_partitions(spark, sf_dir: str) -> None:
+    """Size input splits for ~3 tasks/core over this dir's data: the 128 MiB
+    cluster default over-coalesces 10 MiB fixture files, while 4 MiB splits
+    (right for sf0.1) drown a multi-GiB dir in task dispatch."""
+    total = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    target = max(4 << 20, min(128 << 20, total // (cpus * 3)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
+
+def bench_sf(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    import duckdb
+
+    from pycaim_spark.catalog import load_table
+    from pycaim_spark.parity import duckdb_connection
+    from pycaim_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    _tune_partitions(spark, sf_dir)
+    cached = [load_table(spark, sf_dir, t).cache() for t in HOT_TABLES]
+    for df in cached:
+        df.count()
+
+    con = duckdb_connection(sf_dir)
+    out: dict[str, dict[str, float]] = {}
+    try:
+        for name in QUERIES:
+            spec = REGISTRY[name]
+            s = _median3(lambda: spec.fn(spark, sf_dir).count())
+            d = _median3(lambda: con.execute(spec.oracle).fetchall())
+            out[name] = {
+                "spark": round(s, 4),
+                "duckdb": round(d, 4),
+                "ratio": round(s / d, 2),
+            }
+    finally:
+        con.close()
+        for df in cached:
+            df.unpersist()
+    return out
+
+
+def main() -> None:
+    from pycaim_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.path.join(repo, ".scratch", "sf1"),
+    ]
+    os.environ.setdefault("PYCAIM_MAX_PARTITION_BYTES", "4194304")
+    spark = get_spark(app_name="pycaim-bench-scaling")
+    results = {}
+    for sf_dir in sf_dirs:
+        if not os.path.isdir(sf_dir):
+            print(f"skip {sf_dir}: not found (tools/make_scaled_sf.py)", file=sys.stderr)
+            continue
+        results[sf_dir] = bench_sf(spark, sf_dir)
+        print(f"done {sf_dir}", file=sys.stderr)
+    spark.stop()
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
