@@ -4,9 +4,11 @@ given sf dir on BOTH engines (warm, median of 3) and prints a per-sf ratio
 table, demonstrating whether the sf0.1 gap is Spark's fixed per-action
 floor (ratio falls with scale) or an asymptotic defect (ratio holds/grows).
 
-Usage: python bench_scaling.py [sf_dir ...]
+Usage: python bench_scaling.py [--llm] [sf_dir ...]
 Defaults: /root/testdata/sf0.01 /root/testdata/sf0.1 .scratch/sf1
 (generate the last one with tools/make_scaled_sf.py first).
+--llm swaps in the LLM-pipeline set (minhash/LSH/IVF/tfidf/mm/caim —
+mostly rows-only, so Spark absolute seconds only; SCALING.md §LLM).
 """
 
 from __future__ import annotations
@@ -26,7 +28,19 @@ QUERIES = [
     "stream_session",
 ]
 
-HOT_TABLES = ("lineitem", "orders", "customer", "nation", "events", "documents")
+LLM_QUERIES = [
+    "dedup_minhash",
+    "sim_lsh_bucketed",
+    "sim_ivf",
+    "text_tfidf",
+    "mm_decode",
+    "caim_fit",
+]
+
+HOT_TABLES = (
+    "lineitem", "orders", "customer", "nation", "events", "documents",
+    "embeddings",
+)
 
 
 def _median3(fn) -> float:
@@ -53,7 +67,7 @@ def _tune_partitions(spark, sf_dir: str) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
 
-def bench_sf(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+def bench_sf(spark, sf_dir: str, names: list[str]) -> dict[str, dict[str, float]]:
     import duckdb
 
     from pycaim_spark.catalog import load_table
@@ -69,15 +83,14 @@ def bench_sf(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     con = duckdb_connection(sf_dir)
     out: dict[str, dict[str, float]] = {}
     try:
-        for name in QUERIES:
+        for name in names:
             spec = REGISTRY[name]
             s = _median3(lambda: spec.fn(spark, sf_dir).count())
-            d = _median3(lambda: con.execute(spec.oracle).fetchall())
-            out[name] = {
-                "spark": round(s, 4),
-                "duckdb": round(d, 4),
-                "ratio": round(s / d, 2),
-            }
+            out[name] = {"spark": round(s, 4)}
+            if spec.oracle is not None:
+                d = _median3(lambda: con.execute(spec.oracle).fetchall())
+                out[name]["duckdb"] = round(d, 4)
+                out[name]["ratio"] = round(s / d, 2)
     finally:
         con.close()
         for df in cached:
@@ -89,19 +102,23 @@ def main() -> None:
     from pycaim_spark.session import get_spark
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    sf_dirs = sys.argv[1:] or [
+    argv = sys.argv[1:]
+    names = QUERIES
+    if "--llm" in argv:
+        argv.remove("--llm")
+        names = LLM_QUERIES
+    sf_dirs = argv or [
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
         os.path.join(repo, ".scratch", "sf1"),
     ]
-    os.environ.setdefault("PYCAIM_MAX_PARTITION_BYTES", "4194304")
     spark = get_spark(app_name="pycaim-bench-scaling")
     results = {}
     for sf_dir in sf_dirs:
         if not os.path.isdir(sf_dir):
             print(f"skip {sf_dir}: not found (tools/make_scaled_sf.py)", file=sys.stderr)
             continue
-        results[sf_dir] = bench_sf(spark, sf_dir)
+        results[sf_dir] = bench_sf(spark, sf_dir, names)
         print(f"done {sf_dir}", file=sys.stderr)
     spark.stop()
     print(json.dumps(results))
