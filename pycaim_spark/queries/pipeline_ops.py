@@ -279,3 +279,186 @@ def emb_quantize(spark, sf_dir):
     return staged.select(
         "vec_id", q8.alias("q8"), F.round(F.col("mx"), 6).alias("scale_val")
     )
+
+
+@register(
+    "text_repetition",
+    tags=("llm", "text", "pipeline"),
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+        SELECT doc_id, w[g] || ' ' || w[g+1] AS b
+        FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS g) t
+    ), top_bg AS (
+        SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_bg
+        FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+        GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+               AS dup_word_frac,
+           round(CAST(top_cnt AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+           CAST(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.5
+                AND CAST(top_cnt AS DOUBLE) / n_bg <= 0.18
+                AS INTEGER) AS keep
+    FROM ws JOIN top_bg ON top_bg.doc_id = ws.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters: fraction of duplicated
+    words and the most-frequent-bigram mass per document; ``keep`` applies
+    the published thresholds (Rae et al. 2021 use per-ngram caps — 0.18
+    for the top bigram — plus duplicate-line fractions; words stand in for
+    lines on the single-line fixture).
+
+    Scale shape: the word stats are per-row array expressions (no
+    shuffle); the bigram mode is one explode + two-level groupBy with
+    map-side partial aggregation — linear in corpus tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    dup_frac = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(words)).cast("double") / F.size(words),
+        6,
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    per_bg = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_bg"))
+    )
+    top_frac = F.round(F.col("top_cnt").cast("double") / F.col("n_bg"), 6)
+    stats = d.select("doc_id", dup_frac.alias("dup_word_frac"))
+    return (
+        stats.join(per_bg, "doc_id")
+        .select(
+            "doc_id",
+            "dup_word_frac",
+            top_frac.alias("top_bigram_frac"),
+            ((F.col("dup_word_frac") <= 0.5) & (top_frac <= 0.18))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@register(
+    "text_decontaminate",
+    tags=("llm", "text", "pipeline"),
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), tg AS (
+        SELECT DISTINCT doc_id, source,
+               w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS t
+        FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS g) x
+    ), hits AS (
+        SELECT c.doc_id, COUNT(DISTINCT c.t) AS n_shared
+        FROM tg c JOIN (SELECT DISTINCT t FROM tg WHERE source = 'src0') b
+             ON c.t = b.t
+        WHERE c.source <> 'src0'
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_trigrams,
+           CAST(COALESCE(h.n_shared, 0) >= 3 AS INTEGER) AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing ≥3 distinct
+    word-trigrams with the held-out set (here: ``source = 'src0'`` stands
+    in for the eval benchmark) — the standard n-gram-overlap test-set
+    leakage check run before training.
+
+    Scale shape: the benchmark trigram set is tiny relative to the corpus
+    (that is the real-world shape), so Spark broadcasts it and the check
+    is a map-side semi-join over corpus trigrams — no corpus shuffle
+    before the per-doc count; linear in corpus tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    trigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    tg = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(trigrams)).alias("t")
+    )
+    bench = F.broadcast(
+        tg.filter(F.col("source") == "src0").select("t").distinct()
+    )
+    hits = (
+        tg.filter(F.col("source") != "src0")
+        .join(bench, "t")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("n_shared"))
+    )
+    corpus = d.filter(F.col("source") != "src0").select("doc_id")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_shared.alias("n_shared_trigrams"),
+        (n_shared >= 3).cast("int").alias("contaminated"),
+    )
+
+
+@register(
+    "split_leakage_safe",
+    tags=("llm", "pipeline"),
+    oracle="""
+    WITH groups AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                        '\\s+', ' ', 'g')))
+               ) AS group_id
+        FROM documents
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN (group_id * 2654435761) % 4294967296 % 10 < 8
+                THEN 'train' ELSE 'eval' END AS split
+    FROM groups
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/eval split: exact-duplicate groups (normalized
+    text hash) are assigned to a split AS A UNIT via a deterministic
+    multiplicative hash of the group id — duplicates can never straddle
+    the boundary and leak eval content into training. Swap the grouping
+    key for dedup_clusters_star components to extend the guarantee to
+    NEAR-duplicates; the assignment rule is unchanged.
+
+    Scale shape: one window (or groupBy-join) over the 32-byte normalized
+    hash, then a pure projection; the split decision never moves data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    w = Window.partitionBy(norm_hash)
+    group_id = F.min("doc_id").over(w)
+    # Knuth multiplicative hash keeps both engines in exact-integer range
+    # (max doc_id × 2654435761 ≪ 2^63) — engine-portable determinism where
+    # xxhash64/hash() builtins differ between Spark and DuckDB.
+    bucket = (group_id * F.lit(2654435761)) % F.lit(4294967296) % 10
+    return d.select(
+        "doc_id",
+        group_id.alias("group_id"),
+        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
