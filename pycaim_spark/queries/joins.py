@@ -347,3 +347,50 @@ def join_asof(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("purchase_id", F.col("v_ts").alias("last_view_ts"))
     )
+
+
+@register(
+    "join_skew_salted",
+    tags=("join", "scale"),
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Manually salted skew join: the fact side's join key is salted into
+    ``SALT`` sub-keys and the dimension side is exploded ``SALT``× so every
+    (key, salt) pair still matches — the classic pre-AQE remedy when one
+    hot key floods a single reducer, and still the right tool when the
+    skewed join feeds an aggregation AQE cannot split. The oracle is the
+    UNsalted join: salting must be invisible in the result.
+
+    Scale shape: shuffle keys become (custkey, salt) → a hot customer's
+    rows spread over SALT reducers; the dim side grows SALT×, which is
+    noise for a dimension table. Salt is derived from o_orderkey (pmod,
+    deterministic), never random — reruns and retries stay identical.
+    """
+    SALT = 8
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    salted_o = o.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(SALT)))
+    salted_c = c.select(
+        "c_custkey", "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))).alias("salt"),
+    )
+    return (
+        salted_o.join(
+            salted_c,
+            (salted_o.o_custkey == salted_c.c_custkey)
+            & (salted_o.salt == salted_c.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )

@@ -462,3 +462,40 @@ def split_leakage_safe(spark, sf_dir):
         group_id.alias("group_id"),
         F.when(bucket < 8, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
     )
+
+
+@register(
+    "shuffle_epoch",
+    tags=("llm", "pipeline"),
+    oracle="""
+    SELECT e.epoch, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY (doc_id * 2654435761 + e.epoch * 40503)
+                        % 4294967296, doc_id
+           ) AS BIGINT) AS position
+    FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+    """,
+)
+def shuffle_epoch(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle: a seeded multiplicative hash
+    of (doc_id, epoch) defines a reproducible random order per training
+    epoch — rerunning the pipeline (or recovering a failed job) yields the
+    SAME example order, which no ``rand()``-based shuffle guarantees.
+
+    Scale shape: assigning positions IS a global sort by the hash — the
+    honest cost of a corpus shuffle. On a cluster the range-partitioned
+    sort writes directly to sharded output files; no single node ever
+    holds the corpus. The engine-portable hash (exact-integer range) keeps
+    the oracle bit-identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    epochs = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    )
+    order = (F.col("doc_id") * 2654435761 + F.col("epoch") * 40503) % 4294967296
+    w = Window.partitionBy("epoch").orderBy(order, "doc_id")
+    return epochs.select(
+        "epoch", "doc_id", F.row_number().over(w).cast("bigint").alias("position")
+    )
