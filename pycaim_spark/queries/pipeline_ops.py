@@ -499,3 +499,120 @@ def shuffle_epoch(spark, sf_dir):
     return epochs.select(
         "epoch", "doc_id", F.row_number().over(w).cast("bigint").alias("position")
     )
+
+
+@register(
+    "pipeline_pretrain",
+    tags=("llm", "pipeline", "flagship"),
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, text, source, keep_id
+        FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM norm)
+        WHERE doc_id = keep_id
+    ), quality AS (
+        SELECT doc_id, text, source, keep_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM kept
+        WHERE len(string_split(text, ' ')) >= 8
+          AND 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) <= 0.5
+    ), bench_tg AS (
+        SELECT DISTINCT w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS t
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0'),
+             LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS g) x
+    ), contaminated AS (
+        SELECT doc_id FROM (
+            SELECT q.doc_id, COUNT(DISTINCT c.t) AS n_shared
+            FROM (SELECT DISTINCT doc_id,
+                         w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS t
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM quality WHERE source <> 'src0'),
+                       LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+                                AS g) x) c
+            JOIN bench_tg b ON c.t = b.t
+            JOIN quality q ON q.doc_id = c.doc_id
+            GROUP BY q.doc_id
+        ) WHERE n_shared >= 3
+    )
+    SELECT doc_id,
+           CASE WHEN (keep_id * 2654435761) % 4294967296 % 10 < 8
+                THEN 'train' ELSE 'eval' END AS split,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM quality
+    WHERE source <> 'src0'
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def pipeline_pretrain(spark, sf_dir):
+    """End-to-end pre-training data pipeline in ONE composed plan — what a
+    user actually runs before tokenization:
+
+    1. exact dedup (normalized-hash canonical keeper),
+    2. quality filter (min length + Gopher duplicate-word cap),
+    3. benchmark decontamination (drop docs sharing ≥3 trigrams with the
+       held-out ``src0`` set, and the held-out set itself),
+    4. leakage-safe train/eval split (duplicate groups move as a unit).
+
+    Every step is the registered standalone operator's logic inlined into
+    one DataFrame chain, so Catalyst fuses the projections and the corpus
+    is scanned once (plus the broadcast benchmark set); the oracle is the
+    same four stages as SQL CTEs. Scale shape: two narrow shuffles (hash
+    window, trigram semi-join aggregation) over hash/long keys only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    w = Window.partitionBy(norm_hash)
+    kept = (
+        d.select("doc_id", "text", "source",
+                 F.min("doc_id").over(w).alias("keep_id"))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    words = F.split(F.col("text"), " ")
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    )
+    quality = kept.filter(
+        (F.size(words) >= 8) & (dup_frac <= 0.5)
+    ).withColumn("n_tokens", F.size(words).cast("bigint"))
+
+    trigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    bench = F.broadcast(
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(F.array_distinct(trigrams)).alias("t"))
+        .distinct()
+    )
+    corpus = quality.filter(F.col("source") != "src0")
+    contaminated = (
+        corpus.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("t"))
+        .join(bench, "t")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+    )
+    bucket = (F.col("keep_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    return (
+        corpus.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.when(bucket < 8, F.lit("train")).otherwise(F.lit("eval"))
+            .alias("split"),
+            "n_tokens",
+        )
+    )
