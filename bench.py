@@ -51,6 +51,7 @@ HEADLINE = [
     "stream_watermark_agg",
     "mm_decode",
     "emb_quantize",
+    "pipeline_pretrain",
 ]
 
 #: Tables cached (storage-level memory) in the warmup: every later scan of
