@@ -616,3 +616,40 @@ def pipeline_pretrain(spark, sf_dir):
             "n_tokens",
         )
     )
+
+
+@register(
+    "split_leakage_safe_neardup",
+    tags=("llm", "pipeline"),
+    rows_only_reason="near-dup clusters come from seeded MinHash banding "
+    "(implementation-specific, no SQL twin); the no-straddle property — no "
+    "candidate near-dup pair crosses the train/eval boundary — is asserted "
+    "in tests/test_llm_ops.py",
+)
+def split_leakage_safe_neardup(spark, sf_dir):
+    """Leakage-safe split extended to NEAR-duplicates: MinHash-LSH
+    candidate pairs → large-star/small-star connected components → the
+    whole component is assigned to train or eval as a unit by the same
+    multiplicative hash as split_leakage_safe. A paraphrased or
+    near-copied eval document can no longer leak into training.
+
+    Scale shape: minhash banding + star CC are the measured scale paths
+    (SCALING.md §LLM); the assignment itself is a pure projection.
+    """
+    from pycaim_spark.operators.dedup import minhash_candidate_pairs
+    from pycaim_spark.operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    group_id = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = (group_id * F.lit(2654435761)) % F.lit(4294967296) % 10
+    return (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            group_id.alias("group_id"),
+            F.when(bucket < 8, F.lit("train")).otherwise(F.lit("eval"))
+            .alias("split"),
+        )
+    )

@@ -245,3 +245,33 @@ def test_mm_decode_spark_parses_real_payloads(spark, sf_dir):
         else:
             assert (r.fmt, r.channels, r.sample_rate, r.n_samples) == (
                 "wav", p["channels"], p["sample_rate"], p["n_samples"])
+
+
+def test_neardup_split_never_straddles(spark, sf_dir):
+    """Every MinHash candidate near-dup pair must land in ONE split —
+    the leakage guarantee split_leakage_safe_neardup exists for."""
+    from pycaim_spark.catalog import load_table
+    from pycaim_spark.operators.dedup import minhash_candidate_pairs
+    from pycaim_spark.registry import REGISTRY
+
+    split = REGISTRY["split_leakage_safe_neardup"].fn(spark, sf_dir)
+    assignment = {r.doc_id: r.split for r in split.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).collect()
+    assert pairs, "fixture must contain near-dup candidates"
+    for p in pairs:
+        assert assignment[p.id_a] == assignment[p.id_b], (p.id_a, p.id_b)
+    assert {"train", "eval"} >= set(assignment.values())
+
+
+def test_decontaminate_benchmark_set_is_broadcast(spark, sf_dir):
+    """The benchmark trigram set must reach the corpus via a broadcast
+    join — a shuffled corpus here would be the silent 100 TB regression."""
+    from pycaim_spark.registry import REGISTRY
+
+    for name in ("text_decontaminate", "pipeline_pretrain"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan, f"{name}: benchmark set not broadcast"
