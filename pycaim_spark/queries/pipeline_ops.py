@@ -559,10 +559,15 @@ def pipeline_pretrain(spark, sf_dir):
     4. leakage-safe train/eval split (duplicate groups move as a unit).
 
     Every step is the registered standalone operator's logic inlined into
-    one DataFrame chain, so Catalyst fuses the projections and the corpus
-    is scanned once (plus the broadcast benchmark set); the oracle is the
-    same four stages as SQL CTEs. Scale shape: two narrow shuffles (hash
-    window, trigram semi-join aggregation) over hash/long keys only.
+    one DataFrame chain; the oracle is the same four stages as SQL CTEs.
+    Scale shape: the shuffles are narrow (normalized-hash window, trigram
+    semi-join aggregation, anti-join on doc_id — hash/long keys only), but
+    the static plan re-scans the corpus per consuming branch (Catalyst has
+    no automatic CTE materialization; AQE's runtime exchange reuse dedupes
+    the identical window exchange). A production run at 100 TB would
+    persist() the post-quality frame before the decontamination fan-out —
+    left to the caller because cache lifecycle belongs to the pipeline
+    runner, not an operator.
     """
     d = load_table(spark, sf_dir, "documents")
     norm_hash = F.md5(

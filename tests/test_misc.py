@@ -86,3 +86,15 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
             # GK guarantees rank error ≤ n/accuracy; on these sizes the
             # estimate must land within 1% of the exact value.
             assert abs(est - ex) <= 0.01 * abs(ex) + 1e-9, (k, est, ex)
+
+
+def test_missing_sf_dir_raises_clean_path_error(spark):
+    """A wrong data dir must fail with Spark's PATH_NOT_FOUND analysis
+    error at plan-build time, not a worker-side stack bomb mid-query."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from pycaim_spark.catalog import load_table
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND|Path does not exist"):
+        load_table(spark, "/root/testdata/sf_nope", "events").count()
