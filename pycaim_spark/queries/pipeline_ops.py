@@ -431,7 +431,7 @@ def text_decontaminate(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id, group_id,
-           CASE WHEN (group_id * 2654435761) % 4294967296 % 10 < 8
+           CASE WHEN (group_id % 2147483648 * 2654435761) % 4294967296 % 10 < 8
                 THEN 'train' ELSE 'eval' END AS split
     FROM groups
     """,
@@ -453,10 +453,11 @@ def split_leakage_safe(spark, sf_dir):
     )
     w = Window.partitionBy(norm_hash)
     group_id = F.min("doc_id").over(w)
-    # Knuth multiplicative hash keeps both engines in exact-integer range
-    # (max doc_id × 2654435761 ≪ 2^63) — engine-portable determinism where
-    # xxhash64/hash() builtins differ between Spark and DuckDB.
-    bucket = (group_id * F.lit(2654435761)) % F.lit(4294967296) % 10
+    # Knuth multiplicative hash, engine-portable where xxhash64/hash()
+    # builtins differ between Spark and DuckDB. The id is pre-reduced
+    # mod 2^31 so the product stays < 2^63 for ANY 64-bit id — ANSI
+    # Spark makes bigint overflow a runtime error, not a wrap.
+    bucket = (group_id % F.lit(2147483648) * F.lit(2654435761)) % F.lit(4294967296) % 10
     return d.select(
         "doc_id",
         group_id.alias("group_id"),
@@ -471,7 +472,7 @@ def split_leakage_safe(spark, sf_dir):
     SELECT e.epoch, doc_id,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY e.epoch
-               ORDER BY (doc_id * 2654435761 + e.epoch * 40503)
+               ORDER BY (doc_id % 2147483648 * 2654435761 + e.epoch * 40503)
                         % 4294967296, doc_id
            ) AS BIGINT) AS position
     FROM documents, (SELECT unnest([0, 1]) AS epoch) e
@@ -494,7 +495,7 @@ def shuffle_epoch(spark, sf_dir):
         "doc_id",
         F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
     )
-    order = (F.col("doc_id") * 2654435761 + F.col("epoch") * 40503) % 4294967296
+    order = (F.col("doc_id") % 2147483648 * 2654435761 + F.col("epoch") * 40503) % 4294967296
     w = Window.partitionBy("epoch").orderBy(order, "doc_id")
     return epochs.select(
         "epoch", "doc_id", F.row_number().over(w).cast("bigint").alias("position")
@@ -540,7 +541,7 @@ def shuffle_epoch(spark, sf_dir):
         ) WHERE n_shared >= 3
     )
     SELECT doc_id,
-           CASE WHEN (keep_id * 2654435761) % 4294967296 % 10 < 8
+           CASE WHEN (keep_id % 2147483648 * 2654435761) % 4294967296 % 10 < 8
                 THEN 'train' ELSE 'eval' END AS split,
            CAST(n_tokens AS BIGINT) AS n_tokens
     FROM quality
@@ -611,7 +612,7 @@ def pipeline_pretrain(spark, sf_dir):
         .filter(F.col("n_shared") >= 3)
         .select("doc_id")
     )
-    bucket = (F.col("keep_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    bucket = (F.col("keep_id") % F.lit(2147483648) * F.lit(2654435761)) % F.lit(4294967296) % 10
     return (
         corpus.join(contaminated, "doc_id", "left_anti")
         .select(
@@ -648,7 +649,7 @@ def split_leakage_safe_neardup(spark, sf_dir):
     pairs = minhash_candidate_pairs(d)
     comp = connected_components_star(pairs, src="id_a", dst="id_b")
     group_id = F.coalesce(F.col("component"), F.col("doc_id"))
-    bucket = (group_id * F.lit(2654435761)) % F.lit(4294967296) % 10
+    bucket = (group_id % F.lit(2147483648) * F.lit(2654435761)) % F.lit(4294967296) % 10
     return (
         d.join(comp, d.doc_id == comp.node, "left")
         .select(
