@@ -484,21 +484,50 @@ def shuffle_epoch(spark, sf_dir):
     epoch — rerunning the pipeline (or recovering a failed job) yields the
     SAME example order, which no ``rand()``-based shuffle guarantees.
 
-    Scale shape: assigning positions IS a global sort by the hash — the
-    honest cost of a corpus shuffle. On a cluster the range-partitioned
-    sort writes directly to sharded output files; no single node ever
-    holds the corpus. The engine-portable hash (exact-integer range) keeps
-    the oracle bit-identical.
+    Scale shape: a naive ``row_number() OVER (PARTITION BY epoch)`` funnels
+    the whole corpus through one task per epoch. Instead the hash range
+    [0, 2^32) is cut into 64 ordered SHARDS: positions are enumerated per
+    (epoch, shard) — max task ≈ corpus/64, grow the constant with the
+    cluster — and made global by adding each shard's start offset, which
+    comes from a tiny (epochs × shards)-row count aggregate broadcast back.
+    Two narrow shuffles; no single-task sort anywhere.
     """
+    n_shards = 64
     d = load_table(spark, sf_dir, "documents")
     epochs = d.select(
         "doc_id",
         F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
     )
-    order = (F.col("doc_id") % 2147483648 * 2654435761 + F.col("epoch") * 40503) % 4294967296
-    w = Window.partitionBy("epoch").orderBy(order, "doc_id")
-    return epochs.select(
-        "epoch", "doc_id", F.row_number().over(w).cast("bigint").alias("position")
+    order = (
+        F.col("doc_id") % 2147483648 * 2654435761 + F.col("epoch") * 40503
+    ) % 4294967296
+    shard = (order / F.lit(float(4294967296 // n_shards))).cast("int")
+    base = epochs.select("doc_id", "epoch", order.alias("ord"), shard.alias("shard"))
+    # Shard start offsets: counts per (epoch, shard) is a tiny aggregate;
+    # the running sum over shards-in-order runs on epochs×shards rows.
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "epoch", "shard",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+        )
+    )
+    w_local = Window.partitionBy("epoch", "shard").orderBy("ord", "doc_id")
+    return (
+        base.join(F.broadcast(offsets), ["epoch", "shard"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w_local))
+            .cast("bigint")
+            .alias("position"),
+        )
     )
 
 
