@@ -95,26 +95,43 @@ def text_pack(spark, sf_dir):
     The bin id is floor(tokens_before_this_doc / budget) — "soft" packing:
     a document whose tokens straddle a boundary stays in the earlier bin,
     so bins can overflow by at most one document (exact greedy packing is
-    inherently sequential; this windowed form is deterministic, one
-    shuffle, and what large-scale packers actually run). Per-language
-    partitioning mirrors how packing parallelizes at 100 TB: the running
-    sum never crosses partition keys.
+    inherently sequential; this windowed form is deterministic and what
+    large-scale packers actually run). The running token sum is a sharded
+    two-level prefix scan, not a per-language window (which would push a
+    whole language through one task): local cumulative sums within
+    order-preserving doc_id-range shards, plus shard token offsets from a
+    tiny per-(lang, shard) sum aggregate.
     """
     budget = 512
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
-    w = (
+    base = d.select(
+        "doc_id", "lang", n_tok.alias("n_tok"),
+        F.expr("doc_id DIV 4096").alias("shard"),
+    )
+    shard_sums = base.groupBy("lang", "shard").agg(F.sum("n_tok").alias("s"))
+    w_off = (
         Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_sums.select(
+        "lang", "shard",
+        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("tok_offset"),
+    )
+    w_local = (
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    binned = d.select("doc_id", "lang", n_tok.alias("n_tok")).select(
+    cum = F.col("tok_offset") + F.sum("n_tok").over(w_local)
+    binned = base.join(F.broadcast(offsets), ["lang", "shard"]).select(
         "doc_id",
         "n_tok",
         F.concat(
             F.col("lang"),
             F.lit("#"),
-            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(budget))
+            F.floor((cum - F.col("n_tok")) / float(budget))
             .cast("bigint")
             .cast("string"),
         ).alias("bin_id"),
@@ -148,24 +165,40 @@ def sample_stratified(spark, sf_dir):
 
     Exact and deterministic: rank within stratum (here by doc_id; at
     100 TB use a salted hash ordering for an unbiased draw), keep the
-    first ceil(rate·|stratum|). One shuffle on the stratum key; the two
-    windows share a single partitioning.
+    first ceil(rate·|stratum|). The rank is NOT a per-stratum window (one
+    task per language at scale): doc_id ranges shard each stratum (DIV
+    4096, order-preserving and data-independent), ranks are local to
+    (lang, shard) and globalized by shard start offsets from a tiny count
+    aggregate — the same two-level scan as shuffle_epoch; recurse the
+    offset level if strata outgrow it.
     """
     rates = {"en": 0.5, "zh": 0.2}
     default_rate = 0.1
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    wc = Window.partitionBy("lang")
     rate = F.when(F.col("lang") == "en", rates["en"]).when(
         F.col("lang") == "zh", rates["zh"]
     ).otherwise(default_rate)
+    base = d.select(
+        "lang", "doc_id", "n_chars", F.expr("doc_id DIV 4096").alias("shard")
+    )
+    counts = base.groupBy("lang", "shard").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "lang", "shard",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )
+    n_lang = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    w_local = Window.partitionBy("lang", "shard").orderBy("doc_id")
     return (
-        d.select(
-            "lang",
-            "doc_id",
-            "n_chars",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("n_lang"),
+        base.join(F.broadcast(offsets), ["lang", "shard"])
+        .join(F.broadcast(n_lang), "lang")
+        .select(
+            "lang", "doc_id", "n_chars", "n_lang",
+            (F.col("offset") + F.row_number().over(w_local)).alias("rn"),
         )
         .filter(F.col("rn") <= F.ceil(F.col("n_lang") * rate).cast("bigint"))
         .select("lang", "doc_id", "n_chars")
