@@ -37,6 +37,10 @@ def win_ranking(spark, sf_dir):
     """row_number/rank/dense_rank/ntile (SURVEY §2.B win_ranking).
 
     Unique c_custkey tie-break makes every ranking deterministic.
+    Scale note: the low-cardinality partition key is the operator's
+    demonstration semantics; when a partition outgrows one task, apply
+    the two-level sharded scan in pipeline_ops.shuffle_epoch /
+    sample_stratified (range shards + broadcast offsets).
     """
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
