@@ -20,6 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Streaming checkpoints fsync per micro-batch; on the bench box that disk
+# latency is the dominant (and noisiest) cost of the true-streaming
+# queries. tmpfs is the local stand-in for the fast checkpoint volume a
+# cluster provisions — set before pycaim_spark.streaming reads the env.
+if "PYCAIM_SCRATCH" not in os.environ and os.access("/dev/shm", os.W_OK):
+    os.environ["PYCAIM_SCRATCH"] = "/dev/shm/pycaim_scratch"
+
 # Headline queries: mirror BASELINE.md's measured-oracle table, plus the
 # reference-core CAIM path, plus ≥1 query per SURVEY §2 family so a
 # per-family regression (like round 2's caim_fit) is caught here.
