@@ -50,6 +50,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata only — no Spark job, no data
+    scan. Used by scale guards that must stay lazy at plan-build time
+    (e.g. dedup_embedding's all-pairs cap). Handles both a single file and
+    a directory of part files."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables as a dict."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -180,10 +180,15 @@ def decode_media(blob: bytes) -> dict | None:
     b = bytes(blob)
     if b.startswith(_PNG_SIG) and len(b) >= 33:
         (length,) = _struct.unpack(">I", b[8:12])
-        tag, data = b[12:16], b[16 : 16 + length]
-        (stored_crc,) = _struct.unpack(">I", b[16 + length : 20 + length])
+        tag = b[12:16]
+        # Validate tag/length BEFORE slicing the CRC: a corrupted length
+        # field would otherwise make the CRC slice <4 bytes and unpack
+        # raise struct.error instead of returning None. length == 13 plus
+        # the len(b) >= 33 check above guarantees the slices below.
         if tag != b"IHDR" or length != 13:
             return None
+        data = b[16 : 16 + length]
+        (stored_crc,) = _struct.unpack(">I", b[16 + length : 20 + length])
         if (_binascii.crc32(tag + data) & 0xFFFFFFFF) != stored_crc:
             return None  # corrupted header
         width, height = _struct.unpack(">II", data[:8])

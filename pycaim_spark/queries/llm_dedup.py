@@ -230,9 +230,14 @@ def dedup_embedding(spark, sf_dir):
     """
     import os
 
+    from pycaim_spark.catalog import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
     max_rows = int(os.environ.get("PYCAIM_ALLPAIRS_MAX_ROWS", "200000"))
-    n = emb.count()
+    # Footer-metadata count: keeps the query builder a lazy plan
+    # constructor (no eager Spark job on registration/explain paths) and
+    # the guard itself never scans the corpus it protects against.
+    n = parquet_row_count(sf_dir, "embeddings")
     if n > max_rows:
         raise ValueError(
             f"dedup_embedding is an exact all-pairs baseline: {n} rows would "

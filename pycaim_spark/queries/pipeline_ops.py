@@ -16,6 +16,25 @@ from pycaim_spark.catalog import load_table
 from pycaim_spark.registry import register
 
 
+def _word_ngrams(words, n):
+    """Word n-gram array, guarded for short documents.
+
+    Spark's ``sequence(0, stop)`` DESCENDS when ``stop`` is negative, and
+    ``element_at`` then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT — so a
+    document with fewer than ``n`` words must yield an EMPTY array, which
+    also matches ``generate_series``'s empty result in the DuckDB oracles.
+    """
+    seq = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        seq,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+
+
 @register(
     "text_chunk",
     tags=("llm", "text", "pipeline"),
@@ -356,12 +375,7 @@ def text_repetition(spark, sf_dir):
         - F.size(F.array_distinct(words)).cast("double") / F.size(words),
         6,
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
+    bigrams = _word_ngrams(words, 2)
     per_bg = (
         d.select("doc_id", F.explode(bigrams).alias("b"))
         .groupBy("doc_id", "b")
@@ -421,15 +435,7 @@ def text_decontaminate(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    trigrams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-            F.element_at(words, i + 3),
-        ),
-    )
+    trigrams = _word_ngrams(words, 3)
     tg = d.select(
         "doc_id", "source", F.explode(F.array_distinct(trigrams)).alias("t")
     )
@@ -651,15 +657,7 @@ def pipeline_pretrain(spark, sf_dir):
         (F.size(words) >= 8) & (dup_frac <= 0.5)
     ).withColumn("n_tokens", F.size(words).cast("bigint"))
 
-    trigrams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-            F.element_at(words, i + 3),
-        ),
-    )
+    trigrams = _word_ngrams(words, 3)
     bench = F.broadcast(
         d.filter(F.col("source") == "src0")
         .select(F.explode(F.array_distinct(trigrams)).alias("t"))

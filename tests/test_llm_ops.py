@@ -230,6 +230,49 @@ def test_real_png_wav_roundtrip_and_corruption():
     assert decode_media(b"\x89PNGnope") is None    # bad signature
     assert decode_media(None) is None
 
+    # corrupted/oversized IHDR length field: the CRC slice would be short —
+    # must return None, not raise struct.error (ADVICE r3)
+    oversized = bytearray(png)
+    oversized[8:12] = (0x7FFFFFFF).to_bytes(4, "big")
+    assert decode_media(bytes(oversized)) is None
+
+
+def test_ngram_ops_survive_short_docs(spark, tmp_path):
+    """ADVICE r3: documents with fewer than n words must not crash the
+    n-gram ops — Spark's sequence(0, negative) DESCENDS and element_at
+    then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT. The guarded builds
+    emit empty n-gram arrays, matching generate_series in the oracles."""
+    rows = [
+        (0, "", "en", "src0", 0),                       # empty held-out doc
+        (1, "one", "en", "src1", 3),
+        (2, "one two", "en", "src1", 7),
+        (3, "a b c d e f g h i j", "en", "src1", 19),
+        (4, "a b c d e f g h i j", "en", "src1", 19),   # exact dup of 3
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    rep = {r.doc_id: r for r in REGISTRY["text_repetition"].fn(spark, sf).collect()}
+    # 0/1-word docs have no bigrams -> dropped by the inner join (oracle-equal)
+    assert 0 not in rep and 1 not in rep
+    assert rep[2].top_bigram_frac == 1.0
+
+    dec = {
+        r.doc_id: r.n_shared_trigrams
+        for r in REGISTRY["text_decontaminate"].fn(spark, sf).collect()
+    }
+    # short corpus docs survive with zero shared trigrams, not a crash
+    assert dec[1] == 0 and dec[2] == 0
+
+    out = REGISTRY["pipeline_pretrain"].fn(spark, sf).collect()
+    # the empty src0 doc exercises the bench-trigram side of the guard;
+    # docs 3/4 dedup to one kept doc that gets a split
+    assert {r.doc_id for r in out} == {3}
+    assert all(r.split in ("train", "eval") for r in out)
+
 
 def test_mm_decode_spark_parses_real_payloads(spark, sf_dir):
     from pycaim_spark.operators.multimodal import media_params_for_doc

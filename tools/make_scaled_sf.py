@@ -96,7 +96,9 @@ def scale_dir(base: str, out: str, factor: int) -> None:
         f"""SELECT doc_id + r * {off['documents']} AS doc_id,
                    CASE WHEN r = 0 THEN text
                         ELSE 'rep' || r || ' ' || text END AS text,
-                   lang, source, n_chars
+                   lang, source,
+                   CASE WHEN r = 0 THEN n_chars
+                        ELSE n_chars + len('rep' || r || ' ') END AS n_chars
             FROM {src('documents')}, {rep}""",
     )
     copy(
