@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -41,6 +42,8 @@ def minhash_candidate_pairs(
     num_hashes: int = 8,
     max_jaccard_dist: float = 0.8,
     seed: int = 42,
+    max_bucket_width: int | None = None,
+    return_wide_buckets: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (id_a < id_b, jaccard_dist).
 
@@ -57,7 +60,24 @@ def minhash_candidate_pairs(
        buckets, never all-pairs.
     4. exact Jaccard on the hashed shingle sets (``array_intersect``,
        JVM-side) filters candidates to ``jaccard_dist ≤ max_jaccard_dist``.
+
+    Dense-clique safeguard: a K-deep duplicate clique collides into one
+    bucket in EVERY band and would emit K²/2 candidates per band — a real
+    boilerplate corpus (and the ×100-replica scale fixture) OOMs on the
+    pair list alone. Buckets wider than ``max_bucket_width`` (default env
+    ``PYCAIM_LSH_MAX_BUCKET``, 256; 0 disables) therefore degrade to STAR
+    pairing — every member pairs with the bucket's min id only — bounding
+    a width-W bucket at W−1 candidates while preserving clique
+    connectivity, so connected-components clustering (dedup_clusters_star,
+    split_leakage_safe_neardup) still merges the full clique. Pair-level
+    recall inside wide buckets is intentionally sacrificed; exact-duplicate
+    cliques should be collapsed by a dedup_exact pre-pass first. With
+    ``return_wide_buckets=True`` returns ``(pairs, wide_buckets)`` where
+    ``wide_buckets`` is the (table_id, mh, width) frame of degraded
+    buckets — the counted skip metric.
     """
+    if max_bucket_width is None:
+        max_bucket_width = int(os.environ.get("PYCAIM_LSH_MAX_BUCKET", "256"))
     # Each stage materializes through its own projection: an outer column
     # referenced INSIDE a HOF lambda is re-evaluated per array element by
     # Catalyst (no CSE across lambda scopes) — inlining the regex split
@@ -91,7 +111,16 @@ def minhash_candidate_pairs(
         # sides, both Jaccard re-join sides). The repartition inserts an
         # exchange whose output ReuseExchange dedups, so shingling runs
         # ONCE instead of four times — measured 1.7× on the whole query.
-        .repartition(F.col("id"))
+        # The partition count MUST be explicit: the exchange moves few
+        # bytes (ids + hashed shingle sets) but feeds the CPU-bound
+        # shingle/minhash stage, and AQE's coalescePartitions sizes by
+        # shuffled bytes — without an explicit N it collapses this
+        # exchange to ~1 partition and serializes the whole stage
+        # (measured 1.5×–1.8× slower at sf0.1; explicit N opts the
+        # exchange out of coalescing).
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
+        )
     )
     def _table_hash(t):
         # Factory, not a default arg: PySpark infers HOF lambda arity from
@@ -107,23 +136,58 @@ def minhash_candidate_pairs(
     bands = base.select(
         "id", F.posexplode(minhashes).alias("table_id", "mh")
     )
-    pairs = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["table_id", "mh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    wide_buckets = None
+    if max_bucket_width:
+        # Bucket stats ride the same (table_id, mh) partitioning as the
+        # self-join, so the extra groupBy/join co-partition with it.
+        stats = bands.groupBy("table_id", "mh").agg(
+            F.count(F.lit(1)).alias("_w"), F.min("id").alias("_min_id")
+        )
+        tagged = bands.join(stats, ["table_id", "mh"])
+        narrow = tagged.filter(F.col("_w") <= max_bucket_width)
+        pairs = (
+            narrow.alias("a")
+            .join(narrow.alias("b"), ["table_id", "mh"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        star = (
+            tagged.filter(
+                (F.col("_w") > max_bucket_width)
+                & (F.col("id") != F.col("_min_id"))
+            )
+            .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        pairs = pairs.unionAll(star).dropDuplicates(["id_a", "id_b"])
+        wide_buckets = stats.filter(F.col("_w") > max_bucket_width).select(
+            "table_id", "mh", F.col("_w").alias("width")
+        )
+    else:
+        pairs = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["table_id", "mh"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sets = base.select("id", "hs")
     inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     union = F.size(F.col("sa.hs")) + F.size(F.col("sb.hs")) - inter
     jd = F.lit(1.0) - inter.cast("double") / union.cast("double")
-    return (
+    result = (
         pairs.join(sets.alias("sa"), pairs.id_a == F.col("sa.id"))
         .join(sets.alias("sb"), pairs.id_b == F.col("sb.id"))
         .select("id_a", "id_b", F.round(jd, 6).alias("jaccard_dist"))
         .filter(F.col("jaccard_dist") <= max_jaccard_dist)
     )
+    if return_wide_buckets:
+        if wide_buckets is None:
+            spark = docs.sparkSession
+            wide_buckets = spark.createDataFrame(
+                [], "table_id int, mh long, width long"
+            )
+        return result, wide_buckets
+    return result
 
 
 def _simhash_series(texts: pd.Series) -> pd.Series:
@@ -158,6 +222,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 7,
     n_bands: int = 8,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash Hamming distance, band-blocked.
 
@@ -168,7 +233,15 @@ def simhash_candidate_pairs(
     for ``max_hamming < n_bands`` (the defaults: ≤7 with 8 bands);
     beyond that it degrades gracefully like MinHash banding. The hamming
     check itself is JVM-side xor + bit_count.
+
+    Dense-clique safeguard (same as ``minhash_candidate_pairs``): buckets
+    wider than ``max_bucket_width`` (env ``PYCAIM_LSH_MAX_BUCKET``,
+    default 256; 0 disables) emit star pairs against the bucket's min-id
+    member instead of all-pairs — W−1 candidates instead of W²/2,
+    connectivity preserved for downstream clustering.
     """
+    if max_bucket_width is None:
+        max_bucket_width = int(os.environ.get("PYCAIM_LSH_MAX_BUCKET", "256"))
     width = 64 // n_bands
     sigs = with_simhash(docs, text_col).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
@@ -187,20 +260,53 @@ def simhash_candidate_pairs(
             )
         ).alias("band_id", "band_val"),
     )
-    a = bands.select(
-        "band_id", "band_val",
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-    )
-    b = bands.select(
-        "band_id", "band_val",
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-    )
-    pairs = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if max_bucket_width:
+        stats = bands.groupBy("band_id", "band_val").agg(
+            F.count(F.lit(1)).alias("_w"),
+            F.min(F.struct("id", "sig")).alias("_min"),  # min by id, sig rides
+        )
+        tagged = bands.join(stats, ["band_id", "band_val"])
+        narrow = tagged.filter(F.col("_w") <= max_bucket_width)
+        a = narrow.select(
+            "band_id", "band_val",
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        )
+        b = narrow.select(
+            "band_id", "band_val",
+            F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        )
+        star = (
+            tagged.filter(
+                (F.col("_w") > max_bucket_width)
+                & (F.col("id") != F.col("_min.id"))
+            )
+            .select(
+                F.col("_min.id").alias("id_a"), F.col("id").alias("id_b"),
+                F.col("_min.sig").alias("sig_a"), F.col("sig").alias("sig_b"),
+            )
+        )
+        pairs = (
+            a.join(b, ["band_id", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .unionAll(star)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = bands.select(
+            "band_id", "band_val",
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        )
+        b = bands.select(
+            "band_id", "band_val",
+            F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        )
+        pairs = (
+            a.join(b, ["band_id", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

@@ -78,6 +78,7 @@ def bucketed_cosine_neighbors(
     dim: int = 64,
     seed: int = 42,
     min_cos: float = 0.3,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Approximate near-neighbor pairs via banded sign-LSH: ``n_tables``
     independent ``n_planes``-bit signatures; a pair is a candidate if it
@@ -88,9 +89,21 @@ def bucketed_cosine_neighbors(
     cos=0.3 with 4×16 is ≈ 1-(1-0.6^4)^16 ≈ 0.89 while the evaluated pair
     space stays a small fraction of all-pairs. Returns (vec_a, vec_b, cos)
     with vec_a < vec_b, bit-identical cosine to the exact operator.
+
+    Dense-clique safeguard: a bucket wider than ``max_bucket_width`` (env
+    ``PYCAIM_LSH_MAX_BUCKET``, default 256; 0 disables) switches from the
+    m²/2 gemm to STAR scoring against its min-id member — O(m·dim) work
+    and ≤ m−1 emitted pairs, so replica-dense corpora bound the pair list
+    instead of exhausting the JVM; connectivity survives for downstream
+    clustering.
     """
+    import os
+
     import numpy as np
     import pandas as pd
+
+    if max_bucket_width is None:
+        max_bucket_width = int(os.environ.get("PYCAIM_LSH_MAX_BUCKET", "256"))
 
     # All-table signatures in ONE Arrow-batched matrix multiply per batch:
     # (batch × dim) @ (dim × n_tables·n_planes) then sign-pack per table.
@@ -141,6 +154,17 @@ def bucketed_cosine_neighbors(
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy()
         nrm = pdf["_norm"].to_numpy()
+        if max_bucket_width and len(ids) > max_bucket_width:
+            # Star scoring: min-id member vs everyone — O(m·dim), ≤ m−1
+            # pairs (see docstring).
+            i0 = int(np.argmin(ids))
+            cos0 = (mat @ mat[i0]) / (nrm * nrm[i0])
+            keep = cos0 >= min_cos - margin
+            keep[i0] = False
+            a, b = ids[keep], np.full(int(keep.sum()), ids[i0])
+            return pd.DataFrame(
+                {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
+            ).astype("int64")
         cos = (mat @ mat.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = cos[iu, ju] >= min_cos - margin

@@ -237,6 +237,59 @@ def test_real_png_wav_roundtrip_and_corruption():
     assert decode_media(bytes(oversized)) is None
 
 
+def test_minhash_wide_bucket_star_degradation(spark):
+    """VERDICT r3 #2: a dense duplicate clique must degrade to bounded
+    star pairs (clique stays connected, pair list stays O(W)) instead of
+    emitting W²/2 candidates per band."""
+    from pycaim_spark.operators.dedup import minhash_candidate_pairs
+    from pycaim_spark.operators.graph import connected_components_star
+
+    clique = "the same boilerplate sentence repeated across mirrors forever"
+    rows = [(i, clique) for i in range(1000)] + [
+        (2000, "outside control document with completely unrelated tokens"),
+        (2001, "outside control document with completely unrelated words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, wide = minhash_candidate_pairs(
+        docs, max_bucket_width=64, return_wide_buckets=True
+    )
+    pair_rows = pairs.collect()
+    # star mode: clique contributes exactly W-1 pairs (all anchored at the
+    # min id), not W*(W-1)/2 = 499,500
+    clique_pairs = [r for r in pair_rows if r.id_a < 2000 and r.id_b < 2000]
+    assert len(clique_pairs) == 999
+    assert all(r.id_a == 0 for r in clique_pairs)
+    # the skip metric reports the degraded buckets with their true width
+    wide_rows = wide.collect()
+    assert wide_rows and all(r.width == 1000 for r in wide_rows)
+    # connectivity is preserved: CC merges the full clique
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    clique_comps = {
+        r.component for r in comp.collect() if r.node < 2000
+    }
+    assert len(clique_comps) == 1
+    # the near-dup control pair outside the clique is still found all-pairs
+    assert any(r.id_a == 2000 and r.id_b == 2001 for r in pair_rows)
+
+
+def test_sign_lsh_wide_bucket_star_degradation(spark):
+    """Same safeguard for the sign-LSH bucketed cosine op: an identical-
+    vector clique emits ≤ W−1 star pairs per bucket, not W²/2."""
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import bucketed_cosine_neighbors
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(8).tolist()
+    rows = [(i, [float(x) for x in v]) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = bucketed_cosine_neighbors(
+        emb, dim=8, max_bucket_width=64
+    ).collect()
+    assert len(pairs) == 499  # star: every member pairs with vec 0 only
+    assert all(r.vec_a == 0 and abs(r.cos - 1.0) < 1e-9 for r in pairs)
+
+
 def test_ngram_ops_survive_short_docs(spark, tmp_path):
     """ADVICE r3: documents with fewer than n words must not crash the
     n-gram ops — Spark's sequence(0, negative) DESCENDS and element_at
