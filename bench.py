@@ -7,6 +7,11 @@ Protocol (BASELINE.md §Protocol): shared SparkSession on
 local[$SPARK_GRAFT_CPUS], warm runs — each query executed once to warm
 codegen/IO caches, then timed as the median of 3 steady-state runs.
 JVM startup is excluded (the 2× bar compares query execution).
+
+``--isolate [names...] [--n N]`` runs each query in its OWN subprocess
+(fresh JVM + fresh warmup) and reports the same JSON line with
+``"protocol": "isolate"`` — the bisection tool for per-query regressions,
+immune to the shared-session ±10% noise floor round 5 measured.
 """
 
 from __future__ import annotations
@@ -92,16 +97,82 @@ def _run_once(fn, spark) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    from pycaim_spark.registry import queries as all_queries
-    from pycaim_spark.session import get_spark
+def _time_query(fn, spark, n: int = 3) -> float:
+    """Warm-up run, then median of ``n`` steady-state runs."""
+    first = _run_once(fn, spark)  # warm-up (codegen + page cache)
+    if first > 20.0:
+        # Heavy query: one more steady-state run, no median-of-n —
+        # keeps the whole bench bounded.
+        return round(_run_once(fn, spark), 4)
+    runs = sorted(_run_once(fn, spark) for _ in range(n))
+    return round(runs[n // 2], 4)
 
+
+def _fresh_session():
+    """Session + warm caches, shared by both protocols."""
     from pycaim_spark.catalog import load_table
+    from pycaim_spark.session import get_spark
 
     spark = get_spark(app_name="pycaim-bench")
     _tune_partitions(spark)
     for t in HOT_TABLES:
         load_table(spark, SF_DIR, t).cache().count()
+    return spark
+
+
+def _single(name: str, n: int) -> None:
+    """Isolated child: fresh JVM, one query, JSON on the last stdout line."""
+    from pycaim_spark.registry import queries as all_queries
+
+    spark = _fresh_session()
+    fn = all_queries()[name]
+    sec = _time_query(fn, spark, n=n)
+    print(json.dumps({"query": name, "sec": sec}))
+    spark.stop()
+
+
+def _isolate(names: list[str], n: int) -> None:
+    """Fresh-session-per-query protocol: each query runs in its own
+    subprocess (own JVM, own page-cache warmup), immune to shared-session
+    pressure (GC debt, codegen cache, block-manager residue). Round 5
+    measured the shared protocol's noise floor at ~±10% (uniform +8% on
+    byte-identical code); use this mode to bisect per-query regressions.
+    """
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", name,
+             "--n", str(n)],
+            capture_output=True, text=True,
+        )
+        line = proc.stdout.strip().rsplit("\n", 1)[-1] if proc.stdout else ""
+        try:
+            timings[name] = json.loads(line)["sec"]
+        except (ValueError, KeyError):
+            print(f"bench --isolate: {name} failed:\n{proc.stderr[-2000:]}",
+                  file=sys.stderr)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "protocol": "isolate",
+                "n": n,
+            }
+        )
+    )
+
+
+def main() -> None:
+    from pycaim_spark.registry import queries as all_queries
+
+    spark = _fresh_session()
     registry = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -109,14 +180,7 @@ def main() -> None:
         if fn is None:
             continue
         try:
-            first = _run_once(fn, spark)  # warm-up (codegen + page cache)
-            if first > 20.0:
-                # Heavy query: one more steady-state run, no median-of-3 —
-                # keeps the whole bench bounded.
-                timings[name] = round(_run_once(fn, spark), 4)
-            else:
-                runs = sorted(_run_once(fn, spark) for _ in range(3))
-                timings[name] = round(runs[1], 4)
+            timings[name] = _time_query(fn, spark)
         except Exception as exc:  # never let one query kill the bench line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
     # CAIM reference point (BASELINE.md §Protocol): single-core NumPy fit
@@ -156,4 +220,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--single":
+        n = int(argv[argv.index("--n") + 1]) if "--n" in argv else 3
+        _single(argv[1], n)
+    elif argv and argv[0] == "--isolate":
+        rest = argv[1:]
+        n = 3
+        if "--n" in rest:
+            i = rest.index("--n")
+            n = int(rest[i + 1])
+            rest = rest[:i] + rest[i + 2:]
+        _isolate(rest or HEADLINE, n)
+    else:
+        main()
