@@ -138,13 +138,30 @@ def minhash_candidate_pairs(
     )
     wide_buckets = None
     if max_bucket_width:
-        # Bucket stats ride the same (table_id, mh) partitioning as the
-        # self-join, so the extra groupBy/join co-partition with it.
-        stats = bands.groupBy("table_id", "mh").agg(
-            F.count(F.lit(1)).alias("_w"), F.min("id").alias("_min_id")
+        # Guard plan shape (ISOLATE_r7 bisection): ONE explicit skinny
+        # exchange on the bucket key that every guard branch hangs off.
+        # The r4–r6 stats-aggregate+JOIN form had no exchange directly
+        # above the join, so the join — and the 8-table minhash evaluation
+        # feeding it — re-ran for each of its three consumers: 6.27 s vs
+        # 1.76 s guard-off isolate. Here the minhashes are computed once
+        # (into the repartition below, explicit N to opt out of AQE
+        # coalescing); the wide-stats aggregate, the narrow anti-join, the
+        # narrow self-join, and the star join all read that one shuffle
+        # co-partitioned, with no further exchange. The wide list is tiny
+        # in practice (0 on a healthy corpus) so AQE demotes those joins
+        # to broadcast at runtime — but nothing REQUIRES it to fit in
+        # driver memory, unlike a pinned broadcast.
+        bands = bands.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            F.col("table_id"),
+            F.col("mh"),
         )
-        tagged = bands.join(stats, ["table_id", "mh"])
-        narrow = tagged.filter(F.col("_w") <= max_bucket_width)
+        stats_wide = (
+            bands.groupBy("table_id", "mh")
+            .agg(F.count(F.lit(1)).alias("_w"), F.min("id").alias("_min_id"))
+            .filter(F.col("_w") > max_bucket_width)
+        )
+        narrow = bands.join(stats_wide, ["table_id", "mh"], "left_anti")
         pairs = (
             narrow.alias("a")
             .join(narrow.alias("b"), ["table_id", "mh"])
@@ -152,14 +169,12 @@ def minhash_candidate_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         )
         star = (
-            tagged.filter(
-                (F.col("_w") > max_bucket_width)
-                & (F.col("id") != F.col("_min_id"))
-            )
+            bands.join(stats_wide, ["table_id", "mh"])
+            .filter(F.col("id") != F.col("_min_id"))
             .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
         )
         pairs = pairs.unionAll(star).dropDuplicates(["id_a", "id_b"])
-        wide_buckets = stats.filter(F.col("_w") > max_bucket_width).select(
+        wide_buckets = stats_wide.select(
             "table_id", "mh", F.col("_w").alias("width")
         )
     else:
@@ -261,12 +276,27 @@ def simhash_candidate_pairs(
         ).alias("band_id", "band_val"),
     )
     if max_bucket_width:
-        stats = bands.groupBy("band_id", "band_val").agg(
-            F.count(F.lit(1)).alias("_w"),
-            F.min(F.struct("id", "sig")).alias("_min"),  # min by id, sig rides
+        # Same guard plan shape as minhash_candidate_pairs: one explicit
+        # skinny exchange on the bucket key; wide-stats aggregate, narrow
+        # anti-join, self-join, and star join all read it co-partitioned
+        # (the r4–r6 stats+join form re-ran its input per consumer —
+        # ISOLATE_r7 measured the restructure at 13.7 → 8.6 s, the rest
+        # being the SimHash pandas UDF itself).
+        bands = bands.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            F.col("band_id"),
+            F.col("band_val"),
         )
-        tagged = bands.join(stats, ["band_id", "band_val"])
-        narrow = tagged.filter(F.col("_w") <= max_bucket_width)
+        stats_wide = (
+            bands.groupBy("band_id", "band_val")
+            .agg(
+                F.count(F.lit(1)).alias("_w"),
+                # min by id, sig rides along
+                F.min(F.struct("id", "sig")).alias("_min"),
+            )
+            .filter(F.col("_w") > max_bucket_width)
+        )
+        narrow = bands.join(stats_wide, ["band_id", "band_val"], "left_anti")
         a = narrow.select(
             "band_id", "band_val",
             F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
@@ -276,10 +306,8 @@ def simhash_candidate_pairs(
             F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
         )
         star = (
-            tagged.filter(
-                (F.col("_w") > max_bucket_width)
-                & (F.col("id") != F.col("_min.id"))
-            )
+            bands.join(stats_wide, ["band_id", "band_val"])
+            .filter(F.col("id") != F.col("_min.id"))
             .select(
                 F.col("_min.id").alias("id_a"), F.col("id").alias("id_b"),
                 F.col("_min.sig").alias("sig_a"), F.col("sig").alias("sig_b"),

@@ -147,6 +147,31 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def _jpeg_segment(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+
+def make_jpeg(width: int, height: int, channels: int = 3) -> bytes:
+    """A structurally valid baseline JPEG marker stream: SOI, JFIF APP0,
+    DQT, SOF0 (the frame header carrying precision/height/width/
+    components), SOS, entropy stub, EOI. The metadata decoder only needs
+    the marker walk up to SOF0 to be spec-correct — which it is."""
+    app0 = b"JFIF\x00\x01\x01\x00" + _struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = _struct.pack(">BHHB", 8, height, width, channels) + b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(channels)
+    )
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE0, app0)
+        + _jpeg_segment(0xDB, b"\x00" + bytes(64))
+        + _jpeg_segment(0xC0, sof0)
+        + _jpeg_segment(0xDA, sos)
+        + b"\x00" * 8
+        + b"\xff\xd9"
+    )
+
+
 def make_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
     """A fully valid 16-bit PCM RIFF/WAVE file with deterministic samples."""
     frames = b"".join(
@@ -197,6 +222,43 @@ def decode_media(blob: bytes) -> dict | None:
             "bit_depth": data[8], "channels": -1, "sample_rate": -1,
             "n_samples": -1,
         }
+    if b[:2] == b"\xff\xd8":
+        # JPEG marker walk to the SOF0/1/2/3 frame header (ITU T.81 §B.2):
+        # every non-standalone segment is FF <marker> <len16 incl. itself>.
+        # Stops at SOS/EOI — a stream with no frame header before scan
+        # data is undecodable, return None (never raise).
+        pos = 2
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / scan data reached without a SOF
+            (seglen,) = _struct.unpack(">H", b[pos + 2 : pos + 4])
+            if seglen < 2 or pos + 2 + seglen > len(b):
+                return None  # corrupted/truncated segment length
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3 frame header
+                body = b[pos + 4 : pos + 2 + seglen]
+                if len(body) < 6:
+                    return None
+                precision = body[0]
+                frame_h, frame_w = _struct.unpack(">HH", body[1:5])
+                ncomp = body[5]
+                if seglen != 8 + 3 * ncomp:
+                    return None  # component list size must match Nf
+                return {
+                    "fmt": "jpeg", "width": frame_w, "height": frame_h,
+                    "bit_depth": precision, "channels": ncomp,
+                    "sample_rate": -1, "n_samples": -1,
+                }
+            pos += 2 + seglen
+        return None
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         pos, fmt_info, data_size = 12, None, None
         while pos + 8 <= len(b):

@@ -91,11 +91,17 @@ def bucketed_cosine_neighbors(
     with vec_a < vec_b, bit-identical cosine to the exact operator.
 
     Dense-clique safeguard: a bucket wider than ``max_bucket_width`` (env
-    ``PYCAIM_LSH_MAX_BUCKET``, default 256; 0 disables) switches from the
-    m²/2 gemm to STAR scoring against its min-id member — O(m·dim) work
-    and ≤ m−1 emitted pairs, so replica-dense corpora bound the pair list
-    instead of exhausting the JVM; connectivity survives for downstream
-    clustering.
+    ``PYCAIM_LSH_MAX_BUCKET``, default 256; 0 disables) degrades to STAR
+    candidates against its min-id member — ≤ m−1 pairs instead of m²/2,
+    so replica-dense corpora bound the pair list instead of exhausting the
+    JVM; connectivity survives for downstream clustering. The guard is
+    INPUT-side: bucket widths are counted JVM-side (a window over the
+    bucket key) *before* the grouped map, and wide buckets are star-paired
+    as a JVM projection, so no pandas group ever materializes more than
+    ``max_bucket_width`` embeddings in one Arrow batch — a width-W replica
+    clique costs O(W) shuffled rows, never a W×dim single-task matrix.
+    The gemm raises if a wider group ever reaches it (fail fast beats a
+    silent executor OOM at 100 TB).
     """
     import os
 
@@ -149,22 +155,19 @@ def bucketed_cosine_neighbors(
     margin = 1.0e-6
 
     def _bucket_pairs(pdf):
+        if max_bucket_width and len(pdf) > max_bucket_width:
+            # The JVM-side width filter routes wide buckets to the star
+            # path BEFORE this grouped map; reaching here means the
+            # input-side guard is broken — fail fast, don't OOM a task.
+            raise RuntimeError(
+                f"sign-LSH bucket of width {len(pdf)} reached the gemm "
+                f"(cap {max_bucket_width}); input-side guard breached"
+            )
         if len(pdf) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy()
         nrm = pdf["_norm"].to_numpy()
-        if max_bucket_width and len(ids) > max_bucket_width:
-            # Star scoring: min-id member vs everyone — O(m·dim), ≤ m−1
-            # pairs (see docstring).
-            i0 = int(np.argmin(ids))
-            cos0 = (mat @ mat[i0]) / (nrm * nrm[i0])
-            keep = cos0 >= min_cos - margin
-            keep[i0] = False
-            a, b = ids[keep], np.full(int(keep.sum()), ids[i0])
-            return pd.DataFrame(
-                {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
-            ).astype("int64")
         cos = (mat @ mat.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = cos[iu, ju] >= min_cos - margin
@@ -173,11 +176,61 @@ def bucketed_cosine_neighbors(
             {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
         ).astype("int64")
 
-    candidates = (
-        buckets.groupBy("table_id", "bucket")
-        .applyInPandas(_bucket_pairs, "vec_a long, vec_b long")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    if max_bucket_width:
+        # INPUT-side clique guard, two exchanges (ISOLATE_r7 bisection —
+        # a first cut that windowed over the embedding-carrying exchange
+        # sorted W×dim Arrow rows twice and ran 1.43 → 5.73 s; this shape
+        # restores 1.4 s):
+        #
+        # 1. A SKINNY exchange of (vec_id, table_id, bucket) — the
+        #    signature UDF re-runs for it, one BLAS matmul, far cheaper
+        #    than moving embeddings twice. Bucket widths + min ids
+        #    aggregate from it co-partitioned, and wide buckets' members
+        #    star-pair against the bucket min id from a second
+        #    co-partitioned read — pure JVM id pairs, no embeddings.
+        # 2. The EMBEDDING exchange the grouped map needs anyway: wide
+        #    buckets are removed by a co-partitioned anti-join against the
+        #    wide list *before* the grouped map, so no pandas group ever
+        #    materializes more than the cap (AQE demotes the tiny wide
+        #    list to broadcast at runtime; nothing requires it to fit).
+        #
+        # The shared exact-scoring join below applies the same min_cos
+        # filter to star pairs the gemm prefilter would have.
+        n_part = emb.sparkSession.sparkContext.defaultParallelism
+        skinny = sig.select(
+            "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
+        ).repartition(n_part, F.col("table_id"), F.col("bucket"))
+        stats_wide = (
+            skinny.groupBy("table_id", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_w"),
+                F.min("vec_id").alias("_min_id"),
+            )
+            .filter(F.col("_w") > max_bucket_width)
+        )
+        # _min_id is the bucket minimum, so vec_a < vec_b by construction.
+        star = (
+            skinny.join(stats_wide, ["table_id", "bucket"])
+            .filter(F.col("vec_id") != F.col("_min_id"))
+            .select(
+                F.col("_min_id").alias("vec_a"), F.col("vec_id").alias("vec_b")
+            )
+        )
+        narrow = buckets.repartition(
+            n_part, F.col("table_id"), F.col("bucket")
+        ).join(stats_wide, ["table_id", "bucket"], "left_anti")
+        candidates = (
+            narrow.groupBy("table_id", "bucket")
+            .applyInPandas(_bucket_pairs, "vec_a long, vec_b long")
+            .unionAll(star)
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    else:
+        candidates = (
+            buckets.groupBy("table_id", "bucket")
+            .applyInPandas(_bucket_pairs, "vec_a long, vec_b long")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
     # Final score: the SAME index-order fold + HALF_UP round as the exact
     # all-pairs operator, so surviving pairs carry bit-identical cosines.
     # Runs only on the few candidates that pass the prefilter.

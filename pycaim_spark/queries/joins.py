@@ -60,6 +60,45 @@ def join_broadcast(spark, sf_dir):
 
 
 @register(
+    "join_aqe_choice",
+    tags=("join", "flagship"),
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_aqe_choice(spark, sf_dir):
+    """The same fact ⋈ customer ⋈ nation query as ``join_broadcast`` with
+    NO strategy hint — Catalyst + AQE pick the physical join from runtime
+    stats. This is the plan a user actually runs at 100 TB: the pinned
+    ``F.broadcast(customer)`` demonstrator is knowingly wrong once the dim
+    outgrows the broadcast threshold (1.5 M rows at sf10 → 7.2× vs oracle,
+    SCALING.md), while AQE demotes to shuffle-hash/sort-merge exactly
+    there. Registered beside the pinned row so the bench grades the
+    engine on the adaptive plan, not the demonstrator (VERDICT r6 #4).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "join_shuffle_hash",
     tags=("join",),
     oracle="""

@@ -284,6 +284,33 @@ def dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_stats",
+    tags=("llm", "dedup"),
+    rows_only_reason="wide-bucket widths depend on Spark's xxhash64 "
+    "minhash bucketing (no DuckDB twin); tests/test_llm_ops.py asserts "
+    "the planted-clique counts exactly",
+)
+def dedup_minhash_stats(spark, sf_dir):
+    """Surfaced skip metric for the MinHash clique guard (VERDICT r6 #6):
+    one always-present row summarizing the buckets that degraded to star
+    pairing — ``wide_bucket_count`` (bands whose bucket exceeded the cap),
+    ``max_width`` (largest degraded bucket), ``degraded_rows``
+    (Σ widths — band rows whose pair-level recall was sacrificed). All
+    zeros on a healthy corpus; a monitoring query at 100 TB, where silent
+    recall degradation is the failure mode the guard trades OOM for.
+    """
+    from pycaim_spark.operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    _, wide = minhash_candidate_pairs(d, return_wide_buckets=True)
+    return wide.agg(
+        F.count(F.lit(1)).alias("wide_bucket_count"),
+        F.coalesce(F.max("width"), F.lit(0)).alias("max_width"),
+        F.coalesce(F.sum("width"), F.lit(0)).alias("degraded_rows"),
+    )
+
+
+@register(
     "dedup_simhash",
     tags=("llm", "dedup"),
     rows_only_reason="SimHash signatures are hash-function-specific; "

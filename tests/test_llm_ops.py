@@ -272,6 +272,37 @@ def test_minhash_wide_bucket_star_degradation(spark):
     assert any(r.id_a == 2000 and r.id_b == 2001 for r in pair_rows)
 
 
+def test_dedup_minhash_stats_counts_planted_clique(spark, tmp_path):
+    """The surfaced skip metric: a planted 400-deep duplicate clique
+    collides into one bucket per band (8 bands) at the default cap 256,
+    so the stats row must report exactly 8 degraded buckets of width 400;
+    a clean corpus reports the all-zeros row (still non-empty)."""
+    clique = "the same boilerplate sentence repeated across mirrors forever"
+    rows = [(i, clique, "en", "src", 61) for i in range(400)] + [
+        (900, "one unrelated control document with different tokens", "en",
+         "src", 52),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    row = REGISTRY["dedup_minhash_stats"].fn(spark, sf).collect()[0]
+    assert row.wide_bucket_count == 8
+    assert row.max_width == 400
+    assert row.degraded_rows == 8 * 400
+
+    clean = [(i, f"document number {i} with its own distinct words {i * 7}",
+              "en", "src", 40) for i in range(50)]
+    df2 = spark.createDataFrame(
+        clean, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf2 = str(tmp_path / "clean")
+    df2.write.parquet(f"{sf2}/documents.parquet")
+    row2 = REGISTRY["dedup_minhash_stats"].fn(spark, sf2).collect()[0]
+    assert (row2.wide_bucket_count, row2.max_width, row2.degraded_rows) == (0, 0, 0)
+
+
 def test_sign_lsh_wide_bucket_star_degradation(spark):
     """Same safeguard for the sign-LSH bucketed cosine op: an identical-
     vector clique emits ≤ W−1 star pairs per bucket, not W²/2."""
@@ -288,6 +319,34 @@ def test_sign_lsh_wide_bucket_star_degradation(spark):
     ).collect()
     assert len(pairs) == 499  # star: every member pairs with vec 0 only
     assert all(r.vec_a == 0 and abs(r.cos - 1.0) < 1e-9 for r in pairs)
+
+
+def test_sign_lsh_wide_bucket_never_reaches_gemm(spark):
+    """INPUT-side guard (VERDICT r6 #2): a wide bucket's embeddings must
+    never materialize as one pandas group. The grouped map raises
+    RuntimeError on any group wider than the cap, so this query
+    *completing* proves the width-300 clique was star-paired JVM-side
+    before the Arrow boundary — while narrow buckets still take the gemm
+    path (the planted near-dup pair outside the clique is found)."""
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import bucketed_cosine_neighbors
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(8)
+    u = rng.standard_normal(8)
+    # keep the control pair dissimilar to the clique so clique↔control
+    # star pairs (if buckets collide) fall below min_cos and drop out
+    u -= v * (u @ v) / (v @ v)
+    rows = [(i, [float(x) for x in v]) for i in range(300)]
+    rows += [(1000, [float(x) for x in u]), (1001, [float(x) for x in u])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = bucketed_cosine_neighbors(
+        emb, dim=8, max_bucket_width=64
+    ).collect()  # raises if any pandas group exceeds the cap
+    clique = [(r.vec_a, r.vec_b) for r in pairs if r.vec_b < 1000]
+    assert len(clique) == 299 and all(a == 0 for a, _ in clique)
+    assert any(r.vec_a == 1000 and r.vec_b == 1001 for r in pairs)
 
 
 def test_ngram_ops_survive_short_docs(spark, tmp_path):
