@@ -39,6 +39,9 @@ HEADLINE = [
     # BASELINE.md measured-oracle set
     "agg_hash",
     "join_broadcast",
+    # Same join, no pinned hint: AQE picks the strategy at runtime — the
+    # plan a 100× cluster would actually run (VERDICT r7 item 5).
+    "join_aqe_choice",
     "topk_per_group",
     "dedup_exact",
     "stream_session",
@@ -142,11 +145,19 @@ def _isolate(names: list[str], n: int) -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", name,
-             "--n", str(n)],
-            capture_output=True, text=True,
-        )
+        try:
+            # Per-child wall-clock cap: --isolate gets pointed at
+            # pathological queries by design (guard-off clique shapes);
+            # a hung child must not wedge the whole protocol.
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", name,
+                 "--n", str(n)],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("PYCAIM_ISOLATE_TIMEOUT", "600")),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench --isolate: {name} timed out", file=sys.stderr)
+            continue
         line = proc.stdout.strip().rsplit("\n", 1)[-1] if proc.stdout else ""
         try:
             timings[name] = json.loads(line)["sec"]
@@ -220,17 +231,20 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    if argv and argv[0] == "--single":
-        n = int(argv[argv.index("--n") + 1]) if "--n" in argv else 3
-        _single(argv[1], n)
-    elif argv and argv[0] == "--isolate":
-        rest = argv[1:]
-        n = 3
-        if "--n" in rest:
-            i = rest.index("--n")
-            n = int(rest[i + 1])
-            rest = rest[:i] + rest[i + 2:]
-        _isolate(rest or HEADLINE, n)
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    mode = parser.add_mutually_exclusive_group()
+    mode.add_argument("--single", metavar="QUERY",
+                      help="internal: time one query in this process")
+    mode.add_argument("--isolate", nargs="*", metavar="QUERY",
+                      help="fresh-JVM-per-query protocol (default: HEADLINE)")
+    parser.add_argument("--n", type=int, default=3,
+                        help="steady-state runs per query (median reported)")
+    args = parser.parse_args()
+    if args.single is not None:
+        _single(args.single, args.n)
+    elif args.isolate is not None:
+        _isolate(args.isolate or HEADLINE, args.n)
     else:
         main()

@@ -17,7 +17,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 try:
     from pyspark import cloudpickle as _cloudpickle
@@ -25,6 +25,123 @@ except ImportError:  # pragma: no cover
     import cloudpickle as _cloudpickle
 
 import sys as _sys
+
+
+def _banded_pairs_with_guard(
+    bands: DataFrame,
+    keys: list[str],
+    max_bucket_width: int,
+    with_sig: bool = False,
+    shape: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Bucket self-join with the dense-clique STAR guard, in one of three
+    measured plan shapes (A/B evidence: ISOLATE_r8.json; select with env
+    ``PYCAIM_LSH_GUARD_SHAPE`` ∈ {window, join, anti, nopart}).
+
+    Input ``bands`` has columns ``keys… , id`` (+ ``sig`` when
+    ``with_sig``). Returns ``(pairs, wide_buckets)`` where ``pairs`` is
+    (id_a, id_b[, sig_a, sig_b]) — all-pairs inside buckets of width ≤
+    ``max_bucket_width``, star pairs against the bucket min id beyond it —
+    and ``wide_buckets`` is (keys…, width) for the degraded buckets.
+
+    Measured at sf0.1 (ISOLATE_r8.json, fresh JVM, median of 3) as
+    (dedup_minhash, dedup_simhash) seconds:
+
+    - ``window`` (default; 2.35, 4.74): tag every band row with its bucket
+      width and bucket-min via ONE window over the bucket key — a single
+      skinny shuffle+sort, no stats join at all; narrow/star split is a
+      filter.
+    - ``join`` (2.92, 11.89): the round-6 shape — groupBy stats,
+      inner-join back (re-shuffles the band rows for the tagging join).
+    - ``anti`` (3.82, 7.54): the round-7 shape — explicit repartition +
+      left-anti against the wide list.
+    - ``nopart`` (3.51, 13.55): stats via small aggregate, AQE-broadcast
+      anti-join, no explicit exchange — re-evaluates the band expressions
+      per consumer.
+
+    Guard-off control: 1.62 (minhash; the ≤1.5 s target sits BELOW the
+    no-guard floor on this box) and 10.54 (simhash — star pairing prunes
+    the homogeneous fixture's wide buckets, so the guard is a net WIN
+    there). All shapes are pure physical variants; a parametrized test
+    asserts identical output (tests/test_llm_ops.py
+    test_guard_shapes_equivalent).
+    """
+    if shape is None:
+        shape = os.environ.get("PYCAIM_LSH_GUARD_SHAPE", "window")
+    cap = max_bucket_width
+    min_expr = F.min(F.struct("id", "sig")) if with_sig else F.min("id")
+
+    def _narrow_pairs(narrow):
+        cols = [
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        ] + (
+            [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
+            if with_sig else []
+        )
+        return (
+            narrow.alias("a")
+            .join(narrow.alias("b"), keys)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(*cols)
+        )
+
+    def _star_pairs(wide_rows):
+        # _min is the bucket minimum, so id_a < id_b by construction.
+        min_id = F.col("_min.id") if with_sig else F.col("_min")
+        cols = [min_id.alias("id_a"), F.col("id").alias("id_b")] + (
+            [F.col("_min.sig").alias("sig_a"), F.col("sig").alias("sig_b")]
+            if with_sig else []
+        )
+        return wide_rows.filter(F.col("id") != min_id).select(*cols)
+
+    if shape == "window":
+        w = Window.partitionBy(*keys)
+        tagged = bands.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("_w"),
+            min_expr.over(w).alias("_min"),
+        )
+        narrow = tagged.filter(F.col("_w") <= cap).drop("_w", "_min")
+        pairs = _narrow_pairs(narrow)
+        star = _star_pairs(tagged.filter(F.col("_w") > cap))
+        wide_buckets = (
+            tagged.filter(F.col("_w") > cap)
+            .groupBy(*keys)
+            .agg(F.max("_w").alias("width"))
+        )
+    elif shape == "join":
+        stats = bands.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("_w"), min_expr.alias("_min")
+        )
+        tagged = bands.join(stats, keys)
+        narrow = tagged.filter(F.col("_w") <= cap).drop("_w", "_min")
+        pairs = _narrow_pairs(narrow)
+        star = _star_pairs(tagged.filter(F.col("_w") > cap))
+        wide_buckets = stats.filter(F.col("_w") > cap).select(
+            *keys, F.col("_w").alias("width")
+        )
+    elif shape in ("anti", "nopart"):
+        if shape == "anti":
+            n_part = bands.sparkSession.sparkContext.defaultParallelism
+            bands = bands.repartition(n_part, *[F.col(k) for k in keys])
+        # "nopart": no explicit exchange — the wide-stats aggregate partial-
+        # aggregates map-side into a tiny shuffle, AQE demotes the wide
+        # list to broadcast at runtime, so the band rows shuffle exactly
+        # once (the narrow self-join) at the cost of re-evaluating the
+        # band expressions per consumer.
+        stats_wide = (
+            bands.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_w"), min_expr.alias("_min"))
+            .filter(F.col("_w") > cap)
+        )
+        narrow = bands.join(stats_wide, keys, "left_anti")
+        pairs = _narrow_pairs(narrow)
+        star = _star_pairs(bands.join(stats_wide, keys))
+        wide_buckets = stats_wide.select(*keys, F.col("_w").alias("width"))
+    else:  # pragma: no cover - env misconfiguration
+        raise ValueError(f"unknown PYCAIM_LSH_GUARD_SHAPE: {shape!r}")
+    id_cols = ["id_a", "id_b"]
+    return pairs.unionAll(star).dropDuplicates(id_cols), wide_buckets
 
 
 def minhash_candidate_pairs(
@@ -138,44 +255,8 @@ def minhash_candidate_pairs(
     )
     wide_buckets = None
     if max_bucket_width:
-        # Guard plan shape (ISOLATE_r7 bisection): ONE explicit skinny
-        # exchange on the bucket key that every guard branch hangs off.
-        # The r4–r6 stats-aggregate+JOIN form had no exchange directly
-        # above the join, so the join — and the 8-table minhash evaluation
-        # feeding it — re-ran for each of its three consumers: 6.27 s vs
-        # 1.76 s guard-off isolate. Here the minhashes are computed once
-        # (into the repartition below, explicit N to opt out of AQE
-        # coalescing); the wide-stats aggregate, the narrow anti-join, the
-        # narrow self-join, and the star join all read that one shuffle
-        # co-partitioned, with no further exchange. The wide list is tiny
-        # in practice (0 on a healthy corpus) so AQE demotes those joins
-        # to broadcast at runtime — but nothing REQUIRES it to fit in
-        # driver memory, unlike a pinned broadcast.
-        bands = bands.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism,
-            F.col("table_id"),
-            F.col("mh"),
-        )
-        stats_wide = (
-            bands.groupBy("table_id", "mh")
-            .agg(F.count(F.lit(1)).alias("_w"), F.min("id").alias("_min_id"))
-            .filter(F.col("_w") > max_bucket_width)
-        )
-        narrow = bands.join(stats_wide, ["table_id", "mh"], "left_anti")
-        pairs = (
-            narrow.alias("a")
-            .join(narrow.alias("b"), ["table_id", "mh"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
-        star = (
-            bands.join(stats_wide, ["table_id", "mh"])
-            .filter(F.col("id") != F.col("_min_id"))
-            .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
-        )
-        pairs = pairs.unionAll(star).dropDuplicates(["id_a", "id_b"])
-        wide_buckets = stats_wide.select(
-            "table_id", "mh", F.col("_w").alias("width")
+        pairs, wide_buckets = _banded_pairs_with_guard(
+            bands, ["table_id", "mh"], max_bucket_width
         )
     else:
         pairs = (
@@ -276,49 +357,10 @@ def simhash_candidate_pairs(
         ).alias("band_id", "band_val"),
     )
     if max_bucket_width:
-        # Same guard plan shape as minhash_candidate_pairs: one explicit
-        # skinny exchange on the bucket key; wide-stats aggregate, narrow
-        # anti-join, self-join, and star join all read it co-partitioned
-        # (the r4–r6 stats+join form re-ran its input per consumer —
-        # ISOLATE_r7 measured the restructure at 13.7 → 8.6 s, the rest
-        # being the SimHash pandas UDF itself).
-        bands = bands.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism,
-            F.col("band_id"),
-            F.col("band_val"),
-        )
-        stats_wide = (
-            bands.groupBy("band_id", "band_val")
-            .agg(
-                F.count(F.lit(1)).alias("_w"),
-                # min by id, sig rides along
-                F.min(F.struct("id", "sig")).alias("_min"),
-            )
-            .filter(F.col("_w") > max_bucket_width)
-        )
-        narrow = bands.join(stats_wide, ["band_id", "band_val"], "left_anti")
-        a = narrow.select(
-            "band_id", "band_val",
-            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-        )
-        b = narrow.select(
-            "band_id", "band_val",
-            F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-        )
-        star = (
-            bands.join(stats_wide, ["band_id", "band_val"])
-            .filter(F.col("id") != F.col("_min.id"))
-            .select(
-                F.col("_min.id").alias("id_a"), F.col("id").alias("id_b"),
-                F.col("_min.sig").alias("sig_a"), F.col("sig").alias("sig_b"),
-            )
-        )
-        pairs = (
-            a.join(b, ["band_id", "band_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b")
-            .unionAll(star)
-            .dropDuplicates(["id_a", "id_b"])
+        # Same measured guard shapes as minhash_candidate_pairs (evidence:
+        # ISOLATE_r8.json); sig rides along through the min-struct.
+        pairs, _ = _banded_pairs_with_guard(
+            bands, ["band_id", "band_val"], max_bucket_width, with_sig=True
         )
     else:
         a = bands.select(

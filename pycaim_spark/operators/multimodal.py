@@ -111,9 +111,10 @@ def pack_demo_payload(docs: DataFrame) -> DataFrame:
 
 
 # --- Real binary formats -----------------------------------------------------
-# Genuine PNG and WAV payloads, generated and decoded with the stdlib only
-# (zlib + struct + crc32): the decode path parses REAL container formats —
-# CRC-validated PNG IHDR, RIFF chunk walk for WAV — not a toy header.
+# Genuine PNG, JPEG, and WAV payloads, generated and decoded with the stdlib
+# only (zlib + struct + crc32): the decode path parses REAL container formats
+# — CRC-validated PNG IHDR, ITU T.81 marker walk to the JPEG SOF frame
+# header, RIFF chunk walk for WAV — not a toy header.
 
 import binascii as _binascii
 import struct as _struct
@@ -155,12 +156,16 @@ def make_jpeg(width: int, height: int, channels: int = 3) -> bytes:
     """A structurally valid baseline JPEG marker stream: SOI, JFIF APP0,
     DQT, SOF0 (the frame header carrying precision/height/width/
     components), SOS, entropy stub, EOI. The metadata decoder only needs
-    the marker walk up to SOF0 to be spec-correct — which it is."""
+    the marker walk up to SOF0 to be spec-correct — which it is. The SOS
+    scan header declares the same ``channels`` components as SOF0 so the
+    stream stays self-consistent under a strict validator."""
     app0 = b"JFIF\x00\x01\x01\x00" + _struct.pack(">HH", 1, 1) + b"\x00\x00"
     sof0 = _struct.pack(">BHHB", 8, height, width, channels) + b"".join(
         bytes([i + 1, 0x11, 0]) for i in range(channels)
     )
-    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    sos = bytes([channels]) + b"".join(
+        bytes([i + 1, 0x00]) for i in range(channels)
+    ) + b"\x00\x3f\x00"
     return (
         b"\xff\xd8"
         + _jpeg_segment(0xE0, app0)
@@ -193,12 +198,15 @@ def make_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
 
 
 def decode_media(blob: bytes) -> dict | None:
-    """Parse a real PNG or WAV payload into typed metadata.
+    """Parse a real PNG, JPEG, or WAV payload into typed metadata.
 
     PNG: signature + IHDR (first chunk, CRC-verified) → width/height/
-    bit-depth. WAV: RIFF/WAVE chunk walk → fmt (PCM only) + data size →
-    channels/sample-rate/bit-depth/sample count. Returns None for anything
-    unparseable — including a corrupted IHDR CRC.
+    bit-depth. JPEG: ITU T.81 marker walk to the SOF0-3 frame header →
+    width/height/bit_depth(precision)/channels(Nf components). WAV:
+    RIFF/WAVE chunk walk → fmt (PCM only) + data size → channels/
+    sample-rate/bit-depth/sample count. Returns None for anything
+    unparseable — a corrupted IHDR CRC, a truncated or inconsistent JPEG
+    segment, scan data before any frame header.
     """
     if blob is None:
         return None
@@ -295,24 +303,39 @@ MEDIA_SCHEMA = (
 
 def media_params_for_doc(doc_id: int) -> dict:
     """Deterministic per-document media parameters (shared by the packer
-    and the SQL oracle): even ids carry a PNG, odd ids a WAV."""
-    if doc_id % 2 == 0:
+    and the SQL oracle): doc_id % 3 selects PNG / WAV / JPEG."""
+    m = doc_id % 3
+    if m == 0:
         return {
             "kind": "png",
             "width": 16 + doc_id % 64,
             "height": 16 + doc_id % 32,
         }
+    if m == 1:
+        return {
+            "kind": "wav",
+            "sample_rate": 8000 + (doc_id % 8) * 1000,
+            "channels": 1 if doc_id % 4 == 1 else 2,
+            "n_samples": 40 + doc_id % 50,
+        }
     return {
-        "kind": "wav",
-        "sample_rate": 8000 + (doc_id % 8) * 1000,
-        "channels": 1 if doc_id % 4 == 1 else 2,
-        "n_samples": 40 + doc_id % 50,
+        "kind": "jpeg",
+        "width": 32 + doc_id % 96,
+        "height": 32 + doc_id % 48,
+        "channels": 1 if doc_id % 2 == 1 else 3,
     }
 
 
-def pack_media_payload(docs: DataFrame) -> DataFrame:
-    """Generate real PNG/WAV payloads per document via mapInPandas
-    (binary generation needs zlib → Python; Arrow ships the bytes back)."""
+def pack_media_payload(docs: DataFrame, corrupt_every: int = 0) -> DataFrame:
+    """Generate real PNG/JPEG/WAV payloads per document via mapInPandas
+    (binary generation needs zlib → Python; Arrow ships the bytes back).
+
+    ``corrupt_every=k`` truncates every k-th payload (doc_id % k == 0) to
+    6 bytes — undecodable in all three formats — the deterministic stand-in
+    for the corrupt blobs a real 100 TB crawl always contains, so validity
+    filtering downstream is exercised (and oracle-checkable: the corrupt
+    set is ``doc_id % k = 0``).
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -324,11 +347,18 @@ def pack_media_payload(docs: DataFrame) -> DataFrame:
                         make_png(p["width"], p["height"], seed=int(doc_id))
                     )
                     mimes.append("image/png")
-                else:
+                elif p["kind"] == "wav":
                     payloads.append(
                         make_wav(p["sample_rate"], p["channels"], p["n_samples"])
                     )
                     mimes.append("audio/wav")
+                else:
+                    payloads.append(
+                        make_jpeg(p["width"], p["height"], p["channels"])
+                    )
+                    mimes.append("image/jpeg")
+                if corrupt_every and int(doc_id) % corrupt_every == 0:
+                    payloads[-1] = payloads[-1][:6]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
             )

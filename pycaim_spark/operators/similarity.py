@@ -177,48 +177,134 @@ def bucketed_cosine_neighbors(
         ).astype("int64")
 
     if max_bucket_width:
-        # INPUT-side clique guard, two exchanges (ISOLATE_r7 bisection —
-        # a first cut that windowed over the embedding-carrying exchange
-        # sorted W×dim Arrow rows twice and ran 1.43 → 5.73 s; this shape
-        # restores 1.4 s):
+        # INPUT-side clique guard: bucket widths must be known BEFORE the
+        # grouped map so no pandas group ever materializes more than the
+        # cap. Four shapes measured under the isolate protocol
+        # (ISOLATE_r8.json, sf0.1, fresh JVM, median of 3; guard-off
+        # floor 1.25 s; select with env ``PYCAIM_SIM_GUARD_SHAPE``):
         #
-        # 1. A SKINNY exchange of (vec_id, table_id, bucket) — the
-        #    signature UDF re-runs for it, one BLAS matmul, far cheaper
-        #    than moving embeddings twice. Bucket widths + min ids
-        #    aggregate from it co-partitioned, and wide buckets' members
-        #    star-pair against the bucket min id from a second
-        #    co-partitioned read — pure JVM id pairs, no embeddings.
-        # 2. The EMBEDDING exchange the grouped map needs anyway: wide
-        #    buckets are removed by a co-partitioned anti-join against the
-        #    wide list *before* the grouped map, so no pandas group ever
-        #    materializes more than the cap (AQE demotes the tiny wide
-        #    list to broadcast at runtime; nothing requires it to fit).
+        # - ``window`` (default, 1.61 s): one window over the bucket key
+        #   tags every exploded row with its width and bucket-min — ONE
+        #   exchange + ONE sort total, and the grouped map reuses both the
+        #   partitioning and the sort order the window established; the
+        #   narrow/star split is a filter, no joins. The signature UDF
+        #   runs once, below the exchange.
+        # - ``nopart`` (1.89 s): wide stats partial-aggregate into a tiny
+        #   shuffle, AQE broadcasts the wide list — embedding rows shuffle
+        #   once, but the signature UDF re-evaluates per consumer.
+        # - ``single`` (2.53 s): explicit repartition of the exploded
+        #   embedding rows, stats/star/anti/gemm all read it via
+        #   ReuseExchange — extra exchange reads cost more than they save.
+        # - ``dual`` (2.44 s): the round-7 shape — a second skinny
+        #   exchange that re-runs the signature UDF for the stats side.
         #
-        # The shared exact-scoring join below applies the same min_cos
-        # filter to star pairs the gemm prefilter would have.
+        # All four are pure physical variants of the same semantics: wide
+        # buckets star-pair against the bucket min id as a JVM projection,
+        # so a width-W replica clique costs O(W) shuffled rows and no
+        # W×dim Arrow batch ever reaches a task. The shared exact-scoring
+        # join below applies the same min_cos filter to star pairs the
+        # gemm prefilter would have.
         n_part = emb.sparkSession.sparkContext.defaultParallelism
-        skinny = sig.select(
-            "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
-        ).repartition(n_part, F.col("table_id"), F.col("bucket"))
-        stats_wide = (
-            skinny.groupBy("table_id", "bucket")
-            .agg(
-                F.count(F.lit(1)).alias("_w"),
-                F.min("vec_id").alias("_min_id"),
+        shape = os.environ.get("PYCAIM_SIM_GUARD_SHAPE", "window")
+        if shape == "window":
+            # ONE exchange + ONE sort total: the window over the bucket
+            # key tags every exploded row with its bucket width and min id;
+            # the grouped map then reuses both the partitioning AND the
+            # sort order the window already established.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("table_id", "bucket")
+            tagged = buckets.select(
+                "*",
+                F.count(F.lit(1)).over(w).alias("_w"),
+                F.min("vec_id").over(w).alias("_min_id"),
             )
-            .filter(F.col("_w") > max_bucket_width)
-        )
-        # _min_id is the bucket minimum, so vec_a < vec_b by construction.
-        star = (
-            skinny.join(stats_wide, ["table_id", "bucket"])
-            .filter(F.col("vec_id") != F.col("_min_id"))
-            .select(
-                F.col("_min_id").alias("vec_a"), F.col("vec_id").alias("vec_b")
+            star = (
+                tagged.filter(
+                    (F.col("_w") > max_bucket_width)
+                    & (F.col("vec_id") != F.col("_min_id"))
+                )
+                .select(
+                    F.col("_min_id").alias("vec_a"),
+                    F.col("vec_id").alias("vec_b"),
+                )
             )
-        )
-        narrow = buckets.repartition(
-            n_part, F.col("table_id"), F.col("bucket")
-        ).join(stats_wide, ["table_id", "bucket"], "left_anti")
+            narrow = tagged.filter(F.col("_w") <= max_bucket_width).drop(
+                "_w", "_min_id"
+            )
+        elif shape == "nopart":
+            # No explicit exchange: wide stats partial-aggregate into a
+            # tiny shuffle, AQE broadcasts the wide list, the embedding
+            # rows shuffle exactly once (into the grouped map) — at the
+            # cost of re-evaluating the signature UDF per consumer.
+            stats_wide = (
+                buckets.groupBy("table_id", "bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("_w"),
+                    F.min("vec_id").alias("_min_id"),
+                )
+                .filter(F.col("_w") > max_bucket_width)
+            )
+            star = (
+                buckets.join(stats_wide, ["table_id", "bucket"])
+                .filter(F.col("vec_id") != F.col("_min_id"))
+                .select(
+                    F.col("_min_id").alias("vec_a"),
+                    F.col("vec_id").alias("vec_b"),
+                )
+            )
+            narrow = buckets.join(
+                stats_wide, ["table_id", "bucket"], "left_anti"
+            )
+        elif shape == "single":
+            bucket_rows = buckets.repartition(
+                n_part, F.col("table_id"), F.col("bucket")
+            )
+            stats_wide = (
+                bucket_rows.groupBy("table_id", "bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("_w"),
+                    F.min("vec_id").alias("_min_id"),
+                )
+                .filter(F.col("_w") > max_bucket_width)
+            )
+            # _min_id is the bucket minimum, so vec_a < vec_b holds.
+            star = (
+                bucket_rows.join(stats_wide, ["table_id", "bucket"])
+                .filter(F.col("vec_id") != F.col("_min_id"))
+                .select(
+                    F.col("_min_id").alias("vec_a"),
+                    F.col("vec_id").alias("vec_b"),
+                )
+            )
+            narrow = bucket_rows.join(
+                stats_wide, ["table_id", "bucket"], "left_anti"
+            )
+        elif shape == "dual":
+            skinny = sig.select(
+                "vec_id", F.posexplode("sigs").alias("table_id", "bucket")
+            ).repartition(n_part, F.col("table_id"), F.col("bucket"))
+            stats_wide = (
+                skinny.groupBy("table_id", "bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("_w"),
+                    F.min("vec_id").alias("_min_id"),
+                )
+                .filter(F.col("_w") > max_bucket_width)
+            )
+            star = (
+                skinny.join(stats_wide, ["table_id", "bucket"])
+                .filter(F.col("vec_id") != F.col("_min_id"))
+                .select(
+                    F.col("_min_id").alias("vec_a"),
+                    F.col("vec_id").alias("vec_b"),
+                )
+            )
+            narrow = buckets.repartition(
+                n_part, F.col("table_id"), F.col("bucket")
+            ).join(stats_wide, ["table_id", "bucket"], "left_anti")
+        else:  # pragma: no cover - env misconfiguration
+            raise ValueError(f"unknown PYCAIM_SIM_GUARD_SHAPE: {shape!r}")
         candidates = (
             narrow.groupBy("table_id", "bucket")
             .applyInPandas(_bucket_pairs, "vec_a long, vec_b long")

@@ -285,25 +285,33 @@ def mm_column(spark, sf_dir):
     tags=("llm", "multimodal"),
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
-           CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 64 ELSE -1 END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE -1 END AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
-           CASE WHEN doc_id % 2 = 0 THEN -1
-                WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS channels,
-           CASE WHEN doc_id % 2 = 0 THEN -1
-                ELSE 8000 + (doc_id % 8) * 1000 END AS sample_rate,
-           CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 40 + doc_id % 50 END AS n_samples,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,
+           CASE doc_id % 3 WHEN 0 THEN 'png'
+                WHEN 1 THEN 'wav' ELSE 'jpeg' END AS fmt,
+           CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+                WHEN 1 THEN -1 ELSE 32 + doc_id % 96 END AS width,
+           CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+                WHEN 1 THEN -1 ELSE 32 + doc_id % 48 END AS height,
+           CASE doc_id % 3 WHEN 1 THEN 16 ELSE 8 END AS bit_depth,
+           CASE doc_id % 3 WHEN 0 THEN -1
+                WHEN 1 THEN (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
+                ELSE (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END)
+           END AS channels,
+           CASE doc_id % 3 WHEN 1 THEN 8000 + (doc_id % 8) * 1000
+                ELSE -1 END AS sample_rate,
+           CASE doc_id % 3 WHEN 1 THEN 40 + doc_id % 50 ELSE -1 END AS n_samples,
            TRUE AS valid
     FROM documents
     """,
 )
 def mm_decode(spark, sf_dir):
     """REAL multimodal decode (SURVEY §2.C): generate genuinely valid PNG
-    (CRC'd IHDR/IDAT/IEND, zlib scanlines) and 16-bit PCM WAV payloads per
-    document, then parse them back with a pure-binary decoder — PNG
-    signature + CRC-verified IHDR, RIFF chunk walk for WAV — via Arrow
+    (CRC'd IHDR/IDAT/IEND, zlib scanlines), baseline-JPEG marker streams
+    (JFIF APP0/DQT/SOF0/SOS), and 16-bit PCM WAV payloads per document
+    (doc_id % 3 selects the modality), then parse them back with a
+    pure-binary decoder — PNG signature + CRC-verified IHDR, ITU T.81
+    marker walk to SOF0 for JPEG, RIFF chunk walk for WAV — via Arrow
     mapInPandas. The oracle recomputes every decoded field arithmetically
     from doc_id, so this checks the encode→decode round trip end-to-end:
     a single byte-offset bug in either direction hash-mismatches.

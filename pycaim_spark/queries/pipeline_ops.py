@@ -570,10 +570,9 @@ def shuffle_epoch(spark, sf_dir):
     )
 
 
-@register(
-    "pipeline_pretrain",
-    tags=("llm", "pipeline", "flagship"),
-    oracle="""
+#: The 4-stage pipeline oracle, shared by pipeline_pretrain and the
+#: multimodal-extended pipeline_pretrain_mm below.
+_PRETRAIN_ORACLE = """
     WITH norm AS (
         SELECT doc_id, text, source,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
@@ -615,7 +614,13 @@ def shuffle_epoch(spark, sf_dir):
     FROM quality
     WHERE source <> 'src0'
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-    """,
+"""
+
+
+@register(
+    "pipeline_pretrain",
+    tags=("llm", "pipeline", "flagship"),
+    oracle=_PRETRAIN_ORACLE,
 )
 def pipeline_pretrain(spark, sf_dir):
     """End-to-end pre-training data pipeline in ONE composed plan — what a
@@ -681,6 +686,55 @@ def pipeline_pretrain(spark, sf_dir):
             .alias("split"),
             "n_tokens",
         )
+    )
+
+
+@register(
+    "pipeline_pretrain_mm",
+    tags=("llm", "pipeline", "multimodal"),
+    oracle=f"""
+    WITH pipe AS ({_PRETRAIN_ORACLE})
+    SELECT doc_id, split, n_tokens,
+           CASE doc_id % 3 WHEN 0 THEN 'png'
+                WHEN 1 THEN 'wav' ELSE 'jpeg' END AS fmt,
+           CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+                WHEN 1 THEN -1 ELSE 32 + doc_id % 96 END AS width
+    FROM pipe
+    WHERE doc_id % 97 <> 0
+    """,
+)
+def pipeline_pretrain_mm(spark, sf_dir):
+    """The multimodal branch of the pre-training pipeline (VERDICT carried
+    item): the 4-stage text pipeline joined with a media decode/validity
+    stage over the documents' binary payloads.
+
+    Stage 5 packs a real PNG/JPEG/WAV payload per document (1 in 97
+    deterministically truncated — the corrupt-blob stand-in), decodes it
+    with the pure-binary parser via Arrow ``mapInPandas``, DROPS payloads
+    that fail to parse, and carries typed modality metadata (fmt, width)
+    into the training manifest.
+
+    Scale shape: the decode branch is a linear mapInPandas over the corpus
+    (constant memory per task — batches stream); the validity join is an
+    equi-join on doc_id against the already-filtered pipeline output, so
+    the join input is the SMALL post-filter side, not the raw corpus. The
+    oracle recomputes decode results arithmetically from doc_id — a wrong
+    byte anywhere in pack or parse hash-mismatches.
+    """
+    from pycaim_spark.operators.multimodal import (
+        decode_media_df,
+        pack_media_payload,
+    )
+
+    base = pipeline_pretrain(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    meta = (
+        decode_media_df(pack_media_payload(d, corrupt_every=97))
+        .filter(F.col("valid"))
+        .select("doc_id", "fmt", "width")
+    )
+    return base.join(meta, "doc_id").select(
+        "doc_id", "split", "n_tokens", "fmt", "width"
     )
 
 

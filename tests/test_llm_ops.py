@@ -237,6 +237,48 @@ def test_real_png_wav_roundtrip_and_corruption():
     assert decode_media(bytes(oversized)) is None
 
 
+def test_real_jpeg_roundtrip_and_corruption():
+    """make_jpeg emits a self-consistent baseline marker stream (SOF0 and
+    SOS agree on the component count); decode_media's T.81 marker walk
+    parses it field-exact and rejects truncated/corrupt streams instead
+    of raising (VERDICT r7 item 7)."""
+    import struct
+
+    from pycaim_spark.operators.multimodal import decode_media, make_jpeg
+
+    jpg = make_jpeg(129, 65, channels=3)
+    assert decode_media(jpg) == {
+        "fmt": "jpeg", "width": 129, "height": 65, "bit_depth": 8,
+        "channels": 3, "sample_rate": -1, "n_samples": -1,
+    }
+    assert decode_media(make_jpeg(40, 30, channels=1))["channels"] == 1
+
+    # SOS declares the same component count as SOF0 (ADVICE r7): Ns is the
+    # first payload byte of the FFDA segment.
+    sos_at = jpg.index(b"\xff\xda")
+    assert jpg[sos_at + 4] == 3
+
+    # fill-byte padding before a marker is legal and must be skipped
+    sof_at = jpg.index(b"\xff\xc0")
+    padded = jpg[:sof_at] + b"\xff" + jpg[sof_at:]
+    assert decode_media(padded)["width"] == 129
+
+    # truncated mid-segment → None, never struct.error
+    assert decode_media(jpg[: sof_at + 3]) is None
+    # garbage byte where a marker must be → None
+    broken = bytearray(jpg)
+    broken[sof_at] = 0x00
+    assert decode_media(bytes(broken)) is None
+    # scan data before any SOF (strip the SOF0 segment) → undecodable
+    seglen = struct.unpack(">H", jpg[sof_at + 2 : sof_at + 4])[0]
+    no_sof = jpg[:sof_at] + jpg[sof_at + 2 + seglen :]
+    assert decode_media(no_sof) is None
+    # Nf inconsistent with the segment length → None
+    bad_nf = bytearray(jpg)
+    bad_nf[sof_at + 9] = 4  # claims 4 components, list holds 3
+    assert decode_media(bytes(bad_nf)) is None
+
+
 def test_minhash_wide_bucket_star_degradation(spark):
     """VERDICT r3 #2: a dense duplicate clique must degrade to bounded
     star pairs (clique stays connected, pair list stays O(W)) instead of
@@ -270,6 +312,69 @@ def test_minhash_wide_bucket_star_degradation(spark):
     assert len(clique_comps) == 1
     # the near-dup control pair outside the clique is still found all-pairs
     assert any(r.id_a == 2000 and r.id_b == 2001 for r in pair_rows)
+
+
+def test_guard_shapes_equivalent(spark, monkeypatch):
+    """The three A/B'd guard plan shapes (window / join / anti — see
+    ISOLATE_r8.json and operators/dedup.py) are pure physical-plan
+    variants: on a corpus mixing a wide clique with narrow near-dups they
+    must return EXACTLY the same pairs and wide-bucket stats."""
+    from pycaim_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash_candidate_pairs,
+    )
+
+    clique = "the same boilerplate sentence repeated across mirrors forever"
+    rows = [(i, clique) for i in range(300)] + [
+        (900, "outside control document with completely unrelated tokens"),
+        (901, "outside control document with completely unrelated words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    results, sim_results = {}, {}
+    shapes = ("window", "join", "anti", "nopart")
+    for shape in shapes:
+        monkeypatch.setenv("PYCAIM_LSH_GUARD_SHAPE", shape)
+        pairs, wide = minhash_candidate_pairs(
+            docs, max_bucket_width=64, return_wide_buckets=True
+        )
+        results[shape] = (
+            {(r.id_a, r.id_b) for r in pairs.collect()},
+            {(r.table_id, r.mh, r.width) for r in wide.collect()},
+        )
+        sim_pairs = simhash_candidate_pairs(docs, max_bucket_width=64)
+        sim_results[shape] = {
+            (r.id_a, r.id_b, r.hamming) for r in sim_pairs.collect()
+        }
+    assert all(results[s] == results["window"] for s in shapes)
+    assert results["window"][0], "planted near-dups must be found"
+    assert all(sim_results[s] == sim_results["window"] for s in shapes)
+    assert sim_results["window"]
+
+
+def test_sim_guard_shapes_equivalent(spark, monkeypatch):
+    """The four sign-LSH guard shapes (window/nopart/single/dual — see
+    ISOLATE_r8.json and operators/similarity.py) must return identical
+    (vec_a, vec_b, cos) sets on a corpus with a planted wide clique."""
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import bucketed_cosine_neighbors
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    rows = [(i, (base + rng.standard_normal(64) * 0.01).tolist())
+            for i in range(80)]  # wide replica clique (cap below is 16)
+    rows += [(200 + i, rng.standard_normal(64).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {}
+    for shape in ("window", "nopart", "single", "dual"):
+        monkeypatch.setenv("PYCAIM_SIM_GUARD_SHAPE", shape)
+        pairs = bucketed_cosine_neighbors(
+            emb, n_planes=4, n_tables=8, dim=64, min_cos=0.3,
+            max_bucket_width=16,
+        )
+        out[shape] = {(r.vec_a, r.vec_b, r.cos) for r in pairs.collect()}
+    assert out["window"] == out["nopart"] == out["single"] == out["dual"]
+    assert out["window"], "planted clique must produce pairs"
 
 
 def test_dedup_minhash_stats_counts_planted_clique(spark, tmp_path):
@@ -392,14 +497,18 @@ def test_mm_decode_spark_parses_real_payloads(spark, sf_dir):
 
     rows = REGISTRY["mm_decode"].fn(spark, sf_dir).collect()
     assert rows and all(r.valid for r in rows)
-    for r in rows[:50]:
+    assert {r.fmt for r in rows} == {"png", "wav", "jpeg"}
+    for r in rows[:60]:
         p = media_params_for_doc(r.doc_id)
         if p["kind"] == "png":
             assert (r.fmt, r.width, r.height, r.bit_depth) == (
                 "png", p["width"], p["height"], 8)
-        else:
+        elif p["kind"] == "wav":
             assert (r.fmt, r.channels, r.sample_rate, r.n_samples) == (
                 "wav", p["channels"], p["sample_rate"], p["n_samples"])
+        else:
+            assert (r.fmt, r.width, r.height, r.bit_depth, r.channels) == (
+                "jpeg", p["width"], p["height"], 8, p["channels"])
 
 
 def test_neardup_split_never_straddles(spark, sf_dir):
