@@ -80,15 +80,24 @@ HOT_TABLES = (
 
 
 def _tune_partitions(spark) -> None:
-    """Split inputs for ~3 tasks/core over this sf dir (4 MiB floor for the
-    ~10 MiB fixture files; 128 MiB cap = the real-cluster default)."""
+    """Size input splits for ≥8 fat tasks over this sf dir (4 MiB floor for
+    the ~10 MiB fixture files; 128 MiB cap = the real-cluster default).
+    The old 3-tasks-per-core heuristic cost 15% on scan-bound aggregates at
+    sf10 — KNOBS_r8.json measured splits {18M auto: 1.26 s, 32M: 1.29 s,
+    54M: 1.23 s, 128M: 1.09 s}: locally, per-task overhead beats marginal
+    scan parallelism, so prefer the fattest split up to the cluster
+    default. An explicit $PYCAIM_MAX_PARTITION_BYTES wins (knob
+    experiments)."""
+    explicit = os.environ.get("PYCAIM_MAX_PARTITION_BYTES")
+    if explicit:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", explicit)
+        return
     total = sum(
         os.path.getsize(os.path.join(SF_DIR, f))
         for f in os.listdir(SF_DIR)
         if f.endswith(".parquet")
     )
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    target = max(4 << 20, min(128 << 20, total // (cpus * 3)))
+    target = max(4 << 20, min(128 << 20, total // 8))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
 
@@ -118,8 +127,11 @@ def _fresh_session():
 
     spark = get_spark(app_name="pycaim-bench")
     _tune_partitions(spark)
-    for t in HOT_TABLES:
-        load_table(spark, SF_DIR, t).cache().count()
+    # PYCAIM_BENCH_NO_CACHE=1 keeps queries on the direct parquet scan
+    # (page-cache warm only) — the knob-table control for cache effects.
+    if not os.environ.get("PYCAIM_BENCH_NO_CACHE"):
+        for t in HOT_TABLES:
+            load_table(spark, SF_DIR, t).cache().count()
     return spark
 
 

@@ -54,16 +54,18 @@ def _median3(fn) -> float:
 
 
 def _tune_partitions(spark, sf_dir: str) -> None:
-    """Size input splits for ~3 tasks/core over this dir's data: the 128 MiB
-    cluster default over-coalesces 10 MiB fixture files, while 4 MiB splits
-    (right for sf0.1) drown a multi-GiB dir in task dispatch."""
+    """Size input splits for ≥8 fat tasks over this dir's data: 4 MiB
+    splits (right for 10 MiB fixture files) drown a multi-GiB dir in task
+    dispatch, while per-task overhead beats marginal scan parallelism
+    locally (KNOBS_r8.json)."""
     total = sum(
         os.path.getsize(os.path.join(sf_dir, f))
         for f in os.listdir(sf_dir)
         if f.endswith(".parquet")
     )
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    target = max(4 << 20, min(128 << 20, total // (cpus * 3)))
+    # ≥8 fat tasks, capped at the 128 MiB cluster default — same rationale
+    # and evidence as bench.py._tune_partitions (KNOBS_r8.json).
+    target = max(4 << 20, min(128 << 20, total // 8))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
 

@@ -87,6 +87,12 @@ def get_spark(
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)
+    # Ad-hoc conf overrides for knob experiments (tools/knob_table.py):
+    # PYCAIM_EXTRA_CONFS="key=value;key=value" — applied last so they win.
+    for pair in os.environ.get("PYCAIM_EXTRA_CONFS", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return configure_session(spark)
