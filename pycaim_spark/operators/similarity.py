@@ -410,11 +410,20 @@ def ivf_topk_neighbors(
     v = emb.select(
         "vec_id", "embedding", norm_expr(F.col("embedding")).alias("_norm")
     )
+    # Cell-partitioned corpus: the IVF storage layout a cluster would use.
+    # Also the local parallelism fix — an embedding table is few BYTES but
+    # heavy per ROW (the scoring fold is per-element), so byte-sized input
+    # splits under-parallelize it: at sf10 the embeddings file fits one
+    # 128 MiB split, serializing assign+probe on one task. Isolate A/B at
+    # sf10: 4.66 s unpartitioned → 2.83 s cell-partitioned
+    # (ISOLATE_r8.json ivf_*_sf10).
     corpus = v.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("_norm").alias("c_norm"),
         nearest_cell("embedding").alias("cell"),
+    ).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col("cell")
     )
     queries = (
         v.filter(F.col("vec_id") < n_queries)

@@ -635,13 +635,12 @@ def pipeline_pretrain(spark, sf_dir):
     Every step is the registered standalone operator's logic inlined into
     one DataFrame chain; the oracle is the same four stages as SQL CTEs.
     Scale shape: the shuffles are narrow (normalized-hash window, trigram
-    semi-join aggregation, anti-join on doc_id — hash/long keys only), but
-    the static plan re-scans the corpus per consuming branch (Catalyst has
-    no automatic CTE materialization; AQE's runtime exchange reuse dedupes
-    the identical window exchange). A production run at 100 TB would
-    persist() the post-quality frame before the decontamination fan-out —
-    left to the caller because cache lifecycle belongs to the pipeline
-    runner, not an operator.
+    semi-join aggregation, anti-join on doc_id — hash/long keys only), and
+    the post-quality frame is persisted before the decontamination fan-out
+    (the static plan otherwise re-scans the corpus per consuming branch —
+    measured 29%/17% at sf0.1/sf1, ISOLATE_r8.json pipeline_persist_*;
+    PYCAIM_PIPELINE_PERSIST=0 opts out when the pipeline runner owns
+    materialization).
     """
     d = load_table(spark, sf_dir, "documents")
     norm_hash = F.md5(
@@ -661,6 +660,19 @@ def pipeline_pretrain(spark, sf_dir):
     quality = kept.filter(
         (F.size(words) >= 8) & (dup_frac <= 0.5)
     ).withColumn("n_tokens", F.size(words).cast("bigint"))
+
+    # The static plan re-scans the corpus per consuming branch (Catalyst
+    # has no automatic CTE materialization), so persist the post-quality
+    # frame before the decontamination fan-out. Isolate A/B
+    # (ISOLATE_r8.json pipeline_persist_*): 1.71 → 1.21 s at sf0.1,
+    # 3.59 → 2.97 s at sf1. MEMORY_AND_DISK spills at 100 TB scale;
+    # Spark's CacheManager dedups repeated identical plans, so repeated
+    # calls share one entry. PYCAIM_PIPELINE_PERSIST=0 opts out (e.g. when
+    # the runner owns materialization).
+    import os as _os
+
+    if _os.environ.get("PYCAIM_PIPELINE_PERSIST", "1") != "0":
+        quality = quality.persist()
 
     trigrams = _word_ngrams(words, 3)
     bench = F.broadcast(
