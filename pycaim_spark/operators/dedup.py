@@ -3,19 +3,16 @@
 - MinHash+LSH: shingle → MinHashLSH banding via Spark ML (JVM-side, seeded)
   — the standard web-scale near-dup pipeline (shuffle is bucket-join sized,
   never all-pairs).
-- SimHash: 64-bit sign-summed token hashes via an Arrow-batched pandas UDF
-  (md5-based token hashing — deterministic across processes, unlike
-  Python's salted ``hash``); candidate pairs by Hamming distance with
-  JVM-side xor/bit_count.
+- SimHash: 64-bit sign-summed token hashes computed entirely JVM-side
+  (explode → ``xxhash64`` → 64 per-bit SUM aggregates — deterministic
+  across processes, unlike Python's salted ``hash``); candidate pairs by
+  Hamming distance with JVM-side xor/bit_count.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 
-import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -33,6 +30,7 @@ def _banded_pairs_with_guard(
     max_bucket_width: int,
     with_sig: bool = False,
     shape: str | None = None,
+    pair_filter=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket self-join with the dense-clique STAR guard, in one of three
     measured plan shapes (A/B evidence: ISOLATE_r8.json; select with env
@@ -65,6 +63,12 @@ def _banded_pairs_with_guard(
     there). All shapes are pure physical variants; a parametrized test
     asserts identical output (tests/test_llm_ops.py
     test_guard_shapes_equivalent).
+
+    The simhash column of the shape table predates two later wins kept
+    under the default window shape (final ISOLATE_r8.json
+    dedup_shape_window row: minhash 2.62, simhash 3.46): the JVM-side
+    signature (see ``with_simhash``) and the Hamming ``pair_filter``
+    below, which cuts failing candidates before the dedup shuffle.
     """
     if shape is None:
         shape = os.environ.get("PYCAIM_LSH_GUARD_SHAPE", "window")
@@ -140,6 +144,12 @@ def _banded_pairs_with_guard(
         wide_buckets = stats_wide.select(*keys, F.col("_w").alias("width"))
     else:  # pragma: no cover - env misconfiguration
         raise ValueError(f"unknown PYCAIM_LSH_GUARD_SHAPE: {shape!r}")
+    if pair_filter is not None:
+        # Row-local predicate (e.g. the Hamming cut) applied BEFORE the
+        # dedup shuffle: candidates that fail it never leave their map
+        # task, so the dropDuplicates exchange carries only survivors.
+        pairs = pairs.filter(pair_filter)
+        star = star.filter(pair_filter)
     id_cols = ["id_a", "id_b"]
     return pairs.unionAll(star).dropDuplicates(id_cols), wide_buckets
 
@@ -286,30 +296,56 @@ def minhash_candidate_pairs(
     return result
 
 
-def _simhash_series(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text: md5-hash each whitespace token, sign-sum
-    the bit columns. Pure function of the text — process-independent."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, text in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for token in (text or "").split():
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig
-    return pd.Series(out.astype(np.int64))  # two's complement into long
+def with_simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add a ``simhash`` long column, computed entirely JVM-side.
 
+    64-bit SimHash: hash each whitespace token (``xxhash64`` — seeded,
+    process-independent), sign-sum each bit position over the document's
+    tokens, set bit b iff its sum is positive. Expressed as explode →
+    hash → 64 per-bit SUM aggregates → bit reassembly: every stage is
+    whole-stage-codegen'd, the shuffle is one doc-keyed exchange of
+    (id, 64 longs) partial aggregates, and no Python runs at all. (The
+    previous implementation md5-hashed every token inside a Python loop
+    in an Arrow UDF; identical band/Hamming semantics — the token hash is
+    equally arbitrary. Full-query local timing at sf0.1 is within noise
+    of the UDF form — candidate-pair volume dominates there, see
+    ISOLATE_r8.json — but the hot path no longer serializes text through
+    Arrow or runs per-token Python, which is the cost that grows with
+    corpus size at 100 TB.)
 
-def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add a ``simhash`` long column (Arrow-batched pandas UDF)."""
-    simhash_udf = F.pandas_udf(_simhash_series, "long")
-    return docs.withColumn("simhash", simhash_udf(F.col(text_col)))
+    Tokenless documents get signature 0, matching the sign-sum identity.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .select("_id", F.xxhash64("_tok").alias("_h"))
+    )
+    bit_sums = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1))
+                * 2 - 1
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    sigs = bit_sums.select("_id", sig.alias("simhash"))
+    return (
+        docs.join(sigs, docs[id_col] == sigs["_id"], "left")
+        .drop("_id")
+        .withColumn("simhash", F.coalesce("simhash", F.lit(0).cast("long")))
+    )
 
 
 def simhash_candidate_pairs(
@@ -339,7 +375,7 @@ def simhash_candidate_pairs(
     if max_bucket_width is None:
         max_bucket_width = int(os.environ.get("PYCAIM_LSH_MAX_BUCKET", "256"))
     width = 64 // n_bands
-    sigs = with_simhash(docs, text_col).select(
+    sigs = with_simhash(docs, text_col, id_col).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
     )
     bands = sigs.select(
@@ -356,11 +392,15 @@ def simhash_candidate_pairs(
             )
         ).alias("band_id", "band_val"),
     )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     if max_bucket_width:
         # Same measured guard shapes as minhash_candidate_pairs (evidence:
-        # ISOLATE_r8.json); sig rides along through the min-struct.
+        # ISOLATE_r8.json); sig rides along through the min-struct, and
+        # the Hamming cut runs as the helper's pair_filter — BEFORE the
+        # dedup shuffle, so failed candidates never leave their map task.
         pairs, _ = _banded_pairs_with_guard(
-            bands, ["band_id", "band_val"], max_bucket_width, with_sig=True
+            bands, ["band_id", "band_val"], max_bucket_width, with_sig=True,
+            pair_filter=ham <= max_hamming,
         )
     else:
         a = bands.select(
@@ -374,13 +414,11 @@ def simhash_candidate_pairs(
         pairs = (
             a.join(b, ["band_id", "band_val"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ham <= max_hamming)
             .select("id_a", "id_b", "sig_a", "sig_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return pairs.select("id_a", "id_b", ham.alias("hamming"))
 
 
 # Ship these functions by value: Spark workers cannot import pycaim_spark
