@@ -237,14 +237,16 @@ def minhash_candidate_pairs(
         # Four plan branches consume the shingle sets (both band-join
         # sides, both Jaccard re-join sides). The repartition inserts an
         # exchange whose output ReuseExchange dedups, so shingling runs
-        # ONCE instead of four times — measured 1.7× on the whole query.
-        # The partition count MUST be explicit: the exchange moves few
-        # bytes (ids + hashed shingle sets) but feeds the CPU-bound
-        # shingle/minhash stage, and AQE's coalescePartitions sizes by
-        # shuffled bytes — without an explicit N it collapses this
-        # exchange to ~1 partition and serializes the whole stage
-        # (measured 1.5×–1.8× slower at sf0.1; explicit N opts the
-        # exchange out of coalescing).
+        # ONCE instead of four times. Removing it measured NEUTRAL at
+        # sf0.1 (ISOLATE_r8.json base_repartition_off 2.62 s vs
+        # dedup_shape_window 2.62 s — the quadruplicated scan hits the
+        # local page cache); it stays because at 100 TB the trade is one
+        # skinny-row shuffle against 4× recomputation of the CPU-bound
+        # shingle/minhash stage over remote storage. The partition count
+        # MUST be explicit: the exchange moves few bytes but feeds a
+        # CPU-bound stage, and AQE's coalescePartitions sizes by shuffled
+        # bytes — without an explicit N it collapses this exchange to ~1
+        # partition and serializes the stage.
         .repartition(
             docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
         )
