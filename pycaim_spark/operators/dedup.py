@@ -208,8 +208,8 @@ def minhash_candidate_pairs(
     # Each stage materializes through its own projection: an outer column
     # referenced INSIDE a HOF lambda is re-evaluated per array element by
     # Catalyst (no CSE across lambda scopes) — inlining the regex split
-    # into the shingle lambda costs ~3 regex splits per shingle per row,
-    # measured 40× slower than this layered form.
+    # into the shingle lambda would cost ~shingle_n regex splits per
+    # shingle per row; the layered form evaluates each once per row.
     # trim first: split(r"\s+") keeps an empty leading token for
     # whitespace-prefixed docs (trailing empties are already dropped).
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -223,7 +223,7 @@ def minhash_candidate_pairs(
     # Shingle-set emptiness == "fewer than shingle_n tokens": filter on the
     # raw text BEFORE the projections. A filter on the derived array would
     # be pushed below the projects and re-inline the whole (uncached)
-    # shingle expression into the predicate — measured 30× slower.
+    # shingle expression into the predicate, evaluating it twice per row.
     base = (
         docs.filter(F.size(toks) >= shingle_n)
         .select(F.col(id_col).alias("id"), toks.alias("_toks"))
