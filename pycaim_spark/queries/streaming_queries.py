@@ -238,6 +238,64 @@ def stream_stateful(spark, sf_dir):
 
 
 @register(
+    "stream_join_interval",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT a.user_id AS user_id,
+           a.event_id AS view_id,
+           b.event_id AS buy_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+                                     + INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_interval(spark, sf_dir):
+    """Stream-stream inner join with an event-time interval condition
+    (SURVEY §2.B streaming family): views joined to same-user purchases
+    within 30 minutes, both sides watermarked so join state is BOUNDED —
+    a view older than watermark−30min can never match again and is
+    evicted, which is what makes the join runnable forever at 100 TB/day.
+
+    The replayed file-source stream has no late data, and inner-join
+    matches emit as found (append mode), so the complete availableNow
+    result equals the batch interval join exactly — hence the DuckDB
+    oracle, a stronger check than twin-equality.
+    """
+    from pycaim_spark.streaming.runner import read_events_stream, run_available_now
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_id", "buy_id")
+    return run_available_now(joined)
+
+
+@register(
     "stream_sink",
     tags=("streaming", "sink"),
     rows_only_reason="streaming parquet sink with checkpoint; re-read "
