@@ -5,6 +5,7 @@ fingerprinting, TF-IDF, multimodal columns)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from pycaim_spark.catalog import load_table
 from pycaim_spark.registry import register
@@ -38,6 +39,56 @@ def text_wordcount(spark, sf_dir):
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_vocab_topk",
+    tags=("llm", "text"),
+    oracle="""
+    SELECT w AS token, tf, df, rank
+    FROM (
+        SELECT w, tf, df,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, w) AS rank
+        FROM (
+            SELECT w,
+                   COUNT(*) AS tf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+        )
+    )
+    WHERE rank <= 200
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics for tokenizer training: per-token
+    corpus frequency (tf) and document frequency (df), ranked, top 200 —
+    the first pass of every BPE/unigram vocab build.
+
+    Scale shape: explode → one hash aggregate on the token key (tf is
+    map-side combined; df is an exact distinct-doc count — a second
+    shuffle keyed on (token, doc_id), still linear). The top-k runs as
+    orderBy().limit() — TakeOrderedAndProject, per-partition k-heaps with
+    no global sort — and only the 200 survivors see the rank window (a
+    global window over the full vocab would serialize a 100 M-token
+    vocabulary through one partition). Ties rank deterministically by
+    token text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    top = stats.orderBy(F.col("tf").desc(), F.col("token")).limit(200)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("token", "tf", "df", "rank")
     )
 
 
