@@ -30,11 +30,13 @@ QUERIES = [
 
 LLM_QUERIES = [
     "dedup_minhash",
+    "dedup_simhash",
     "sim_lsh_bucketed",
     "sim_ivf",
     "text_tfidf",
     "mm_decode",
     "caim_fit",
+    "pipeline_pretrain",
 ]
 
 HOT_TABLES = (
