@@ -237,3 +237,60 @@ def test_session_window_spark_semantics_match_islands(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     n_events_total = sum(r.n_events for r in rows)
     assert n_events_total == ev.count()  # partition of all events
+
+
+def test_stream_join_interval_state_operator_and_batch_equality(spark, sf_dir):
+    """The stream-stream interval join must run as symmetricHashJoin state
+    (both sides watermarked → bounded state, evictable) and its complete
+    availableNow result must equal the batch interval join row-for-row."""
+    import pyspark.sql.functions as F
+
+    from pycaim_spark.streaming.runner import (
+        batch_events_with_tz_ts,
+        read_events_stream,
+    )
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("buy_id"),
+                F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_id", "buy_id")
+    table, progress = _run_stream(joined, "append")
+    ops = {
+        s["operatorName"]
+        for p in progress
+        for s in p.get("stateOperators", [])
+    }
+    assert "symmetricHashJoin" in ops, f"expected stream-stream join state, got {ops}"
+
+    ev = batch_events_with_tz_ts(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("a_ts"))
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("b_ts"))
+    batch = a.join(
+        b,
+        (F.col("u") == F.col("user_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_id", "buy_id")
+    got = sorted((r.user_id, r.view_id, r.buy_id) for r in table.collect())
+    want = sorted((r.user_id, r.view_id, r.buy_id) for r in batch.collect())
+    assert got == want and got, "stream result must equal batch interval join"
