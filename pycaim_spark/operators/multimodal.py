@@ -294,6 +294,93 @@ def decode_media(blob: bytes) -> dict | None:
     return None
 
 
+def resize_png(blob: bytes, max_dim: int) -> bytes | None:
+    """REAL nearest-neighbor resize of the 8-bit grayscale filter-0 PNGs
+    this module generates (stdlib zlib + numpy — production swaps in PIL
+    for arbitrary inputs): decode IDAT scanlines, resample to fit
+    ``max_dim`` preserving aspect (integer floor, min 1 px; images already
+    within the box pass through byte-identical), re-encode a valid PNG.
+    Returns None for anything decode_media rejects or non-grayscale input.
+    """
+    import numpy as np
+
+    meta = decode_media(blob)
+    if meta is None or meta["fmt"] != "png" or meta["bit_depth"] != 8:
+        return None
+    w, h = meta["width"], meta["height"]
+    if max(w, h) <= max_dim:
+        return bytes(blob)
+    b = bytes(blob)
+    # Concatenate IDAT payloads in order (ours emit one, but walk anyway).
+    pos, idat = 8, b""
+    while pos + 8 <= len(b):
+        (length,) = _struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        if pos + 8 + length + 4 > len(b):
+            return None
+        if tag == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + length]
+        if tag == b"IEND":
+            break
+        pos += 8 + length + 4
+    try:
+        raw = _zlib.decompress(idat)
+    except _zlib.error:
+        return None
+    if len(raw) != h * (w + 1) or any(raw[y * (w + 1)] != 0 for y in range(h)):
+        return None  # non-filter-0 scanlines: a real codec's job
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)[:, 1:]
+    new_w = max(1, (w * max_dim) // max(w, h))
+    new_h = max(1, (h * max_dim) // max(w, h))
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    out = arr[ys][:, xs]
+    scanlines = b"".join(b"\x00" + out[y].tobytes() for y in range(new_h))
+    ihdr = _struct.pack(">IIBBBBB", new_w, new_h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# --- Fake video container (frame sampling) -----------------------------------
+# No video codec exists in this environment, so the CONTAINER is a
+# deterministic fake ("MV01": magic + u16 frame count + length-prefixed
+# frames) while each frame is a REAL PNG and the Spark-side plumbing —
+# schema, mapInPandas batching, per-frame parse — is real (task contract:
+# stub the codec, not the pipeline).
+
+_VIDEO_MAGIC = b"MV01"
+
+
+def make_video(frames: list[bytes]) -> bytes:
+    """Pack frames (each an encoded image) into the MV01 container."""
+    return (
+        _VIDEO_MAGIC
+        + _struct.pack(">H", len(frames))
+        + b"".join(_struct.pack(">I", len(f)) + f for f in frames)
+    )
+
+
+def iter_video_frames(blob: bytes):
+    """Yield frame payloads from an MV01 container; [] on corruption."""
+    b = bytes(blob or b"")
+    if b[:4] != _VIDEO_MAGIC or len(b) < 6:
+        return
+    (count,) = _struct.unpack(">H", b[4:6])
+    pos = 6
+    for _ in range(count):
+        if pos + 4 > len(b):
+            return
+        (length,) = _struct.unpack(">I", b[pos : pos + 4])
+        if pos + 4 + length > len(b):
+            return
+        yield b[pos + 4 : pos + 4 + length]
+        pos += 4 + length
+
+
 MEDIA_SCHEMA = (
     "doc_id long, mime string, fmt string, width long, height long, "
     "bit_depth long, channels long, sample_rate long, n_samples long, "

@@ -374,6 +374,128 @@ def mm_decode(spark, sf_dir):
 
 
 @register(
+    "mm_resize",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           16 + doc_id % 64 AS width,
+           16 + doc_id % 32 AS height,
+           CASE WHEN greatest(16 + doc_id % 64, 16 + doc_id % 32) <= 24
+                THEN 16 + doc_id % 64
+                ELSE greatest(1, ((16 + doc_id % 64) * 24)
+                                 // greatest(16 + doc_id % 64, 16 + doc_id % 32))
+           END AS new_width,
+           CASE WHEN greatest(16 + doc_id % 64, 16 + doc_id % 32) <= 24
+                THEN 16 + doc_id % 32
+                ELSE greatest(1, ((16 + doc_id % 32) * 24)
+                                 // greatest(16 + doc_id % 64, 16 + doc_id % 32))
+           END AS new_height,
+           TRUE AS valid
+    FROM documents
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """REAL image resize over binary payloads (task contract: multimodal
+    resize as an Arrow-batched op): generate a genuine grayscale PNG per
+    document, nearest-neighbor resample it to fit 24×24 preserving aspect
+    (stdlib zlib + numpy — the decode/resample/re-encode actually runs,
+    byte-level), then re-parse the RESIZED payload to report its true
+    dims. The oracle recomputes the expected dims arithmetically, so a
+    wrong scanline stride or off-by-one in the resampler hash-mismatches.
+    Scale shape: linear mapInPandas, constant memory per batch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pycaim_spark.operators.multimodal import (
+        decode_media,
+        make_png,
+        resize_png,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "new_width": [], "new_height": [], "valid": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 16 + i % 64, 16 + i % 32
+                resized = resize_png(make_png(w, h, seed=i), 24)
+                meta = decode_media(resized) if resized else None
+                rows["doc_id"].append(i)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(meta["width"] if meta else -1)
+                rows["new_height"].append(meta["height"] if meta else -1)
+                rows["valid"].append(meta is not None)
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        gen,
+        "doc_id long, width long, height long, new_width long, "
+        "new_height long, valid boolean",
+    )
+
+
+@register(
+    "mm_frame_sample",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           i AS frame_idx,
+           8 + (doc_id + i) % 16 AS frame_w,
+           6 + (doc_id + i) % 10 AS frame_h
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, 4 + doc_id % 7, 2)) AS i) x
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame sampling over binary payloads (task contract): each
+    document carries a deterministic MV01 container of 4–10 REAL PNG
+    frames (the codec is the stub, the container walk and per-frame parse
+    are real); every 2nd frame is sampled and its dims re-parsed from the
+    frame bytes via the same decoder mm_decode uses. The oracle enumerates
+    the sampled indices and dims arithmetically. Scale shape: linear
+    mapInPandas; one output row per sampled frame."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pycaim_spark.operators.multimodal import (
+        decode_media,
+        iter_video_frames,
+        make_png,
+        make_video,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_w": [], "frame_h": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 4 + i % 7
+                video = make_video([
+                    make_png(8 + (i + f) % 16, 6 + (i + f) % 10, seed=i + f)
+                    for f in range(n)
+                ])
+                for idx, frame in enumerate(iter_video_frames(video)):
+                    if idx % 2:
+                        continue
+                    meta = decode_media(frame)
+                    rows["doc_id"].append(i)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_w"].append(meta["width"] if meta else -1)
+                    rows["frame_h"].append(meta["height"] if meta else -1)
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        gen, "doc_id long, frame_idx long, frame_w long, frame_h long"
+    )
+
+
+@register(
     "mm_decode_stub",
     tags=("llm", "multimodal"),
     rows_only_reason="decode plumbing (mapInPandas over binary payloads) has "

@@ -279,6 +279,40 @@ def test_real_jpeg_roundtrip_and_corruption():
     assert decode_media(bytes(bad_nf)) is None
 
 
+def test_resize_png_and_video_container():
+    """resize_png really resamples (dims, scanline layout, pass-through,
+    corruption → None); the MV01 container round-trips real PNG frames
+    and rejects truncation."""
+    import zlib
+
+    from pycaim_spark.operators.multimodal import (
+        decode_media,
+        iter_video_frames,
+        make_png,
+        make_video,
+        resize_png,
+    )
+
+    png = make_png(60, 20, seed=3)
+    resized = resize_png(png, 24)
+    meta = decode_media(resized)
+    assert (meta["width"], meta["height"]) == (24, 8)  # aspect-fit floor
+    idat = resized[resized.index(b"IDAT") + 4 : resized.index(b"IEND") - 8]
+    assert len(zlib.decompress(idat)) == 8 * (24 + 1)  # filter-0 scanlines
+    small = make_png(10, 12, seed=1)
+    assert resize_png(small, 24) == small              # within box: identity
+    assert resize_png(png[:20], 24) is None            # truncated → None
+    tall = decode_media(resize_png(make_png(20, 60, seed=2), 24))
+    assert (tall["width"], tall["height"]) == (8, 24)
+
+    video = make_video([make_png(8, 6, seed=0), make_png(9, 7, seed=1)])
+    frames = list(iter_video_frames(video))
+    assert len(frames) == 2
+    assert decode_media(frames[1])["width"] == 9
+    assert list(iter_video_frames(video[:10])) == []   # truncated container
+    assert list(iter_video_frames(b"XXXX")) == []
+
+
 def test_minhash_wide_bucket_star_degradation(spark):
     """VERDICT r3 #2: a dense duplicate clique must degrade to bounded
     star pairs (clique stays connected, pair list stays O(W)) instead of
