@@ -345,6 +345,26 @@ def resize_png(blob: bytes, max_dim: int) -> bytes | None:
     )
 
 
+def wav_samples(blob: bytes):
+    """Extract the interleaved 16-bit PCM samples from a WAV payload as a
+    numpy int16 array (REAL byte-level extraction — the input to any audio
+    feature computation). None if decode_media rejects the payload."""
+    import numpy as np
+
+    meta = decode_media(blob)
+    if meta is None or meta["fmt"] != "wav" or meta["bit_depth"] != 16:
+        return None
+    b = bytes(blob)
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"data":
+            return np.frombuffer(b[pos + 8 : pos + 8 + size], dtype="<i2")
+        pos += 8 + size + (size % 2)
+    return None
+
+
 # --- Fake video container (frame sampling) -----------------------------------
 # No video codec exists in this environment, so the CONTAINER is a
 # deterministic fake ("MV01": magic + u16 frame count + length-prefixed

@@ -439,6 +439,82 @@ def mm_resize(spark, sf_dir):
 
 
 @register(
+    "mm_audio_stats",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT d.doc_id,
+           p.ch AS channels,
+           p.sr AS sample_rate,
+           (p.ns * 1000) // p.sr AS duration_ms,
+           s.peak,
+           round(sqrt(s.sq_sum / (p.ns * p.ch)), 6) AS rms
+    FROM documents d,
+         LATERAL (SELECT CASE WHEN d.doc_id % 4 = 1 THEN 1 ELSE 2 END AS ch,
+                         8000 + (d.doc_id % 8) * 1000 AS sr,
+                         40 + d.doc_id % 50 AS ns) p,
+         LATERAL (
+             SELECT max(abs(v)) AS peak,
+                    sum(CAST(v AS DOUBLE) * v) AS sq_sum
+             FROM (SELECT (k * 1103) % 20000 - 10000 AS v
+                   FROM (SELECT unnest(range(0, p.ns * p.ch)) AS k))
+         ) s
+    WHERE d.doc_id % 3 = 1
+    """,
+)
+def mm_audio_stats(spark, sf_dir):
+    """REAL audio feature extraction (task contract: multimodal
+    feature-extract): for each WAV document (doc_id % 3 = 1), extract the
+    interleaved 16-bit PCM samples from the payload BYTES and compute
+    peak amplitude, RMS, and duration — the loudness/clip screens an
+    audio-training pipeline runs before filtering. The oracle recomputes
+    every stat arithmetically from the deterministic sample formula, so a
+    wrong byte offset, endianness, or stride in the extractor
+    hash-mismatches. Integer sums stay < 2^53, so the double RMS is
+    bit-identical on both engines; rounding is HALF_UP 6 dp JVM-side.
+    Scale shape: linear mapInPandas, constant memory per batch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pycaim_spark.operators.multimodal import (
+        make_wav,
+        media_params_for_doc,
+        wav_samples,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "channels": [], "sample_rate": [],
+                    "duration_ms": [], "peak": [], "rms": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 3 != 1:
+                    continue
+                p = media_params_for_doc(i)
+                s = wav_samples(
+                    make_wav(p["sample_rate"], p["channels"], p["n_samples"])
+                ).astype(np.int64)
+                rows["doc_id"].append(i)
+                rows["channels"].append(p["channels"])
+                rows["sample_rate"].append(p["sample_rate"])
+                rows["duration_ms"].append(
+                    p["n_samples"] * 1000 // p["sample_rate"]
+                )
+                rows["peak"].append(int(np.max(np.abs(s))))
+                rows["rms"].append(float(np.sqrt((s * s).sum() / len(s))))
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select("doc_id").mapInPandas(
+        gen,
+        "doc_id long, channels long, sample_rate long, duration_ms long, "
+        "peak long, rms double",
+    )
+    return out.withColumn("rms", F.round("rms", 6))
+
+
+@register(
     "mm_frame_sample",
     tags=("llm", "multimodal"),
     oracle="""
