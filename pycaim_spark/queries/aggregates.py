@@ -236,6 +236,44 @@ def dedup_distinct(spark, sf_dir):
 
 
 @register(
+    "agg_histogram",
+    tags=("agg",),
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS INT) AS bucket,
+           CAST(FLOOR(l_extendedprice / 5000.0) AS INT) * 5000.0 AS lo,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram of a numeric column — the distribution-profiling
+    aggregate every engine exposes (width_bucket / histogram). Bucketing by
+    arithmetic (floor(x / width)) keeps the semantics engine-neutral and the
+    whole plan one map-side-combined hash aggregate: bucket count is
+    data-independent, so the shuffle carries at most n_buckets rows per
+    partition at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 5000.0).alias("lo"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@register(
     "agg_collect",
     tags=("agg",),
     oracle="""

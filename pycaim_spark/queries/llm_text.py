@@ -305,6 +305,140 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_ngram_lm",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bg
+           FROM toks,
+                LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+           WHERE len(ws) >= 2),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_logp
+    FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_lm(spark, sf_dir):
+    """Corpus-trained bigram LM quality score (task north star: quality
+    scoring): per document, the mean log-probability of its bigrams under
+    the corpus MLE model P(w2|w1) = c(w1 w2) / c(w1 ·). Low scores mark
+    statistically surprising documents — the cheap count-based stand-in for
+    the perplexity filter (KenLM-style) a pre-training pipeline runs.
+
+    All-JVM: two vocabulary-sized count aggregates, one shuffle join on the
+    bigram key, a broadcast join on the unigram key, then a per-doc
+    aggregate. At 100 TB the count tables stay vocabulary-sized (they
+    partial-aggregate map-side), so the only data-sized shuffles are the
+    bigram join and the per-doc agg. Every observed bigram has c2 ≥ 1, so
+    the MLE needs no smoothing; ln over identical doubles is bit-identical
+    across engines and the 6dp-rounded terms accumulate exactly in decimal
+    (functions/exact.py rationale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    bigram_at = lambda i: F.struct(  # noqa: E731 — 1-based token index
+        F.element_at(F.col("ws"), i).alias("w1"),
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i),
+            F.element_at(F.col("ws"), (i + F.lit(1)).cast("int")),
+        ).alias("bg"),
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("ws") - 1), bigram_at)
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.bg")
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    logp = F.round(
+        F.log(F.col("c2").cast("double") / F.col("c1")), 6
+    ).cast("decimal(18,6)")
+    return (
+        bg.join(c2, "bg")
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(logp).cast("double") / F.count(F.lit(1))).alias("avg_logp"),
+        )
+    )
+
+
+@register(
+    "text_dup_spans",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents),
+    sp AS (SELECT doc_id, array_to_string(ws[i:i + 4], ' ') AS span
+           FROM toks,
+                LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t
+           WHERE len(ws) >= 5),
+    sd AS (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM sp JOIN sd USING (span)
+    GROUP BY doc_id
+    """,
+)
+def text_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span profile — the n-gram inverted-index
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, how many of its 5-token spans also occur in at least one
+    OTHER document. High dup_ratio marks boilerplate/template documents
+    that exact- and MinHash-dedup both miss (they match whole documents;
+    this matches shared substrings).
+
+    Scale shape: one span-level count-distinct aggregate (vocabulary of
+    observed spans — partial-aggregated map-side, never all-pairs) and one
+    shuffle join of spans against it; a true suffix array would need a
+    global sort, this stays embarrassingly bucket-parallel. Span
+    occurrences (not per-doc distinct spans) are counted, so a doc
+    repeating its own boilerplate twice still needs a second DISTINCT doc
+    to flag it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 5)
+    span_at = lambda i: F.array_join(  # noqa: E731 — 1-based token index
+        F.slice(F.col("ws"), i, 5), " "
+    )
+    sp = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("ws") - 4), span_at)
+        ).alias("span"),
+    )
+    sd = sp.groupBy("span").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = (F.col("nd") >= 2).cast("int")
+    return (
+        sp.join(sd, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@register(
     "mm_column",
     tags=("llm", "multimodal"),
     oracle="""

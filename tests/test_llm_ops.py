@@ -525,6 +525,51 @@ def test_ngram_ops_survive_short_docs(spark, tmp_path):
     assert all(r.split in ("train", "eval") for r in out)
 
 
+def test_dup_spans_flags_exactly_the_shared_boilerplate(spark, tmp_path):
+    """text_dup_spans: a 5-token span counts as duplicated iff it occurs in
+    ≥2 DISTINCT documents. Docs 0/1 share an 8-token boilerplate run (4
+    fully-contained 5-grams, position-independent); doc 2 is unique."""
+    rows = [
+        (0, "b1 b2 b3 b4 b5 b6 b7 b8 ua ub uc", "en", "s", 31),
+        (1, "va vb b1 b2 b3 b4 b5 b6 b7 b8", "en", "s", 29),
+        (2, "c1 c2 c3 c4 c5 c6", "en", "s", 17),
+        (3, "d1 d2 d3", "en", "s", 8),  # < 5 tokens: no spans, dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in REGISTRY["text_dup_spans"].fn(spark, sf).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_spans, out[0].n_dup_spans) == (7, 4)
+    assert (out[1].n_spans, out[1].n_dup_spans) == (6, 4)
+    assert (out[2].n_spans, out[2].n_dup_spans) == (2, 0)
+    assert out[1].dup_ratio == round(4 / 6, 6)
+
+
+def test_ngram_lm_scores_boilerplate_above_varied_context(spark, tmp_path):
+    """text_ngram_lm: under the corpus bigram MLE, a document whose bigrams
+    dominate their contexts scores near ln(1)=0 while a document spreading
+    one context over many continuations scores ln(1/k) per bigram."""
+    rows = [
+        # doc 0 repeats "the cat" -> P(cat|the) = 3/6, "cat the" = 2/2
+        (0, "the cat the cat the cat", "en", "s", 23),
+        # doc 1: "the" continues 3 distinct ways, each P(w|the) = 1/6
+        (1, "the dog x the pig y the hen", "en", "s", 27),
+        (2, "solo", "en", "s", 4),  # < 2 tokens: no bigrams, dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in REGISTRY["text_ngram_lm"].fn(spark, sf).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_bigrams == 5 and out[1].n_bigrams == 7
+    assert out[0].avg_logp > out[1].avg_logp
+
+
 def test_mm_decode_spark_parses_real_payloads(spark, sf_dir):
     from pycaim_spark.operators.multimodal import media_params_for_doc
     from pycaim_spark.registry import REGISTRY
