@@ -64,6 +64,42 @@ def sink_orc(spark, sf_dir):
 
 
 @register(
+    "sink_compact",
+    tags=("sink", "storage"),
+    rows_only_reason="sink + rewrite: compaction is a file-layout effect; "
+    "row equality across the rewrite and the file-count collapse are "
+    "asserted in tests/test_storage.py",
+)
+def sink_compact(spark, sf_dir):
+    """Small-file compaction: rewrite a fragmented dataset into few
+    right-sized files. Streaming ingest and over-parallel writers leave
+    thousands of KB-scale files; at 100 TB the resulting per-file open/
+    footer overhead dominates scan time and floods the driver with splits.
+    The compactor is a plain read → ``repartition(target)`` → rewrite:
+    target = ceil(bytes / 128 MiB) keeps each output at the cluster-default
+    split size, so one task reads one file afterwards. The fragmented
+    write here fans the orders table into 64 shards to create the
+    pathology on purpose; the returned frame re-reads the compacted copy
+    (proving it stays queryable) and the test asserts row equality plus
+    the 64 → few file collapse.
+    """
+    frag, out = _scratch("compact_frag"), _scratch("compact_out")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    target = max(1, -(-total_bytes // (128 << 20)))  # ceil div
+    fragmented.repartition(target).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
     "join_bucketed",
     tags=("join", "storage"),
     rows_only_reason="bucketed-table join; the shuffle-free plan (no "

@@ -57,6 +57,33 @@ def test_join_bucketed_has_no_exchange(spark, sf_dir):
     assert got == twin
 
 
+def test_sink_compact_collapses_files_and_preserves_rows(spark, sf_dir):
+    """sink_compact rows-only gate: the rewrite collapses the 64-shard
+    fragmented copy to ceil(bytes / 128 MiB) files (one at fixture scale)
+    and every row survives byte-identically."""
+    import os
+
+    from pycaim_spark.queries import relational
+
+    df = REGISTRY["sink_compact"].fn(spark, sf_dir)
+
+    def n_parquet(sub):
+        # NOT _scratch(): that helper rmtree's the path it returns.
+        path = os.path.join(relational._SCRATCH, sub)
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+    assert n_parquet("compact_frag") == 64
+    assert n_parquet("compact_out") == 1  # fixture ≪ 128 MiB
+    got = sorted(
+        (r.o_orderkey, r.o_custkey, r.o_totalprice) for r in df.collect()
+    )
+    src = load_table(spark, sf_dir, "orders")
+    expected = sorted(
+        (r.o_orderkey, r.o_custkey, r.o_totalprice) for r in src.collect()
+    )
+    assert got == expected
+
+
 def test_sink_orc_round_trip_and_pushdown(spark, sf_dir):
     """sink_orc rows-only gate: ORC round-trip preserves rows exactly and
     the ORC scan pushes the filter down."""
