@@ -115,6 +115,69 @@ def source_csv(spark, sf_dir):
 
 
 @register(
+    "source_csv_malformed",
+    tags=("scan",),
+    rows_only_reason="ingest-robustness surface: corrupt lines are planted "
+    "into the CSV copy at write time; the exact quarantine/parse split is "
+    "asserted in tests/test_relational.py",
+)
+def source_csv_malformed(spark, sf_dir):
+    """PERMISSIVE CSV ingest with corrupt-record quarantine — what a crawl
+    ingest actually faces: rows with the wrong column count, unparseable
+    numerics, bare garbage. PERMISSIVE mode (the default) parses what it
+    can, nulls what it can't, and lands each offending raw line in
+    ``_corrupt_record`` instead of failing the 100 TB job (FAILFAST) or
+    silently dropping lines (DROPMALFORMED). The returned frame counts
+    clean vs quarantined rows per source so the quarantine is observable —
+    the ingest-side analogue of the dedup guard's surfaced skip metric.
+
+    The malformed lines are planted deterministically into the CSV copy of
+    the events table (bad numeric, truncated row, garbage line) so the
+    operator exercises real parser failures, not a happy path.
+    """
+    out = _scratch("source_csv_malformed")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.mode("overwrite").option("header", False).csv(out)
+    # Plant malformed lines as an extra file in the directory (appending to
+    # a Spark-written part file breaks its .crc sidecar checksum); the
+    # *read* below is the operator under test, the write is fixture setup.
+    bad = "not_an_id,42,click,1.5\n99999999,77,purchase\ngarbage line\n"
+    with open(os.path.join(out, "planted_malformed.csv"), "w") as fh:
+        fh.write(bad)
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "_corrupt_record string"
+    )
+    # NB SPARK-21610: a query referencing ONLY _corrupt_record is
+    # disallowed; this one always projects event_type alongside it.
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # The report references EVERY schema column: CSV column pruning
+    # (spark.sql.csv.parser.columnPruning.enabled, default on) makes the
+    # parser skip unreferenced columns, and a parse failure in a skipped
+    # column would silently not quarantine.
+    return parsed.select(
+        F.col("event_type"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("value"),
+        F.when(F.col("_corrupt_record").isNull(), 0).otherwise(1).alias("quarantined"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("quarantined").cast("bigint").alias("n_quarantined"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "source_json",
     tags=("scan",),
     rows_only_reason="no JSON fixture exists; correctness = parquet→jsonl→read "

@@ -64,3 +64,23 @@ def test_csv_json_round_trips_preserve_rows(spark, sf_dir):
     for name in ("source_csv", "source_json"):
         got = {tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect()}
         assert got == expected, f"{name} round-trip lost rows"
+
+
+def test_csv_malformed_quarantines_exactly_the_planted_lines(spark, sf_dir):
+    """source_csv_malformed rows-only gate: the three planted corrupt lines
+    (bad numeric, short row, garbage) are quarantined — no more, no fewer —
+    and every clean events row still parses."""
+    from pycaim_spark.catalog import load_table
+
+    out = REGISTRY["source_csv_malformed"].fn(spark, sf_dir).collect()
+    total = sum(r.n_rows for r in out)
+    quarantined = sum(r.n_quarantined for r in out)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events + 3
+    assert quarantined == 3
+    # PERMISSIVE keeps the parseable fields of a corrupt row: the bad-
+    # numeric line still carries event_type 'click', the short row
+    # 'purchase' — so the quarantine is attributable per source.
+    by_type = {r.event_type: r.n_quarantined for r in out}
+    assert by_type.get("click", 0) >= 1 and by_type.get("purchase", 0) >= 1
+    assert by_type.get(None, 0) == 1  # the garbage line parses nothing
