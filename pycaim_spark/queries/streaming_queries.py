@@ -296,6 +296,45 @@ def stream_join_interval(spark, sf_dir):
 
 
 @register(
+    "stream_foreach_batch",
+    tags=("streaming", "sink"),
+    rows_only_reason="foreachBatch merge-sink is streaming-execution-only; "
+    "twin equality vs the batch aggregate, multi-batch accumulation, and "
+    "re-delivery idempotence are asserted in tests/test_streaming.py",
+)
+def stream_foreach_batch(spark, sf_dir):
+    """foreachBatch idempotent MERGE sink (the production pattern for
+    sinks Spark has no native exactly-once writer for): each micro-batch
+    upserts a per-user snapshot — event counts add, the latest event wins
+    by (ts, event_id) — into a versioned parquet table keyed by batch id,
+    so re-delivered batches skip instead of double-counting. Returns the
+    final snapshot re-read from the sink.
+    """
+    import os
+    import uuid
+
+    from pycaim_spark.streaming.runner import (
+        _SCRATCH,
+        latest_upsert_snapshot,
+        make_idempotent_upsert,
+        read_events_stream,
+    )
+
+    out = os.path.join(_SCRATCH, f"febatch_{uuid.uuid4().hex[:8]}")
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    query = (
+        stream.writeStream.foreachBatch(make_idempotent_upsert(out))
+        .option("checkpointLocation", os.path.join(out, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return latest_upsert_snapshot(spark, out)
+
+
+@register(
     "stream_sink",
     tags=("streaming", "sink"),
     rows_only_reason="streaming parquet sink with checkpoint; re-read "

@@ -66,6 +66,85 @@ def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFra
     return result.sparkSession.table(name)
 
 
+def make_idempotent_upsert(out: str):
+    """foreachBatch callback: MERGE each micro-batch into a versioned
+    per-user snapshot table, exactly-once without a transactional format.
+
+    The production sink pattern foreachBatch exists for: per batch,
+    aggregate the delta (per-user event count + latest event), merge it
+    with the previous snapshot (counts add, latest wins by (ts, event_id)),
+    and write an immutable version directory ``v{batch_id}``. Idempotence
+    is batch-id keyed — a re-delivered batch (sink failure after write,
+    before checkpoint commit) finds its completed version directory and
+    SKIPS, so at-least-once delivery plus this sink equals exactly-once.
+    Versioned-dir-plus-latest-pointer is the delta-less stand-in for what
+    Delta/Iceberg give transactionally; the foreachBatch body runs on the
+    DRIVER (only the DataFrame ops inside distribute), so the os.path
+    bookkeeping is coordinator-local by design.
+    """
+    os.makedirs(out, exist_ok=True)
+
+    def _flat(agg: DataFrame) -> DataFrame:
+        return agg.select(
+            "user_id",
+            "n_events",
+            F.col("_last.ts").alias("last_ts"),
+            F.col("_last.event_id").alias("last_event_id"),
+            F.col("_last.event_type").alias("last_event_type"),
+        )
+
+    def _done_versions() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(out)
+            if d.startswith("v")
+            and os.path.exists(os.path.join(out, d, "_SUCCESS"))
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(out, f"v{batch_id}")
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            return  # re-delivered batch: already merged, skip
+        snap = _flat(
+            batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
+            )
+        )
+        done = _done_versions()
+        if done:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(out, f"v{done[-1]}")
+            )
+            snap = _flat(
+                prev.unionByName(snap)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.max(
+                        F.struct(
+                            F.col("last_ts").alias("ts"),
+                            F.col("last_event_id").alias("event_id"),
+                            F.col("last_event_type").alias("event_type"),
+                        )
+                    ).alias("_last"),
+                )
+            )
+        snap.write.mode("overwrite").parquet(vdir)
+
+    return upsert
+
+
+def latest_upsert_snapshot(spark: SparkSession, out: str) -> DataFrame:
+    """Read the highest completed version written by the idempotent upsert."""
+    done = sorted(
+        int(d[1:])
+        for d in os.listdir(out)
+        if d.startswith("v") and os.path.exists(os.path.join(out, d, "_SUCCESS"))
+    )
+    return spark.read.parquet(os.path.join(out, f"v{done[-1]}"))
+
+
 def batch_events_with_tz_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch events with ``ts`` as TimestampType (UTC) — the exact input
     type the streaming plans see, for twin-equality comparisons."""

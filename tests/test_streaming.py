@@ -67,6 +67,68 @@ def test_stream_stateful_counts_equal_batch_groupby(spark, sf_dir):
     assert _rows(got, "user_id", "n_events") == _rows(twin, "user_id", "n_events")
 
 
+def test_foreach_batch_upsert_equals_batch_aggregate(spark, sf_dir):
+    """stream_foreach_batch rows-only gate: the merged snapshot equals the
+    batch per-user aggregate (counts + latest event by (ts, event_id))."""
+    got = REGISTRY["stream_foreach_batch"].fn(spark, sf_dir)
+    from pycaim_spark.streaming.runner import batch_events_with_tz_ts
+
+    ev = batch_events_with_tz_ts(spark, sf_dir)
+    twin = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("_l"),
+        )
+        .select(
+            "user_id", "n_events",
+            F.col("_l.event_id").alias("last_event_id"),
+            F.col("_l.event_type").alias("last_event_type"),
+        )
+    )
+    cols = ("user_id", "n_events", "last_event_id", "last_event_type")
+    assert _rows(got, *cols) == _rows(twin, *cols)
+
+
+def test_foreach_batch_upsert_accumulates_and_skips_redelivery(spark, tmp_path):
+    """Multi-batch semantics of the idempotent merge sink: counts add
+    across batches, latest-event wins by (ts, event_id), and re-delivering
+    an already-committed batch id changes NOTHING (exactly-once from
+    at-least-once delivery)."""
+    from pycaim_spark.streaming.runner import (
+        latest_upsert_snapshot,
+        make_idempotent_upsert,
+    )
+
+    out = str(tmp_path / "upsert")
+    upsert = make_idempotent_upsert(out)
+    b0 = spark.createDataFrame(
+        [(1, _t(1, 0), 10, "view"), (2, _t(1, 5), 10, "click"),
+         (3, _t(1, 0), 20, "view")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, _t(2, 0), 10, "purchase"), (5, _t(0, 30), 20, "click")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    upsert(b0, 0)
+    upsert(b1, 1)
+    snap = {
+        r.user_id: (r.n_events, r.last_event_id, r.last_event_type)
+        for r in latest_upsert_snapshot(spark, out).collect()
+    }
+    # user 10: 3 events total, latest is the batch-1 purchase;
+    # user 20: 2 events, but batch 1's event is EARLIER -> batch-0 view wins
+    assert snap == {10: (3, 4, "purchase"), 20: (2, 3, "view")}
+    # re-deliver batch 1 (sink crash after write, before checkpoint commit)
+    upsert(b1, 1)
+    snap2 = {
+        r.user_id: (r.n_events, r.last_event_id, r.last_event_type)
+        for r in latest_upsert_snapshot(spark, out).collect()
+    }
+    assert snap2 == snap  # no double-count
+
+
 def test_stream_sink_roundtrip_preserves_rows(spark, sf_dir):
     got = REGISTRY["stream_sink"].fn(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
