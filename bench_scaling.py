@@ -34,6 +34,8 @@ LLM_QUERIES = [
     "sim_lsh_bucketed",
     "sim_ivf",
     "text_tfidf",
+    "text_ngram_lm",
+    "text_dup_spans",
     "mm_decode",
     "caim_fit",
     "pipeline_pretrain",
@@ -111,6 +113,12 @@ def main() -> None:
     if "--llm" in argv:
         argv.remove("--llm")
         names = LLM_QUERIES
+    if "--only" in argv:
+        # --only a,b,c: sweep a subset (same warm-median protocol) — for
+        # adding one operator's scale curve without re-running the family.
+        i = argv.index("--only")
+        names = argv[i + 1].split(",")
+        del argv[i:i + 2]
     sf_dirs = argv or [
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
