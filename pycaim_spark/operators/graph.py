@@ -183,3 +183,63 @@ def connected_components_star(
         child_labels.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     return child_labels.union(root_labels)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 8,
+) -> DataFrame:
+    """PageRank over the symmetrized edge set: (node, rank) after a fixed
+    ``n_iter`` power iterations, rank mass summing to 1.
+
+    The iterative-algorithm pattern beyond connected components: per
+    round, every node's rank splits evenly among its neighbors and each
+    node collects base + damping · Σ incoming — one equi-join plus one
+    groupBy on node id per round, lineage truncated with localCheckpoint
+    (same skeleton and 100 TB posture as ``connected_components``; the
+    driver never sees a row). Symmetrization means no dangling nodes
+    (every node in the edge set has degree ≥ 1), so no dangling-mass
+    redistribution term is needed. Fixed iteration count, not a
+    convergence test: deterministic round structure and one less
+    driver-side scalar per round; 8 rounds bound the power-iteration
+    error at damping 0.85 to ~0.85⁸ ≈ 0.27 of the initial gap, plenty to
+    rank near-dup hubs (exact tolerances asserted against the NumPy twin
+    in tests/test_llm_ops.py).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("a").alias("node"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        rd = ranks.join(nodes, "node")
+        contribs = (
+            sym.join(rd, sym.b == rd.node)
+            .groupBy("a")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contribs, nodes.node == contribs.a, "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -496,3 +496,29 @@ def dedup_clusters_star(spark, sf_dir):
             (cluster == F.col("doc_id")).cast("int").alias("is_canonical"),
         )
     )
+
+
+@register(
+    "graph_pagerank",
+    tags=("llm", "dedup", "graph"),
+    rows_only_reason="iterative float power iteration has no practical SQL "
+    "twin (recursive CTE over float aggregation); ranks are asserted "
+    "against a NumPy power-iteration twin and analytic star-graph values "
+    "in tests/test_llm_ops.py",
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank centrality of the near-duplicate graph (same bigram-Jaccard
+    ≥ 0.2 edges as dedup_clusters): high-rank nodes are the boilerplate
+    HUBS — documents similar to many others — which is exactly the triage
+    order a cleanup pipeline wants (inspect/remove the template a thousand
+    pages were stamped from before its instances). Iterative DataFrame
+    power iteration (operators/graph.py pagerank); rank rounded to 9dp for
+    cross-run display stability.
+    """
+    from pycaim_spark.operators.graph import pagerank
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    pr = pagerank(pairs, src="id_a", dst="id_b")
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
+    ).orderBy(F.col("rank").desc(), "doc_id")

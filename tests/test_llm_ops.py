@@ -525,6 +525,34 @@ def test_ngram_ops_survive_short_docs(spark, tmp_path):
     assert all(r.split in ("train", "eval") for r in out)
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank rows-only gate: ranks after 8 fixed iterations equal a
+    NumPy power iteration with identical damping/rounds (tolerance covers
+    summation-order ulps only), mass sums to 1, and the planted hub of a
+    star graph ranks strictly highest."""
+    import numpy as np
+
+    from pycaim_spark.operators.graph import pagerank
+
+    # star: hub 0 — leaves 1..5, plus a detached pair (6, 7)
+    edge_list = [(0, i) for i in range(1, 6)] + [(6, 7)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=8).collect()}
+
+    n, d = 8, 0.85
+    adj = np.zeros((n, n))
+    for a, b in edge_list:
+        adj[a, b] = adj[b, a] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        r = (1 - d) / n + d * (adj @ (r / deg))
+    for node in range(n):
+        assert abs(got[node] - r[node]) < 1e-9, node
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
 def test_dup_spans_flags_exactly_the_shared_boilerplate(spark, tmp_path):
     """text_dup_spans: a 5-token span counts as duplicated iff it occurs in
     ≥2 DISTINCT documents. Docs 0/1 share an 8-token boilerplate run (4
