@@ -259,3 +259,67 @@ def scd2_history(spark, sf_dir):
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "events_mad_outliers",
+    tags=("pipeline", "analytics", "quality"),
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT event_id, d.event_type, value,
+           round(d.med, 6) AS med,
+           round(mad.mad, 6) AS mad,
+           CASE WHEN ABS(value - round(d.med, 6)) > 3 * round(mad.mad, 6)
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM dev d JOIN mad USING (event_type)
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier flagging by median absolute deviation — the
+    data-quality screen that survives the outliers it hunts (mean/stddev
+    z-scores get dragged by the very anomalies they should flag; the
+    median/MAD pair has a 50% breakdown point). Flags every event whose
+    value sits more than 3 MADs from its event_type's median.
+
+    Two exact grouped percentiles (median of value, then median of the
+    absolute deviations) + two broadcast joins of the tiny per-type stats
+    back onto the stream — at 100 TB the only data-sized operations are
+    the percentile aggregates, and those can swap to approx_percentile
+    sketches (agg_approx_percentile) without changing the query shape.
+    Exact interpolated percentile is engine-identical on identical doubles
+    (precedent: agg_stats price_median, oracle-green); med/mad are rounded
+    to 6dp and the flag is computed FROM the rounded values so the
+    comparison is bit-stable cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "_med",
+        F.abs(F.col("value") - F.col("_med")).alias("_adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    med6, mad6 = F.round("_med", 6), F.round("_mad", 6)
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        med6.alias("med"),
+        mad6.alias("mad"),
+        (F.abs(F.col("value") - med6) > 3 * mad6).cast("int").alias("is_outlier"),
+    )
