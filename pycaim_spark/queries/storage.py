@@ -64,6 +64,43 @@ def sink_orc(spark, sf_dir):
 
 
 @register(
+    "join_dpp",
+    tags=("join", "storage"),
+    oracle="""
+    SELECT 'finished' AS label, COUNT(*) AS n
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: a fact table partitioned on the join key,
+    joined to a dim filtered on a NON-partition attribute — the partitions
+    to read are only known at runtime, after the dim side is evaluated.
+    Catalyst injects the dim's join keys into the fact scan as a
+    ``dynamicpruningexpression`` partition filter (reusing the broadcast,
+    so the dim is evaluated once), and the scan touches ONE status
+    directory instead of all of them. At 100 TB this is the difference
+    between scanning a full fact table and scanning one date/status slice
+    when the predicate lives on the dim — the runtime complement of static
+    partition pruning (sink_partitioned). The plan assertion lives in
+    tests/test_storage.py; the oracle checks the end result against the
+    unpartitioned source.
+    """
+    part = _scratch("dpp_orders")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(part)
+    fact = spark.read.parquet(part)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "finished")
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.status)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "sink_compact",
     tags=("sink", "storage"),
     rows_only_reason="sink + rewrite: compaction is a file-layout effect; "

@@ -57,6 +57,23 @@ def test_join_bucketed_has_no_exchange(spark, sf_dir):
     assert got == twin
 
 
+def test_join_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """join_dpp plan gate: the fact scan must carry a
+    dynamicpruningexpression under PartitionFilters — runtime pruning from
+    the dim side, not a static filter and not a full scan."""
+    df = REGISTRY["join_dpp"].fn(spark, sf_dir)
+    plan = _plan(df)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "dynamicpruning" in part_lines[0]
+    [row] = df.collect()
+    expected = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert (row.label, row.n) == ("finished", expected)
+
+
 def test_sink_compact_collapses_files_and_preserves_rows(spark, sf_dir):
     """sink_compact rows-only gate: the rewrite collapses the 64-shard
     fragmented copy to ceil(bytes / 128 MiB) files (one at fixture scale)
