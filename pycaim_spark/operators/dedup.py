@@ -32,9 +32,9 @@ def _banded_pairs_with_guard(
     shape: str | None = None,
     pair_filter=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Bucket self-join with the dense-clique STAR guard, in one of three
+    """Bucket self-join with the dense-clique STAR guard, in one of five
     measured plan shapes (A/B evidence: ISOLATE_r8.json; select with env
-    ``PYCAIM_LSH_GUARD_SHAPE`` ∈ {window, join, anti, nopart}).
+    ``PYCAIM_LSH_GUARD_SHAPE`` ∈ {grouped, window, join, anti, nopart}).
 
     Input ``bands`` has columns ``keys… , id`` (+ ``sig`` when
     ``with_sig``). Returns ``(pairs, wide_buckets)`` where ``pairs`` is
@@ -42,36 +42,36 @@ def _banded_pairs_with_guard(
     ``max_bucket_width``, star pairs against the bucket min id beyond it —
     and ``wide_buckets`` is (keys…, width) for the degraded buckets.
 
-    Measured at sf0.1 (ISOLATE_r8.json, fresh JVM, median of 3) as
-    (dedup_minhash, dedup_simhash) seconds:
+    Decision evidence — 4 alternating paired rounds at sf0.1
+    (ISOLATE_r8.json ``dedup_shape_paired_series``; single A/B runs
+    bounced with box noise, the paired series is the citable result), as
+    (dedup_minhash, dedup_simhash) median seconds:
 
-    - ``window`` (default; 2.35, 4.74): tag every band row with its bucket
-      width and bucket-min via ONE window over the bucket key — a single
-      skinny shuffle+sort, no stats join at all; narrow/star split is a
-      filter.
-    - ``join`` (2.92, 11.89): the round-6 shape — groupBy stats,
-      inner-join back (re-shuffles the band rows for the tagging join).
-    - ``anti`` (3.82, 7.54): the round-7 shape — explicit repartition +
-      left-anti against the wide list.
-    - ``nopart`` (3.51, 13.55): stats via small aggregate, AQE-broadcast
-      anti-join, no explicit exchange — re-evaluates the band expressions
-      per consumer.
+    - ``grouped`` (default; 2.67, 3.65): ONE groupBy collects each
+      bucket's sorted members; pair expansion is a codegen'd HOF over the
+      array — no window sort, no self-join, a single read of the bands
+      exchange, and the narrow/star guard is a per-row ``when`` on
+      ``size()``. Wins dedup_minhash in 4/4 pairs (~16% vs window) with
+      visibly lower variance; dedup_simhash is a wash.
+    - ``window`` (3.19, 3.73): tag every band row with bucket width and
+      bucket-min via one window over the bucket key; narrow/star split is
+      a filter, pairs via self-join.
+    - ``join`` / ``anti`` / ``nopart``: the round-6/7 historical shapes
+      (groupBy stats + tagging join; explicit repartition + left-anti;
+      AQE-broadcast anti) — all measured slower (earlier ISOLATE_r8.json
+      rows: minhash 2.92 / 3.82 / 3.51, simhash 11.89 / 7.54 / 13.55,
+      different session, same protocol).
 
-    Guard-off control: 1.62 (minhash; the ≤1.5 s target sits BELOW the
-    no-guard floor on this box) and 10.54 (simhash — star pairing prunes
-    the homogeneous fixture's wide buckets, so the guard is a net WIN
-    there). All shapes are pure physical variants; a parametrized test
-    asserts identical output (tests/test_llm_ops.py
-    test_guard_shapes_equivalent).
-
-    The simhash column of the shape table predates two later wins kept
-    under the default window shape (final ISOLATE_r8.json
-    dedup_shape_window row: minhash 2.62, simhash 3.46): the JVM-side
-    signature (see ``with_simhash``) and the Hamming ``pair_filter``
-    below, which cuts failing candidates before the dedup shuffle.
+    Guard-off control: 1.75 minhash (ISOLATE_r8.json dedup_guard_off,
+    same session as the series) — the residual guard cost is the
+    collect_list vs plain self-join delta, paid for bounding per-task
+    memory at W ≤ cap; on simhash the guard is a net WIN (guard-off 4.84,
+    star pairing prunes the homogeneous fixture's wide buckets). All
+    shapes are pure physical variants; a parametrized test asserts
+    identical output (tests/test_llm_ops.py test_guard_shapes_equivalent).
     """
     if shape is None:
-        shape = os.environ.get("PYCAIM_LSH_GUARD_SHAPE", "window")
+        shape = os.environ.get("PYCAIM_LSH_GUARD_SHAPE", "grouped")
     cap = max_bucket_width
     min_expr = F.min(F.struct("id", "sig")) if with_sig else F.min("id")
 
@@ -98,7 +98,54 @@ def _banded_pairs_with_guard(
         )
         return wide_rows.filter(F.col("id") != min_id).select(*cols)
 
-    if shape == "window":
+    if shape == "grouped":
+        # ONE groupBy collects each bucket's (sorted) members; pair
+        # expansion is a pure codegen'd HOF over the array — no window
+        # sort, no self-join, no second read of the bands exchange. The
+        # narrow/star split is a per-row ``when`` on the array size, so
+        # the guard costs a size() check instead of a plan branch, and the
+        # cap bounds the expanded array at cap²/2 structs (~512 KB at the
+        # default 256) — per-ROW memory, which is what actually protects a
+        # 100 TB run from a W² clique blowup.
+        elem = F.struct("id", "sig") if with_sig else F.struct("id")
+        grouped = bands.groupBy(*keys).agg(
+            F.sort_array(F.collect_list(elem)).alias("_ids")
+        )
+        n = F.size("_ids")
+        pair = lambda a, b: F.struct(a.alias("_a"), b.alias("_b"))  # noqa: E731
+        all_pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(F.col("_ids"), (i + F.lit(1)).cast("int"), n),
+                    lambda x: pair(F.element_at(F.col("_ids"), i), x),
+                ),
+            )
+        )
+        star_pairs = F.transform(
+            F.slice(F.col("_ids"), 2, n - 1),
+            lambda x: pair(F.element_at(F.col("_ids"), 1), x),
+        )
+        # n >= 2 filter BEFORE the expansion: width-1 buckets (the vast
+        # majority) emit nothing, and sequence(1, 0) would DESCEND into an
+        # element_at(_ids, 0) error (same Spark gotcha as the n-gram ops).
+        exploded = grouped.filter(n >= 2).select(
+            F.explode(
+                F.when(n <= cap, all_pairs).otherwise(star_pairs)
+            ).alias("_p")
+        )
+        cols = [
+            F.col("_p._a.id").alias("id_a"), F.col("_p._b.id").alias("id_b"),
+        ] + (
+            [F.col("_p._a.sig").alias("sig_a"), F.col("_p._b.sig").alias("sig_b")]
+            if with_sig else []
+        )
+        pairs = exploded.select(*cols)
+        star = pairs.limit(0)  # star pairs are already inside `pairs`
+        wide_buckets = grouped.filter(n > cap).select(
+            *keys, n.cast("long").alias("width")
+        )
+    elif shape == "window":
         w = Window.partitionBy(*keys)
         tagged = bands.select(
             "*",

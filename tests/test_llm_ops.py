@@ -349,7 +349,8 @@ def test_minhash_wide_bucket_star_degradation(spark):
 
 
 def test_guard_shapes_equivalent(spark, monkeypatch):
-    """The three A/B'd guard plan shapes (window / join / anti — see
+    """The A/B'd guard plan shapes (window / join / anti / nopart /
+    grouped — see
     ISOLATE_r8.json and operators/dedup.py) are pure physical-plan
     variants: on a corpus mixing a wide clique with narrow near-dups they
     must return EXACTLY the same pairs and wide-bucket stats."""
@@ -365,7 +366,7 @@ def test_guard_shapes_equivalent(spark, monkeypatch):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     results, sim_results = {}, {}
-    shapes = ("window", "join", "anti", "nopart")
+    shapes = ("window", "join", "anti", "nopart", "grouped")
     for shape in shapes:
         monkeypatch.setenv("PYCAIM_LSH_GUARD_SHAPE", shape)
         pairs, wide = minhash_candidate_pairs(

@@ -37,6 +37,10 @@ CONFIGS: dict[str, tuple[dict[str, str], list[str]]] = {
         {"PYCAIM_LSH_GUARD_SHAPE": "nopart"},
         ["dedup_minhash", "dedup_simhash"],
     ),
+    "dedup_shape_grouped": (
+        {"PYCAIM_LSH_GUARD_SHAPE": "grouped"},
+        ["dedup_minhash", "dedup_simhash"],
+    ),
     "dedup_guard_off": (
         {"PYCAIM_LSH_MAX_BUCKET": "0"},
         ["dedup_minhash", "dedup_simhash"],
