@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from pycaim_spark.catalog import load_table
-from pycaim_spark.functions.exact import DEC2, davg, dec2, dmul_sum, dsum
+from pycaim_spark.functions.exact import DEC, DEC2, davg, dec2, dmul_sum, dsum
 from pycaim_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -233,6 +233,67 @@ def dedup_distinct(spark, sf_dir):
     """SELECT DISTINCT rows (SURVEY §2.B dedup_distinct)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "agg_incremental_merge",
+    tags=("agg", "pipeline"),
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: merge partial aggregate STATES
+    instead of recomputing from raw rows — the pattern behind materialized-
+    view refresh and the streaming foreachBatch sink. The table is split
+    into a 'base' and a 'delta' slice (ship date boundary), each slice is
+    aggregated independently into mergeable state (count, decimal sum —
+    note NOT avg: averages don't merge, (sum, count) pairs do), the states
+    are merged with a full-outer join, and avg is derived at the end. The
+    oracle aggregates the unsplit table directly — bit-equality proves the
+    merge is exact, which is what lets a 100 TB pipeline refresh a daily
+    rollup by touching one day of data. Decimal partial sums merge in
+    decimal space (associative) and convert to double once at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    boundary = "1995-01-01"
+
+    def slice_agg(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("_s"),
+        )
+
+    base = slice_agg(li.filter(F.col("l_shipdate") < boundary))
+    delta = slice_agg(li.filter(F.col("l_shipdate") >= boundary))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), "l_returnflag", "full_outer")
+        .select(
+            "l_returnflag",
+            (
+                F.coalesce(F.col("b._n"), F.lit(0))
+                + F.coalesce(F.col("d._n"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("b._s"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col("d._s"), F.lit(0).cast(DEC))
+            ).alias("_s"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("_s").cast("double").alias("sum_price"),
+        (F.col("_s").cast("double") / F.col("n_rows")).alias("avg_price"),
+    )
 
 
 @register(
