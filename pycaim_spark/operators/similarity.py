@@ -452,6 +452,154 @@ def ivf_topk_neighbors(
     )
 
 
+def pq_topk_neighbors(
+    emb: DataFrame,
+    m: int = 8,
+    k_centroids: int = 16,
+    k: int = 5,
+    n_queries: int = 10,
+    n_candidates: int = 32,
+    sample_size: int = 1024,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization (PQ) approximate top-k cosine neighbors — the
+    memory-compression scale path next to IVF and sign-LSH: each vector is
+    stored as ``m`` one-byte codes (64 float32 → 8 bytes here, 32×), and
+    queries scan CODES, not vectors, via asymmetric distance (ADC).
+
+    1. Train ``m`` per-subspace codebooks (``k_centroids`` L2 k-means
+       centroids over each dim/m-wide slice) on a driver-side sample —
+       standard PQ practice (FAISS trains codebooks on a sample too).
+    2. Encode the corpus: nearest centroid per subspace → ``codes``
+       (array<int>, the compressed representation) plus the
+       reconstruction norm ``Σ_m |centroid|²`` (exact because subspaces
+       are orthogonal) — one Arrow-batched pass, no shuffle.
+    3. ADC scoring FROM CODES ONLY: per query, a ``m × k_centroids``
+       look-up table of subspace dot products travels in the UDF closure;
+       a corpus row's approximate cosine is ``Σ lut[i][code_i]`` over its
+       codes divided by (query norm · reconstruction norm). No join — the
+       scorer emits one score per query via posexplode.
+    4. The top ``n_candidates`` per query by ADC are re-ranked with the
+       EXACT JVM-side cosine (broadcast equi-join on query id), so every
+       returned cos is exact and recall is the only approximation — same
+       output shape as ``sim_cosine_exact`` / ``ivf_topk_neighbors``.
+
+    At 100 TB the codes table is ~1/30 the bytes of the vectors, scans
+    stay Arrow-batched and shuffle-free, and the only joins are the tiny
+    candidate re-rank — combine with the IVF cell layout for the full
+    IVF-PQ design.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    sample = np.stack(
+        emb.orderBy("vec_id")
+        .limit(sample_size)
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    dim = sample.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    codebooks = np.empty((m, k_centroids, sub))
+    for i in range(m):
+        x = sample[:, i * sub : (i + 1) * sub]
+        cent = x[rng.choice(len(x), k_centroids, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_centroids):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        codebooks[i] = cent
+    cent_sqnorm = (codebooks**2).sum(-1)  # (m, K)
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    # luts[q][i][c] = dot(query_q subspace i, codebook[i][c])
+    luts = np.einsum(
+        "qis,ics->qic", q_mat.reshape(len(q_rows), m, sub), codebooks
+    )
+
+    def _encode(col):
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        parts = mat.reshape(len(mat), m, sub)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for i in range(m):
+            d2 = ((parts[:, i, None, :] - codebooks[None, i]) ** 2).sum(-1)
+            codes[:, i] = d2.argmin(1)
+        recon = np.sqrt(cent_sqnorm[np.arange(m), codes].sum(1))
+        return pd.DataFrame({"codes": list(codes), "recon_norm": recon})
+
+    encode = F.pandas_udf(_encode, "codes array<int>, recon_norm double")
+
+    def _adc_scores(codes, recon):
+        c = np.stack(codes.to_numpy())  # (rows, m)
+        # Σ_i lut[q][i][c_i]: gather per subspace, sum — codes only.
+        dots = luts[:, np.arange(m), c].sum(-1)  # (q, rows)
+        approx = dots / (q_norms[:, None] * recon.to_numpy()[None, :])
+        return pd.Series(list(approx.T))
+
+    adc = F.pandas_udf(_adc_scores, "array<double>")
+
+    coded = emb.select("vec_id", encode("embedding").alias("_pq")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_pq.codes").alias("codes"),
+        F.col("_pq.recon_norm").alias("recon_norm"),
+    )
+    scored = coded.select(
+        "neighbor_id",
+        F.posexplode(adc("codes", "recon_norm")).alias("query_id", "approx"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    queries_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(int(r.vec_id), list(map(float, r.embedding))) for r in q_rows],
+            "query_id int, q_emb array<double>",
+        ).select(
+            "query_id", "q_emb", norm_expr(F.col("q_emb")).alias("q_norm")
+        )
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_expr(F.col("embedding")).alias("c_norm"),
+    )
+    cos = F.round(
+        dot_expr(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(queries_df, "query_id")
+        .join(v, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 # Ship by value: Spark workers cannot import pycaim_spark (driver-only
 # sys.path); nested UDF closures resolve module globals through this.
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])

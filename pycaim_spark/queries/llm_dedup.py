@@ -522,3 +522,24 @@ def graph_pagerank(spark, sf_dir):
     return pr.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
     ).orderBy(F.col("rank").desc(), "doc_id")
+
+
+@register(
+    "sim_pq",
+    tags=("llm", "similarity"),
+    rows_only_reason="PQ quantization is an approximation (recall < 1 by "
+    "design); tests/test_llm_ops.py asserts recall vs sim_cosine_exact "
+    "top-5 and that every returned cosine is exact (ADC candidates are "
+    "exact-re-ranked)",
+)
+def sim_pq(spark, sf_dir):
+    """Product-quantization approximate top-5 cosine neighbors for 10
+    query vectors — the memory-compression ANN path (64 floats → 8 bytes
+    per vector, queries scan codes not vectors via asymmetric distance;
+    operators/similarity.py pq_topk_neighbors). Third ANN design point
+    beside sign-LSH (bucketing) and IVF (partition pruning); at 100 TB
+    the three compose (IVF-PQ with LSH dedup upstream)."""
+    from pycaim_spark.operators.similarity import pq_topk_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_neighbors(emb, m=8, k_centroids=16, k=5, n_queries=10)

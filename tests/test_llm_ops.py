@@ -144,6 +144,24 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_pq_recall_and_exact_rerank(spark, sf_dir):
+    """sim_pq rows-only gate: ADC-over-codes candidates re-ranked exactly.
+    Near-isotropic fixture embeddings are PQ's adversarial case (large
+    quantization error), so the bound is loose; every returned cosine must
+    equal the exact operator's value bit-for-bit (same fold, same
+    rounding)."""
+    exact = {(r.query_id, r.neighbor_id): r.cos
+             for r in REGISTRY["sim_cosine_exact"].fn(spark, sf_dir).collect()}
+    rows = REGISTRY["sim_pq"].fn(spark, sf_dir).collect()
+    assert len(rows) == 50  # 10 queries × top-5, rn dense per query
+    approx = {(r.query_id, r.neighbor_id): r.cos for r in rows}
+    for pair, cos in approx.items():
+        if pair in exact:
+            assert exact[pair] == cos  # exact re-rank: bit-identical
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.4, f"PQ recall collapsed: {recall:.2f}"
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation handles a 5-node chain (diameter > 1 forces
     multi-round convergence) plus a separate 2-clique."""
