@@ -33,6 +33,7 @@ LLM_QUERIES = [
     "dedup_simhash",
     "sim_lsh_bucketed",
     "sim_ivf",
+    "sim_pq",
     "text_tfidf",
     "text_ngram_lm",
     "text_dup_spans",
