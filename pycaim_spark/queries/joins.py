@@ -344,6 +344,81 @@ def join_range_interval(spark, sf_dir):
 
 
 @register(
+    "join_range_bucketed",
+    tags=("join",),
+    oracle="""
+    SELECT a.event_id AS signup_id,
+           b.event_id AS nearby_id,
+           b.event_type AS nearby_type,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+               AS delta_us
+    FROM events a
+    JOIN events b
+      ON abs(epoch_us(CAST(b.ts AS TIMESTAMP))
+              - epoch_us(CAST(a.ts AS TIMESTAMP))) <= 600000000
+     AND a.event_id <> b.event_id
+    WHERE a.event_type = 'signup'
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """Range join with NO equi key — every event within ±10 minutes of a
+    signup, across ALL users — via time-axis bucketization. A bare range
+    predicate gives Catalyst nothing to hash on, so the naive plan is a
+    BroadcastNestedLoopJoin: O(|A|·|B|) compares, the plan that dies first
+    at 100 TB. The fix is manufacturing an equi key from the range
+    dimension: bucket the time axis at the window width (10 min), explode
+    the probe side to its bucket ±1, equi-join on the bucket, and refine
+    with the exact predicate. Each B row lives in exactly ONE bucket and
+    the ±1 explosion covers every possible match, so the join is exact
+    with no dedup — 3× the probe rows buys a hash-partitionable plan
+    whose per-bucket work is bounded by temporal density, not corpus size
+    (bucket ids by exact integer DIV — no float time arithmetic).
+    The plan-audit gate proves the point: this query passes the no-BNLJ
+    rule that would flag the naive spelling. Delta is integer microseconds
+    (epoch_us both engines — no float time arithmetic).
+    """
+    bucket_us = 600_000_000  # 10 minutes, == the window width
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("nearby_id"),
+        F.col("event_type").alias("nearby_type"),
+        F.col("us").alias("b_us"),
+        F.expr(f"us DIV {bucket_us}").alias("bucket"),
+    )
+    a = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("us").alias("a_us"),
+            F.explode(
+                F.array(
+                    F.expr(f"us DIV {bucket_us}") - 1,
+                    F.expr(f"us DIV {bucket_us}"),
+                    F.expr(f"us DIV {bucket_us}") + 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.abs(F.col("b_us") - F.col("a_us")) <= bucket_us)
+            & (F.col("signup_id") != F.col("nearby_id"))
+        )
+        .select(
+            "signup_id",
+            "nearby_id",
+            "nearby_type",
+            (F.col("b_us") - F.col("a_us")).alias("delta_us"),
+        )
+    )
+
+
+@register(
     "join_asof",
     tags=("join",),
     oracle="""
