@@ -311,7 +311,7 @@ def stream_foreach_batch(spark, sf_dir):
     final snapshot re-read from the sink.
     """
     import os
-    import uuid
+    import shutil
 
     from pycaim_spark.streaming.runner import (
         _SCRATCH,
@@ -320,7 +320,12 @@ def stream_foreach_batch(spark, sf_dir):
         read_events_stream,
     )
 
-    out = os.path.join(_SCRATCH, f"febatch_{uuid.uuid4().hex[:8]}")
+    # Fixed sink dir, cleared at start: repeated runs REUSE the location
+    # instead of leaking a fresh uuid dir per run (checkpoint and data are
+    # cleared together — a stale checkpoint over an empty sink would replay
+    # nothing and report batches done).
+    out = os.path.join(_SCRATCH, "febatch_sink")
+    shutil.rmtree(out, ignore_errors=True)
     stream = read_events_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type"
     )
@@ -345,11 +350,12 @@ def stream_sink(spark, sf_dir):
     (SURVEY §2.B stream_sink)."""
     import os
     import shutil
-    import uuid
 
     from pycaim_spark.streaming.runner import _SCRATCH, read_events_stream
 
-    out = os.path.join(_SCRATCH, f"stream_sink_{uuid.uuid4().hex[:8]}")
+    # Fixed, cleared-at-start sink dir (same leak fix as stream_foreach_batch).
+    out = os.path.join(_SCRATCH, "stream_sink_out")
+    shutil.rmtree(out, ignore_errors=True)
     stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
     query = (
         stream.writeStream.format("parquet")

@@ -66,7 +66,7 @@ def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFra
     return result.sparkSession.table(name)
 
 
-def make_idempotent_upsert(out: str):
+def make_idempotent_upsert(out: str, keep_versions: int = 3):
     """foreachBatch callback: MERGE each micro-batch into a versioned
     per-user snapshot table, exactly-once without a transactional format.
 
@@ -81,6 +81,13 @@ def make_idempotent_upsert(out: str):
     Delta/Iceberg give transactionally; the foreachBatch body runs on the
     DRIVER (only the DataFrame ops inside distribute), so the os.path
     bookkeeping is coordinator-local by design.
+
+    Retention: after each successful write only the newest
+    ``keep_versions`` completed snapshots are kept (each version is a FULL
+    snapshot — older ones are replay history, not state), so a long-running
+    stream's version chain stays bounded. Idempotence survives pruning:
+    versions commit in batch order, so any batch id ≤ the newest completed
+    version is already folded into that snapshot and re-delivery skips.
     """
     os.makedirs(out, exist_ok=True)
 
@@ -105,16 +112,21 @@ def make_idempotent_upsert(out: str):
         vdir = os.path.join(out, f"v{batch_id}")
         if os.path.exists(os.path.join(vdir, "_SUCCESS")):
             return  # re-delivered batch: already merged, skip
+        prior = _done_versions()
+        if prior and prior[-1] >= batch_id:
+            # Re-delivered batch whose own version dir was pruned: versions
+            # commit in batch order, so the newest snapshot already folded
+            # this batch in — merging again would double-count.
+            return
         snap = _flat(
             batch_df.groupBy("user_id").agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
             )
         )
-        done = _done_versions()
-        if done:
+        if prior:
             prev = batch_df.sparkSession.read.parquet(
-                os.path.join(out, f"v{done[-1]}")
+                os.path.join(out, f"v{prior[-1]}")
             )
             snap = _flat(
                 prev.unionByName(snap)
@@ -131,6 +143,14 @@ def make_idempotent_upsert(out: str):
                 )
             )
         snap.write.mode("overwrite").parquet(vdir)
+        # Bounded retention: every version is a full snapshot, so only the
+        # newest keep_versions matter. Prune AFTER the new version's
+        # _SUCCESS exists — a crash mid-prune leaves extra (complete)
+        # versions, never a missing latest.
+        import shutil
+
+        for v in _done_versions()[: -max(keep_versions, 1)]:
+            shutil.rmtree(os.path.join(out, f"v{v}"), ignore_errors=True)
 
     return upsert
 
@@ -142,6 +162,12 @@ def latest_upsert_snapshot(spark: SparkSession, out: str) -> DataFrame:
         for d in os.listdir(out)
         if d.startswith("v") and os.path.exists(os.path.join(out, d, "_SUCCESS"))
     )
+    if not done:
+        raise FileNotFoundError(
+            f"no completed upsert snapshot under {out}: no v<N> directory "
+            "carries a _SUCCESS marker (the stream wrote nothing, or every "
+            "version write failed before commit)"
+        )
     return spark.read.parquet(os.path.join(out, f"v{done[-1]}"))
 
 

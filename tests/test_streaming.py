@@ -129,6 +129,45 @@ def test_foreach_batch_upsert_accumulates_and_skips_redelivery(spark, tmp_path):
     assert snap2 == snap  # no double-count
 
 
+def test_foreach_batch_upsert_retention_prunes_and_still_skips(spark, tmp_path):
+    """Version retention (ADVICE r8): only the newest keep_versions
+    snapshot dirs survive, re-delivering a PRUNED batch id still skips
+    (versions commit in order, so the newest snapshot folded it in), and
+    an empty store raises a clear error instead of IndexError."""
+    import os
+
+    import pytest
+
+    from pycaim_spark.streaming.runner import (
+        latest_upsert_snapshot,
+        make_idempotent_upsert,
+    )
+
+    out = str(tmp_path / "upsert_retention")
+    with pytest.raises(FileNotFoundError, match="no completed upsert"):
+        os.makedirs(out)
+        latest_upsert_snapshot(spark, out)
+
+    upsert = make_idempotent_upsert(out, keep_versions=2)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    for bid in range(4):
+        upsert(
+            spark.createDataFrame([(bid, _t(bid, 0), 10, "view")], schema), bid
+        )
+    versions = sorted(d for d in os.listdir(out) if d.startswith("v"))
+    assert versions == ["v2", "v3"]  # v0/v1 pruned
+    snap = {
+        r.user_id: r.n_events for r in latest_upsert_snapshot(spark, out).collect()
+    }
+    assert snap == {10: 4}
+    # re-deliver batch 0, whose version dir no longer exists: must SKIP
+    upsert(spark.createDataFrame([(0, _t(0, 0), 10, "view")], schema), 0)
+    snap2 = {
+        r.user_id: r.n_events for r in latest_upsert_snapshot(spark, out).collect()
+    }
+    assert snap2 == {10: 4}  # unchanged — no double-count after pruning
+
+
 def test_stream_sink_roundtrip_preserves_rows(spark, sf_dir):
     got = REGISTRY["stream_sink"].fn(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
