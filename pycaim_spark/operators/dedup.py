@@ -32,9 +32,9 @@ def _banded_pairs_with_guard(
     shape: str | None = None,
     pair_filter=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Bucket self-join with the dense-clique STAR guard, in one of five
-    measured plan shapes (A/B evidence: ISOLATE_r8.json; select with env
-    ``PYCAIM_LSH_GUARD_SHAPE`` ∈ {grouped, window, join, anti, nopart}).
+    """Bucket self-join with the dense-clique STAR guard, in one of six
+    measured plan shapes (select with env ``PYCAIM_LSH_GUARD_SHAPE`` ∈
+    {grouped, grouped_unbounded, window, join, anti, nopart}).
 
     Input ``bands`` has columns ``keys… , id`` (+ ``sig`` when
     ``with_sig``). Returns ``(pairs, wide_buckets)`` where ``pairs`` is
@@ -42,33 +42,39 @@ def _banded_pairs_with_guard(
     ``max_bucket_width``, star pairs against the bucket min id beyond it —
     and ``wide_buckets`` is (keys…, width) for the degraded buckets.
 
-    Decision evidence — 4 alternating paired rounds at sf0.1
-    (ISOLATE_r8.json ``dedup_shape_paired_series``; single A/B runs
-    bounced with box noise, the paired series is the citable result), as
-    (dedup_minhash, dedup_simhash) median seconds:
-
-    - ``grouped`` (default; 2.67, 3.65): ONE groupBy collects each
-      bucket's sorted members; pair expansion is a codegen'd HOF over the
-      array — no window sort, no self-join, a single read of the bands
-      exchange, and the narrow/star guard is a per-row ``when`` on
-      ``size()``. Wins dedup_minhash in 4/4 pairs (~16% vs window) with
-      visibly lower variance; dedup_simhash is a wash.
-    - ``window`` (3.19, 3.73): tag every band row with bucket width and
+    - ``grouped`` (default): the round-9 BOUNDED-state revision of the
+      grouped shape (ADVICE r8) — streaming (count, min) stats find wide
+      buckets, which are star-paired as a broadcast-join projection and
+      anti-joined OUT before any collect_list, so no aggregation buffer
+      ever holds more than ``cap`` structs. Decision evidence:
+      ISOLATE_r9.json ``dedup_shape_bounded_paired_series`` (4 alternating
+      paired rounds vs grouped_unbounded and window).
+    - ``grouped_unbounded``: the round-8 single-groupBy form — one read of
+      the bands exchange, narrow/star split as a per-row ``when`` on
+      ``size()``; fastest on a healthy corpus (ISOLATE_r8.json
+      ``dedup_shape_paired_series``: wins dedup_minhash 4/4 pairs, median
+      2.67 s vs window's 3.19; simhash a wash) but its collect_list buffer
+      is O(bucket width) and collect_list state is per-group
+      NON-spillable — the W-deep-clique exposure the bounded default
+      removes.
+    - ``window`` (3.19, 3.73 as (minhash, simhash) medians,
+      ISOLATE_r8.json): tag every band row with bucket width and
       bucket-min via one window over the bucket key; narrow/star split is
-      a filter, pairs via self-join.
+      a filter, pairs via self-join. Window partition buffers spill
+      (ExternalAppendOnlyUnsafeRowArray), trading disk for the bound.
     - ``join`` / ``anti`` / ``nopart``: the round-6/7 historical shapes
       (groupBy stats + tagging join; explicit repartition + left-anti;
       AQE-broadcast anti) — all measured slower (earlier ISOLATE_r8.json
       rows: minhash 2.92 / 3.82 / 3.51, simhash 11.89 / 7.54 / 13.55,
       different session, same protocol).
 
-    Guard-off control: 1.75 minhash (ISOLATE_r8.json dedup_guard_off,
-    same session as the series) — the residual guard cost is the
-    collect_list vs plain self-join delta, paid for bounding per-task
-    memory at W ≤ cap; on simhash the guard is a net WIN (guard-off 4.84,
-    star pairing prunes the homogeneous fixture's wide buckets). All
-    shapes are pure physical variants; a parametrized test asserts
-    identical output (tests/test_llm_ops.py test_guard_shapes_equivalent).
+    Guard-off control: 1.75 minhash (ISOLATE_r8.json dedup_guard_off) —
+    the residual guard cost is the collect_list vs plain self-join delta,
+    paid for bounding per-task memory at W ≤ cap; on simhash the guard is
+    a net WIN (guard-off 4.84, star pairing prunes the homogeneous
+    fixture's wide buckets). All shapes are pure physical variants; a
+    parametrized test asserts identical output (tests/test_llm_ops.py
+    test_guard_shapes_equivalent).
     """
     if shape is None:
         shape = os.environ.get("PYCAIM_LSH_GUARD_SHAPE", "grouped")
@@ -98,53 +104,91 @@ def _banded_pairs_with_guard(
         )
         return wide_rows.filter(F.col("id") != min_id).select(*cols)
 
-    if shape == "grouped":
-        # ONE groupBy collects each bucket's (sorted) members; pair
-        # expansion is a pure codegen'd HOF over the array — no window
-        # sort, no self-join, no second read of the bands exchange. The
-        # narrow/star split is a per-row ``when`` on the array size, so
-        # the guard costs a size() check instead of a plan branch, and the
-        # cap bounds the expanded array at cap²/2 structs (~512 KB at the
-        # default 256) — per-ROW memory, which is what actually protects a
-        # 100 TB run from a W² clique blowup.
+    if shape in ("grouped", "grouped_unbounded"):
+        # Grouped collect_list + HOF pair expansion: no window sort, no
+        # narrow self-join. Two variants:
+        #
+        # - ``grouped`` (default, BOUNDED state — ADVICE r8): a streaming
+        #   (count, min) aggregate finds wide buckets first (hash-agg
+        #   partial state, spillable, map-side combined); the wide set is
+        #   tiny post-filter so AQE broadcasts it, and narrow rows reach
+        #   the collect_list through a map-side anti join — so no
+        #   aggregation buffer ever holds more than ``cap`` structs.
+        #   Wide buckets never enter collect_list at all: their star
+        #   pairs stream as a broadcast-join projection, O(1) memory per
+        #   row. This is what actually survives a W-deep clique at 100 TB
+        #   — collect_list buffers are per-group and NON-spillable, so
+        #   the previous single-groupBy form held O(W) structs for the
+        #   clique bucket (the expansion was capped at cap²/2 structs
+        #   per row, but the _ids buffer itself was not).
+        # - ``grouped_unbounded``: the round-8 single-groupBy form (ONE
+        #   read of the bands exchange, narrow/star split as a per-row
+        #   ``when`` on size()) — kept for A/B; its collect_list state is
+        #   O(bucket width).
         elem = F.struct("id", "sig") if with_sig else F.struct("id")
-        grouped = bands.groupBy(*keys).agg(
-            F.sort_array(F.collect_list(elem)).alias("_ids")
-        )
-        n = F.size("_ids")
-        pair = lambda a, b: F.struct(a.alias("_a"), b.alias("_b"))  # noqa: E731
-        all_pairs = F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.slice(F.col("_ids"), (i + F.lit(1)).cast("int"), n),
-                    lambda x: pair(F.element_at(F.col("_ids"), i), x),
-                ),
+
+        def _hof_pairs(grouped_df, width_guard):
+            n = F.size("_ids")
+            pair = lambda a, b: F.struct(a.alias("_a"), b.alias("_b"))  # noqa: E731
+            all_pairs = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("_ids"), (i + F.lit(1)).cast("int"), n),
+                        lambda x: pair(F.element_at(F.col("_ids"), i), x),
+                    ),
+                )
             )
-        )
-        star_pairs = F.transform(
-            F.slice(F.col("_ids"), 2, n - 1),
-            lambda x: pair(F.element_at(F.col("_ids"), 1), x),
-        )
-        # n >= 2 filter BEFORE the expansion: width-1 buckets (the vast
-        # majority) emit nothing, and sequence(1, 0) would DESCEND into an
-        # element_at(_ids, 0) error (same Spark gotcha as the n-gram ops).
-        exploded = grouped.filter(n >= 2).select(
-            F.explode(
+            star_pairs = F.transform(
+                F.slice(F.col("_ids"), 2, n - 1),
+                lambda x: pair(F.element_at(F.col("_ids"), 1), x),
+            )
+            # n >= 2 filter BEFORE the expansion: width-1 buckets (the
+            # vast majority) emit nothing, and sequence(1, 0) would
+            # DESCEND into an element_at(_ids, 0) error (same Spark
+            # gotcha as the n-gram ops).
+            expanded = (
                 F.when(n <= cap, all_pairs).otherwise(star_pairs)
-            ).alias("_p")
-        )
-        cols = [
-            F.col("_p._a.id").alias("id_a"), F.col("_p._b.id").alias("id_b"),
-        ] + (
-            [F.col("_p._a.sig").alias("sig_a"), F.col("_p._b.sig").alias("sig_b")]
-            if with_sig else []
-        )
-        pairs = exploded.select(*cols)
-        star = pairs.limit(0)  # star pairs are already inside `pairs`
-        wide_buckets = grouped.filter(n > cap).select(
-            *keys, n.cast("long").alias("width")
-        )
+                if width_guard else all_pairs
+            )
+            exploded = grouped_df.filter(n >= 2).select(
+                F.explode(expanded).alias("_p")
+            )
+            cols = [
+                F.col("_p._a.id").alias("id_a"),
+                F.col("_p._b.id").alias("id_b"),
+            ] + (
+                [F.col("_p._a.sig").alias("sig_a"),
+                 F.col("_p._b.sig").alias("sig_b")]
+                if with_sig else []
+            )
+            return exploded.select(*cols)
+
+        if shape == "grouped":
+            stats_wide = (
+                bands.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("_w"), min_expr.alias("_min"))
+                .filter(F.col("_w") > cap)
+            )
+            narrow = bands.join(stats_wide, keys, "left_anti")
+            grouped = narrow.groupBy(*keys).agg(
+                F.sort_array(F.collect_list(elem)).alias("_ids")
+            )
+            pairs = _hof_pairs(grouped, width_guard=False)
+            star = _star_pairs(bands.join(stats_wide, keys))
+            wide_buckets = stats_wide.select(
+                *keys, F.col("_w").alias("width")
+            )
+        else:
+            grouped = bands.groupBy(*keys).agg(
+                F.sort_array(F.collect_list(elem)).alias("_ids")
+            )
+            n = F.size("_ids")
+            pairs = _hof_pairs(grouped, width_guard=True)
+            star = pairs.limit(0)  # star pairs are already inside `pairs`
+            wide_buckets = grouped.filter(n > cap).select(
+                *keys, n.cast("long").alias("width")
+            )
     elif shape == "window":
         w = Window.partitionBy(*keys)
         tagged = bands.select(
@@ -201,6 +245,85 @@ def _banded_pairs_with_guard(
     return pairs.unionAll(star).dropDuplicates(id_cols), wide_buckets
 
 
+def _shingle_sets(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    repartition: bool = True,
+) -> DataFrame:
+    """(id, hs) — distinct xxhash64'd word-``shingle_n``-gram set per doc.
+
+    Each stage materializes through its own projection: an outer column
+    referenced INSIDE a HOF lambda is re-evaluated per array element by
+    Catalyst (no CSE across lambda scopes) — inlining the regex split
+    into the shingle lambda would cost ~shingle_n regex splits per
+    shingle per row; the layered form evaluates each once per row.
+    trim first: split(r"\\s+") keeps an empty leading token for
+    whitespace-prefixed docs (trailing empties are already dropped).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_sh = F.size(F.col("_toks")) - (shingle_n - 1)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731 — 1-based token index
+        " ", *[F.element_at(F.col("_toks"), i + j) for j in range(shingle_n)]
+    )
+    shingles = F.when(
+        n_sh > 0, F.transform(F.sequence(F.lit(1), n_sh), shingle_at)
+    ).otherwise(F.array().cast("array<string>"))
+    # Shingle-set emptiness == "fewer than shingle_n tokens": filter on the
+    # raw text BEFORE the projections. A filter on the derived array would
+    # be pushed below the projects and re-inline the whole (uncached)
+    # shingle expression into the predicate, evaluating it twice per row.
+    base = (
+        docs.filter(F.size(toks) >= shingle_n)
+        .select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select("id", shingles.alias("_sh"))
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+    )
+    if repartition:
+        # Four plan branches consume the shingle sets (both band-join
+        # sides, both Jaccard re-join sides). The repartition inserts an
+        # exchange whose output ReuseExchange dedups, so shingling runs
+        # ONCE instead of four times. Removing it measured NEUTRAL at
+        # sf0.1 (ISOLATE_r8.json base_repartition_off 2.62 s vs
+        # dedup_shape_window 2.62 s — the quadruplicated scan hits the
+        # local page cache); it stays because at 100 TB the trade is one
+        # skinny-row shuffle against 4× recomputation of the CPU-bound
+        # shingle/minhash stage over remote storage. The partition count
+        # MUST be explicit: the exchange moves few bytes but feeds a
+        # CPU-bound stage, and AQE's coalescePartitions sizes by shuffled
+        # bytes — without an explicit N it collapses this exchange to ~1
+        # partition and serializes the stage.
+        base = base.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
+        )
+    return base
+
+
+def _band_rows(base: DataFrame, num_hashes: int, seed: int) -> DataFrame:
+    """(id, table_id, mh) band rows: per-table minhash = ``array_min`` of
+    ``xxhash64(shingle, table, seed)`` — ``num_hashes`` independent hash
+    functions, one pass over the shingle array each."""
+
+    def _table_hash(t):
+        # Factory, not a default arg: PySpark infers HOF lambda arity from
+        # the signature, so the closure must stay single-parameter.
+        return lambda h: F.xxhash64(h, F.lit(t), F.lit(seed))
+
+    minhashes = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _table_hash(t)))
+            for t in range(num_hashes)
+        ]
+    )
+    return base.select("id", F.posexplode(minhashes).alias("table_id", "mh"))
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -252,66 +375,10 @@ def minhash_candidate_pairs(
     """
     if max_bucket_width is None:
         max_bucket_width = int(os.environ.get("PYCAIM_LSH_MAX_BUCKET", "256"))
-    # Each stage materializes through its own projection: an outer column
-    # referenced INSIDE a HOF lambda is re-evaluated per array element by
-    # Catalyst (no CSE across lambda scopes) — inlining the regex split
-    # into the shingle lambda would cost ~shingle_n regex splits per
-    # shingle per row; the layered form evaluates each once per row.
-    # trim first: split(r"\s+") keeps an empty leading token for
-    # whitespace-prefixed docs (trailing empties are already dropped).
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n_sh = F.size(F.col("_toks")) - (shingle_n - 1)
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731 — 1-based token index
-        " ", *[F.element_at(F.col("_toks"), i + j) for j in range(shingle_n)]
+    base = _shingle_sets(
+        docs, text_col, id_col, shingle_n, repartition=True
     )
-    shingles = F.when(
-        n_sh > 0, F.transform(F.sequence(F.lit(1), n_sh), shingle_at)
-    ).otherwise(F.array().cast("array<string>"))
-    # Shingle-set emptiness == "fewer than shingle_n tokens": filter on the
-    # raw text BEFORE the projections. A filter on the derived array would
-    # be pushed below the projects and re-inline the whole (uncached)
-    # shingle expression into the predicate, evaluating it twice per row.
-    base = (
-        docs.filter(F.size(toks) >= shingle_n)
-        .select(F.col(id_col).alias("id"), toks.alias("_toks"))
-        .select("id", shingles.alias("_sh"))
-        .select(
-            "id",
-            F.array_distinct(
-                F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
-            ).alias("hs"),
-        )
-        # Four plan branches consume the shingle sets (both band-join
-        # sides, both Jaccard re-join sides). The repartition inserts an
-        # exchange whose output ReuseExchange dedups, so shingling runs
-        # ONCE instead of four times. Removing it measured NEUTRAL at
-        # sf0.1 (ISOLATE_r8.json base_repartition_off 2.62 s vs
-        # dedup_shape_window 2.62 s — the quadruplicated scan hits the
-        # local page cache); it stays because at 100 TB the trade is one
-        # skinny-row shuffle against 4× recomputation of the CPU-bound
-        # shingle/minhash stage over remote storage. The partition count
-        # MUST be explicit: the exchange moves few bytes but feeds a
-        # CPU-bound stage, and AQE's coalescePartitions sizes by shuffled
-        # bytes — without an explicit N it collapses this exchange to ~1
-        # partition and serializes the stage.
-        .repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
-        )
-    )
-    def _table_hash(t):
-        # Factory, not a default arg: PySpark infers HOF lambda arity from
-        # the signature, so the closure must stay single-parameter.
-        return lambda h: F.xxhash64(h, F.lit(t), F.lit(seed))
-
-    minhashes = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), _table_hash(t)))
-            for t in range(num_hashes)
-        ]
-    )
-    bands = base.select(
-        "id", F.posexplode(minhashes).alias("table_id", "mh")
-    )
+    bands = _band_rows(base, num_hashes, seed)
     wide_buckets = None
     if max_bucket_width:
         pairs, wide_buckets = _banded_pairs_with_guard(
@@ -343,6 +410,186 @@ def minhash_candidate_pairs(
             )
         return result, wide_buckets
     return result
+
+
+def minhash_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    max_jaccard_dist: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document near-dup CLUSTER assignments from MinHash banding —
+    the scale OUTPUT CONTRACT (VERDICT r8 #1): ``(doc_id, cluster_id,
+    is_canonical)`` over all documents, never a materialized pair list.
+
+    SCALING.md measured ``dedup_minhash`` at sf10 to be output-bound:
+    85.6 s dominated by materializing ~Σ w²/2 candidate PAIRS whose only
+    consumer is connected-components. When clusters are the product, pair-
+    level output is waste: per band bucket, STAR edges (member ↔ bucket-min)
+    preserve exactly the connectivity CC needs at w−1 edges per width-w
+    bucket instead of w²/2 — the same degradation the clique guard applies
+    beyond its cap, here applied to EVERY bucket because no consumer wants
+    the pairs. Candidate volume drops from quadratic-in-bucket-width to
+    linear in band rows (≤ num_hashes · n docs), which is what survives a
+    boilerplate-dense 100 TB corpus.
+
+    Semantics: star edges are verified with the SAME exact-Jaccard filter
+    as the pair operator before clustering, so every merge is a true
+    near-dup link; clusters are unions of verified links. Because each
+    star edge is itself a pair ``minhash_candidate_pairs`` would emit,
+    the clusters REFINE the pair-graph clusters (each cluster sits inside
+    exactly one pair-graph cluster — asserted in tests/test_llm_ops.py,
+    with planted-clique equality). Recall beyond that relies on OR-
+    amplification: a doc gets one star edge per band, so num_hashes
+    independent chances to connect.
+
+    Output: every input document labeled; ``cluster_id`` = min doc_id
+    reachable, singletons label themselves, ``is_canonical`` marks the
+    keeper a dedup pipeline retains.
+    """
+    from pycaim_spark.operators.graph import connected_components_star
+
+    # max_bucket_width=1 routes EVERY bucket (width ≥ 2) down the star
+    # path of the measured guard shapes — reusing the A/B'd plan machinery
+    # (shape env knob included) rather than a sixth bespoke plan.
+    pairs = minhash_candidate_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        max_jaccard_dist=max_jaccard_dist,
+        seed=seed,
+        max_bucket_width=1,
+    )
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        docs.join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            (cluster == F.col(id_col)).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    max_jaccard_dist: float = 0.8,
+    seed: int = 42,
+    max_candidates_per_doc: int = 64,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: probe a NEW slice (``delta_docs``)
+    against an EXISTING corpus's minhash signature store (``base_docs``) —
+    the pattern a production pretraining pipeline runs daily, where the
+    corpus never re-shuffles (VERDICT r8 #2).
+
+    Returns one row per delta document: ``(doc_id, dup_of, best_dist,
+    is_new)`` — ``dup_of`` = smallest base doc verified as a near-dup
+    (exact Jaccard ≤ ``max_jaccard_dist``), NULL when the doc is new.
+
+    Plan shape (the point of the operator): the base corpus is SCANNED but
+    never SHUFFLED —
+
+    1. delta band rows (small, the daily slice) are BROADCAST; the base
+       band store streams map-side through a broadcast hash join to find
+       colliding (base_id, delta_id) candidates. At 100 TB the band store
+       is a persisted parquet table keyed by (table_id, mh); here it is
+       derived inline from ``base_docs`` with identical hash functions.
+    2. Candidates collapse per (delta, base) pair counting HOW MANY bands
+       collided, and each delta doc keeps its ``max_candidates_per_doc``
+       strongest candidates (most colliding bands ≈ highest Jaccard — the
+       standard LSH collision-count ranking). This shuffle is
+       candidate-sized (≤ bands × |delta|), never base-sized, and the cap
+       bounds the verification cost per delta doc against boilerplate
+       buckets the same way the clique guard bounds pair emission.
+    3. Verification re-reads base shingle sets map-side (broadcast of the
+       capped candidate list) and exact-Jaccards only the capped pairs.
+
+    tests/test_llm_ops.py asserts the plan contains no sort-merge join and
+    the verdicts match a full-corpus pair run restricted to base×delta.
+    """
+    b_sets = _shingle_sets(
+        base_docs, text_col, id_col, shingle_n, repartition=False
+    )
+    d_sets = _shingle_sets(
+        delta_docs, text_col, id_col, shingle_n, repartition=False
+    )
+    store_bands = _band_rows(b_sets, num_hashes, seed)
+    delta_bands = _band_rows(d_sets, num_hashes, seed).select(
+        F.col("id").alias("delta_id"), "table_id", "mh"
+    )
+    # (1) broadcast the delta probe: the base store streams through a BHJ.
+    collisions = store_bands.join(
+        F.broadcast(delta_bands), ["table_id", "mh"]
+    ).select(F.col("id").alias("base_id"), "delta_id")
+    # (2) collision-count ranking + per-delta-doc cap (delta-sized shuffle).
+    from pyspark.sql import Window
+
+    ranked = (
+        collisions.groupBy("delta_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("delta_id").orderBy(
+                    F.col("n_bands").desc(), F.col("base_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= max_candidates_per_doc)
+        .select("delta_id", "base_id")
+    )
+    # (3) exact-Jaccard verify, base side map-side again (broadcast the
+    # capped candidates, ≤ cap × |delta| rows).
+    matched = (
+        b_sets.select(F.col("id").alias("base_id"), F.col("hs").alias("b_hs"))
+        .join(F.broadcast(ranked), "base_id")
+        .join(
+            F.broadcast(
+                d_sets.select(
+                    F.col("id").alias("delta_id"), F.col("hs").alias("d_hs")
+                )
+            ),
+            "delta_id",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("b_hs"), F.col("d_hs")))
+    union = F.size(F.col("b_hs")) + F.size(F.col("d_hs")) - inter
+    jd = F.round(
+        F.lit(1.0) - inter.cast("double") / union.cast("double"), 6
+    )
+    verified = (
+        matched.select("delta_id", "base_id", jd.alias("jd"))
+        .filter(F.col("jd") <= max_jaccard_dist)
+        .groupBy("delta_id")
+        .agg(
+            F.min("base_id").alias("dup_of"),
+            F.min("jd").alias("best_dist"),
+        )
+    )
+    return (
+        delta_docs.select(F.col(id_col))
+        # verified is ≤ |delta| rows; broadcast it so the final left join
+        # stays map-side (the static planner can't estimate a post-agg
+        # frame and would otherwise fall back to a sort-merge join).
+        .join(F.broadcast(verified), F.col(id_col) == verified.delta_id, "left")
+        .select(
+            F.col(id_col),
+            "dup_of",
+            "best_dist",
+            F.col("dup_of").isNull().cast("int").alias("is_new"),
+        )
+    )
 
 
 def with_simhash(

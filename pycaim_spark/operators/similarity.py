@@ -452,6 +452,70 @@ def ivf_topk_neighbors(
     )
 
 
+def _pq_train(
+    x: np.ndarray, m: int, k_centroids: int, iters: int, seed: int
+) -> np.ndarray:
+    """Seeded per-subspace L2 k-means codebooks (m, k_centroids, dim/m) —
+    shared by flat PQ (raw vectors) and IVF-PQ (cell residuals)."""
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    codebooks = np.empty((m, k_centroids, sub))
+    for i in range(m):
+        xi = x[:, i * sub : (i + 1) * sub]
+        cent = xi[rng.choice(len(xi), k_centroids, replace=False)]
+        for _ in range(iters):
+            d2 = ((xi[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_centroids):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xi[mask].mean(0)
+        codebooks[i] = cent
+    return codebooks
+
+
+def _exact_rerank(
+    emb: DataFrame, cand: DataFrame, q_rows, k: int
+) -> DataFrame:
+    """Re-rank (query_id, neighbor_id) candidates with the EXACT JVM-side
+    cosine (same index-order fold + rounding as sim_cosine_exact), so every
+    returned cos is exact and recall is the only approximation. Shared tail
+    of the PQ and IVF-PQ operators."""
+    from pyspark.sql import Window
+
+    queries_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(int(r.vec_id), list(map(float, r.embedding))) for r in q_rows],
+            "query_id int, q_emb array<double>",
+        ).select(
+            "query_id", "q_emb", norm_expr(F.col("q_emb")).alias("q_norm")
+        )
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_expr(F.col("embedding")).alias("c_norm"),
+    )
+    cos = F.round(
+        dot_expr(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(queries_df, "query_id")
+        .join(v, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 def pq_topk_neighbors(
     emb: DataFrame,
     m: int = 8,
@@ -501,21 +565,8 @@ def pq_topk_neighbors(
         .to_numpy()
     ).astype(np.float64)
     dim = sample.shape[1]
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
-    rng = np.random.RandomState(seed)
-    codebooks = np.empty((m, k_centroids, sub))
-    for i in range(m):
-        x = sample[:, i * sub : (i + 1) * sub]
-        cent = x[rng.choice(len(x), k_centroids, replace=False)]
-        for _ in range(iters):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(k_centroids):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = x[mask].mean(0)
-        codebooks[i] = cent
+    codebooks = _pq_train(sample, m, k_centroids, iters, seed)
     cent_sqnorm = (codebooks**2).sum(-1)  # (m, K)
 
     q_rows = (
@@ -552,15 +603,29 @@ def pq_topk_neighbors(
 
     adc = F.pandas_udf(_adc_scores, "array<double>")
 
+    # The ADC array is positional (row i of q_rows); map position back to
+    # the ACTUAL query vec_id so the self-match filter and the re-rank join
+    # (both keyed by vec_id) stay correct even if some vec_id < n_queries
+    # is absent from the table (position and id would silently diverge).
+    query_id_at = F.array(*[F.lit(int(r.vec_id)) for r in q_rows])
+
     coded = emb.select("vec_id", encode("embedding").alias("_pq")).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("_pq.codes").alias("codes"),
         F.col("_pq.recon_norm").alias("recon_norm"),
     )
-    scored = coded.select(
-        "neighbor_id",
-        F.posexplode(adc("codes", "recon_norm")).alias("query_id", "approx"),
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        coded.select(
+            "neighbor_id",
+            F.posexplode(adc("codes", "recon_norm")).alias("_qpos", "approx"),
+        )
+        .select(
+            "neighbor_id",
+            "approx",
+            F.element_at(query_id_at, F.col("_qpos") + 1).alias("query_id"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id")
     )
@@ -569,35 +634,150 @@ def pq_topk_neighbors(
         .filter(F.col("_r") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
-    queries_df = F.broadcast(
-        emb.sparkSession.createDataFrame(
-            [(int(r.vec_id), list(map(float, r.embedding))) for r in q_rows],
-            "query_id int, q_emb array<double>",
-        ).select(
-            "query_id", "q_emb", norm_expr(F.col("q_emb")).alias("q_norm")
+    return _exact_rerank(emb, cand, q_rows, k)
+
+
+def ivf_pq_topk_neighbors(
+    emb: DataFrame,
+    n_cells: int = 32,
+    nprobe: int = 12,
+    m: int = 8,
+    k_centroids: int = 16,
+    k: int = 5,
+    n_queries: int = 10,
+    n_candidates: int = 32,
+    sample_size: int = 1024,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k cosine neighbors — the composition the two
+    parents promise (VERDICT r8 #3): IVF's cell layout prunes WHICH rows a
+    query scans (``nprobe/n_cells`` of the corpus), PQ's codes shrink WHAT
+    a scan reads (dim float32 → m bytes) — together the standard
+    billion-vector index design (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011; FAISS ``IVFx,PQy``).
+
+    1. Train the coarse quantizer (spherical k-means cells) AND the PQ
+       codebooks on one driver-side sample; codebooks quantize cell
+       RESIDUALS (x − centroid), the classic trick — residuals are small
+       so the same 8 bytes carry far less quantization error than raw-PQ.
+    2. Encode the corpus in one Arrow pass: cell id + residual codes +
+       exact reconstruction norm |centroid + decoded residual|; lay the
+       codes out cell-partitioned (the IVF storage layout — and the local
+       parallelism fix measured on sim_ivf, ISOLATE_r8.json ivf_*).
+    3. A query scores ONLY rows in its ``nprobe`` nearest cells (tiny
+       broadcast probe frame joined on cell id), from codes alone:
+       dot(q, x) ≈ dot(q, centroid_cell) + Σ lut[i][code_i], both terms
+       from closure-resident tables — no vector column is read.
+    4. Exact JVM re-rank of the top ``n_candidates`` per query (shared
+       ``_exact_rerank`` tail) — returned cosines are bit-exact.
+    """
+    import pandas as pd
+
+    sample = np.stack(
+        emb.orderBy("vec_id")
+        .limit(sample_size)
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    dim = sample.shape[1]
+    sub = dim // m
+    centroids = _spherical_kmeans(sample, n_cells, iters, seed)
+    s_normed = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    s_cells = np.argmax(s_normed @ centroids.T, axis=1)
+    codebooks = _pq_train(sample - centroids[s_cells], m, k_centroids, iters, seed)
+
+    def _encode(col):
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cells = np.argmax(mn @ centroids.T, axis=1)
+        resid = (mat - centroids[cells]).reshape(len(mat), m, sub)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        recon = centroids[cells].copy()
+        for i in range(m):
+            d2 = ((resid[:, i, None, :] - codebooks[None, i]) ** 2).sum(-1)
+            codes[:, i] = d2.argmin(1)
+            recon[:, i * sub : (i + 1) * sub] += codebooks[i][codes[:, i]]
+        return pd.DataFrame(
+            {
+                "cell": cells.astype(np.int32),
+                "codes": list(codes),
+                "recon_norm": np.linalg.norm(recon, axis=1),
+            }
+        )
+
+    encode = F.pandas_udf(_encode, "cell int, codes array<int>, recon_norm double")
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    qn = q_mat / q_norms[:, None]
+    q_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    qc_dots = q_mat @ centroids.T  # (n_q, n_cells): the dot(q, centroid) term
+    luts = np.einsum(
+        "qis,ics->qic", q_mat.reshape(len(q_rows), m, sub), codebooks
+    )
+
+    def _adc(qpos, cell, codes, recon):
+        qp = qpos.to_numpy()
+        c = np.stack(codes.to_numpy())
+        dots = qc_dots[qp, cell.to_numpy()] + luts[
+            qp[:, None], np.arange(m)[None, :], c
+        ].sum(1)
+        return pd.Series(dots / (q_norms[qp] * recon.to_numpy()))
+
+    adc = F.pandas_udf(_adc, "double")
+
+    coded = (
+        emb.select("vec_id", encode("embedding").alias("_e"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_e.cell").alias("cell"),
+            F.col("_e.codes").alias("codes"),
+            F.col("_e.recon_norm").alias("recon_norm"),
+        )
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, F.col("cell")
         )
     )
-    v = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        norm_expr(F.col("embedding")).alias("c_norm"),
+    # Tiny probe frame: (query position, ACTUAL query vec_id, probed cell);
+    # real ids ride along so no positional/id divergence is possible.
+    probes = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [
+                (pos, int(r.vec_id), int(cell))
+                for pos, r in enumerate(q_rows)
+                for cell in q_cells[pos]
+            ],
+            "qpos int, query_id int, cell int",
+        )
     )
-    cos = F.round(
-        dot_expr(F.col("q_emb"), F.col("c_emb"))
-        / (F.col("q_norm") * F.col("c_norm")),
-        6,
+    from pyspark.sql import Window
+
+    scored = (
+        coded.join(probes, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc("qpos", "cell", "codes", "recon_norm").alias("approx"),
+        )
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
     )
-    return (
-        cand.join(queries_df, "query_id")
-        .join(v, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cos", "rn")
+    cand = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= n_candidates)
+        .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(emb, cand, q_rows, k)
 
 
 # Ship by value: Spark workers cannot import pycaim_spark (driver-only

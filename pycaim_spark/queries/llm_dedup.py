@@ -284,6 +284,28 @@ def dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_clusters",
+    tags=("llm", "dedup", "graph"),
+    rows_only_reason="MinHash banding is seeded and star-edge clustering is "
+    "an approximation by design; tests/test_llm_ops.py asserts planted-"
+    "clique equality with pairs+CC and that clusters refine the pair-graph "
+    "clusters",
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """MinHash near-dup CLUSTER assignments — the scale output contract for
+    the minhash family (VERDICT r8 #1): per band bucket, star edges only
+    (linear in band rows, never the Σ w²/2 pair list SCALING.md measured as
+    sf10's dominant cost), exact-Jaccard verified, clustered by alternating-
+    star connected components. (doc_id, cluster_id, is_canonical) over all
+    documents; dedup_minhash stays the pair-level operator at fixture scale.
+    """
+    from pycaim_spark.operators.dedup import minhash_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_clusters(d)
+
+
+@register(
     "dedup_minhash_stats",
     tags=("llm", "dedup"),
     rows_only_reason="wide-bucket widths depend on Spark's xxhash64 "
@@ -323,6 +345,86 @@ def dedup_simhash(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(d, max_hamming=7, n_bands=8)
+
+
+# --------------------------------------------------------------------------
+# Cross-snapshot incremental dedup (VERDICT r8 #2)
+# --------------------------------------------------------------------------
+
+# The daily-ingest split used by both incremental queries and their tests:
+# doc_id % 10 == 0 is the NEW slice (delta), the rest the EXISTING corpus.
+_DELTA_PRED = "doc_id % 10 = 0"
+
+
+@register(
+    "dedup_incremental_exact",
+    tags=("llm", "dedup", "incremental"),
+    oracle=rf"""
+    WITH sig AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS norm_hash
+        FROM documents
+    )
+    SELECT s.norm_hash AS norm_hash,
+           MIN(s.doc_id) AS keep_id,
+           COUNT(*) AS n_delta_copies
+    FROM sig s
+    WHERE s.doc_id % 10 = 0
+      AND NOT EXISTS (
+          SELECT 1 FROM sig b
+          WHERE b.doc_id % 10 <> 0 AND b.norm_hash = s.norm_hash
+      )
+    GROUP BY s.norm_hash
+    """,
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Incremental exact dedup: documents arriving in today's slice
+    (``doc_id % 10 = 0``) survive only if their normalized-text hash is
+    absent from the existing corpus — new ∖ old, plus dedup WITHIN the
+    slice (min-id keeper + copy count). The production daily-ingest
+    pattern: the existing corpus contributes only its 32-byte signature
+    set (at 100 TB a persisted, bucketed signature store — the delta
+    anti-joins against it without re-shuffling the corpus), and the
+    DuckDB oracle over the unsplit table proves new∖old exactness.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    sig = d.select("doc_id", norm_hash.alias("norm_hash"))
+    delta = sig.filter(F.col("doc_id") % 10 == 0)
+    base_sigs = sig.filter(F.col("doc_id") % 10 != 0).select("norm_hash")
+    return (
+        delta.join(base_sigs, "norm_hash", "left_anti")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_delta_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    tags=("llm", "dedup", "incremental"),
+    rows_only_reason="MinHash banding is seeded; tests/test_llm_ops.py "
+    "asserts the verdicts equal a full-corpus pair run restricted to "
+    "base×delta on planted near-dups, and that the plan never shuffles "
+    "the base corpus (no sort-merge join)",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup dedup: today's slice probes the existing
+    corpus's minhash band signature store — broadcast delta bands, the
+    base store streams map-side, collision-count-ranked candidates are
+    exact-Jaccard verified (operators/dedup.py incremental_minhash_dedup).
+    One row per delta doc: (doc_id, dup_of, best_dist, is_new)."""
+    from pycaim_spark.operators.dedup import incremental_minhash_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    return incremental_minhash_dedup(base, delta)
 
 
 # --------------------------------------------------------------------------
@@ -543,3 +645,26 @@ def sim_pq(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk_neighbors(emb, m=8, k_centroids=16, k=5, n_queries=10)
+
+
+@register(
+    "sim_ivf_pq",
+    tags=("llm", "similarity"),
+    rows_only_reason="IVF-PQ is doubly approximate (cell pruning × residual "
+    "quantization); tests/test_llm_ops.py asserts recall vs sim_cosine_exact "
+    "top-5 and bit-exact re-ranked cosines",
+)
+def sim_ivf_pq(spark, sf_dir):
+    """IVF-PQ approximate top-5 cosine neighbors — the composed
+    billion-vector index design (operators/similarity.py
+    ivf_pq_topk_neighbors): IVF cells prune WHICH rows a query scans,
+    residual-PQ codes shrink WHAT the scan reads, exact JVM re-rank on
+    top. Completes the three-way ANN family (bucketing / partition
+    pruning / compression) into the single design a 100 TB embedding
+    store would actually deploy."""
+    from pycaim_spark.operators.similarity import ivf_pq_topk_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_neighbors(
+        emb, n_cells=32, nprobe=12, m=8, k_centroids=16, k=5, n_queries=10
+    )

@@ -162,6 +162,28 @@ def test_pq_recall_and_exact_rerank(spark, sf_dir):
     assert recall >= 0.4, f"PQ recall collapsed: {recall:.2f}"
 
 
+def test_pq_query_ids_survive_missing_low_vec_id(spark):
+    """ADVICE r8: the ADC score array is positional; positions must map
+    back to ACTUAL query vec_ids. With vec_id 1 absent from the table,
+    query ids {0, 2} must come back — not the positional {0, 1}."""
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import pq_topk_neighbors
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)])
+        for i in range(40)
+        if i != 1  # a missing low vec_id used to shift every query id
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pq_topk_neighbors(
+        emb, m=4, k_centroids=8, k=3, n_queries=3, sample_size=39
+    ).collect()
+    assert {r.query_id for r in got} == {0, 2}
+    assert all(r.neighbor_id != r.query_id for r in got)
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation handles a 5-node chain (diameter > 1 forces
     multi-round convergence) plus a separate 2-clique."""
@@ -368,8 +390,8 @@ def test_minhash_wide_bucket_star_degradation(spark):
 
 def test_guard_shapes_equivalent(spark, monkeypatch):
     """The A/B'd guard plan shapes (window / join / anti / nopart /
-    grouped — see
-    ISOLATE_r8.json and operators/dedup.py) are pure physical-plan
+    grouped / grouped_unbounded — see
+    ISOLATE_r8.json, ISOLATE_r9.json and operators/dedup.py) are pure physical-plan
     variants: on a corpus mixing a wide clique with narrow near-dups they
     must return EXACTLY the same pairs and wide-bucket stats."""
     from pycaim_spark.operators.dedup import (
@@ -384,7 +406,8 @@ def test_guard_shapes_equivalent(spark, monkeypatch):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     results, sim_results = {}, {}
-    shapes = ("window", "join", "anti", "nopart", "grouped")
+    shapes = ("window", "join", "anti", "nopart", "grouped",
+              "grouped_unbounded")
     for shape in shapes:
         monkeypatch.setenv("PYCAIM_LSH_GUARD_SHAPE", shape)
         pairs, wide = minhash_candidate_pairs(
@@ -665,3 +688,129 @@ def test_decontaminate_benchmark_set_is_broadcast(spark, sf_dir):
             df._jdf.queryExecution(), "formatted"
         )
         assert "BroadcastHashJoin" in plan, f"{name}: benchmark set not broadcast"
+
+
+# --- round 9: cluster output contract, incremental dedup, IVF-PQ ----------
+
+
+def test_minhash_clusters_planted_cliques_match_pairs_cc(spark):
+    """dedup_minhash_clusters' star-edge construction must produce the
+    SAME clusters as pairs+CC on planted near-dup groups, label every
+    document, and mark exactly one canonical per cluster."""
+    from pycaim_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_clusters,
+    )
+    from pycaim_spark.operators.graph import connected_components_star
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    rows = (
+        [(i, base + f" tail{i % 2}") for i in range(6)]       # clique A
+        + [(10 + i, other + f" x{i % 3}") for i in range(4)]  # clique B
+        + [(90, "totally unrelated words in this control document here"),
+           (91, "another disjoint singleton with its own private tokens")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in minhash_clusters(docs).collect()}
+    assert set(got) == {r[0] for r in rows}  # every doc labeled
+
+    pairs = minhash_candidate_pairs(docs)
+    comp = {r.node: r.component
+            for r in connected_components_star(pairs, "id_a", "id_b").collect()}
+    expected = {i: comp.get(i, i) for i, _ in rows}
+    assert {d: c for d, (c, _) in got.items()} == expected
+    # exactly one canonical per cluster, and it is the min id
+    for d, (c, canon) in got.items():
+        assert canon == (1 if d == c else 0)
+
+
+def test_minhash_clusters_refine_pair_clusters(spark, sf_dir):
+    """On the real fixture, every star-edge cluster must sit INSIDE one
+    pairs+CC cluster (star edges are a subset of the verified pairs)."""
+    from pycaim_spark.catalog import load_table
+    from pycaim_spark.operators.dedup import minhash_candidate_pairs
+    from pycaim_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    star = {r.doc_id: r.cluster_id
+            for r in REGISTRY["dedup_minhash_clusters"].fn(spark, sf_dir).collect()}
+    pairs = minhash_candidate_pairs(docs)
+    comp = {r.node: r.component
+            for r in connected_components_star(pairs, "id_a", "id_b").collect()}
+    full = {d: comp.get(d, d) for d in star}
+    # refinement: docs sharing a star cluster share the full cluster
+    rep = {}
+    for d, c in star.items():
+        if c in rep:
+            assert full[d] == full[rep[c]], (d, c)
+        else:
+            rep[c] = d
+    # and the star construction actually merged something on this fixture
+    assert any(d != c for d, c in star.items())
+
+
+def test_incremental_minhash_matches_full_run_and_never_shuffles_base(spark):
+    """dedup_incremental_minhash verdicts must equal a full-corpus pair
+    run restricted to base×delta, and the physical plan must stream the
+    base store map-side (broadcast joins only — no sort-merge join, which
+    would mean a base-sized shuffle)."""
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_candidate_pairs,
+    )
+
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    base_rows = [(i, base_txt + f" v{i % 3}") for i in range(1, 8)] + [
+        (8, other), (9, "unique base content nothing matches this text here"),
+    ]
+    delta_rows = [
+        (100, base_txt + " v1"),     # near-dup of base clique
+        (101, other + " extra"),     # near-dup of base doc 8
+        (102, "completely fresh delta document with novel words only"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    got = incremental_minhash_dedup(base, delta)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan, "base corpus is being shuffle-joined"
+    assert plan.count("BroadcastHashJoin") >= 2
+
+    verdicts = {r.doc_id: (r.dup_of, r.is_new) for r in got.collect()}
+    assert set(verdicts) == {100, 101, 102}
+
+    # twin: full-corpus pairs (guard off = exact bucket join), restricted
+    # to cross base×delta pairs, min base match per delta doc
+    full = minhash_candidate_pairs(base.unionByName(delta), max_bucket_width=0)
+    cross = {}
+    for r in full.collect():
+        lo, hi = sorted((r.id_a, r.id_b))
+        if lo < 100 <= hi:
+            cross.setdefault(hi, set()).add(lo)
+    for d in (100, 101, 102):
+        expected_dup = min(cross[d]) if d in cross else None
+        assert verdicts[d] == (expected_dup, 0 if expected_dup is not None else 1), d
+    assert verdicts[102] == (None, 1)  # the fresh doc survives as new
+
+
+def test_ivf_pq_recall_and_exact_rerank(spark, sf_dir):
+    """sim_ivf_pq rows-only gate: doubly-approximate candidates (cell
+    pruning × residual quantization) re-ranked exactly — every returned
+    cosine must match the exact operator bit-for-bit; recall is bounded
+    below on the adversarial near-isotropic fixture."""
+    exact = {(r.query_id, r.neighbor_id): r.cos
+             for r in REGISTRY["sim_cosine_exact"].fn(spark, sf_dir).collect()}
+    rows = REGISTRY["sim_ivf_pq"].fn(spark, sf_dir).collect()
+    assert len(rows) == 50  # 10 queries × top-5, rn dense per query
+    approx = {(r.query_id, r.neighbor_id): r.cos for r in rows}
+    for pair, cos in approx.items():
+        if pair in exact:
+            assert exact[pair] == cos  # exact re-rank: bit-identical
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall:.2f}"
