@@ -42,26 +42,36 @@ def _banded_pairs_with_guard(
     ``max_bucket_width``, star pairs against the bucket min id beyond it —
     and ``wide_buckets`` is (keys…, width) for the degraded buckets.
 
-    - ``grouped`` (default): the round-9 BOUNDED-state revision of the
-      grouped shape (ADVICE r8) — streaming (count, min) stats find wide
-      buckets, which are star-paired as a broadcast-join projection and
-      anti-joined OUT before any collect_list, so no aggregation buffer
-      ever holds more than ``cap`` structs. Decision evidence:
-      ISOLATE_r9.json ``dedup_shape_bounded_paired_series`` (4 alternating
-      paired rounds vs grouped_unbounded and window).
+    - ``window`` (default since round 9): tag every band row with bucket
+      width and bucket-min via one window over the bucket key; narrow/star
+      split is a filter, pairs via self-join. Window partition buffers
+      SPILL (ExternalAppendOnlyUnsafeRowArray), so per-task state is
+      bounded no matter the clique width. Decision evidence —
+      ISOLATE_r9.json, two independent 4-round alternating paired series
+      run outside the round-8 session that picked ``grouped``: the round-8
+      "grouped wins minhash 4/4, ~16%" result did NOT replicate
+      (``dedup_shape_paired_series_r9`` rounds 1-3: grouped 2/3, medians
+      2.99 vs 3.19; ``dedup_shape_bounded_paired_series``: minhash
+      pairwise TIES 2-2 across all three shapes, medians window 3.38 /
+      grouped 3.39 / grouped_unbounded 2.79 with ±40% round bounce, while
+      simhash prefers window 4-0 vs grouped and 3-1 vs unbounded). With
+      no decisive speed winner, the state-bounded spillable shape wins on
+      structure.
+    - ``grouped``: the round-9 BOUNDED-state revision of the grouped
+      shape (ADVICE r8) — streaming (count, min) stats find wide buckets,
+      which are star-paired as a broadcast-join projection and anti-joined
+      OUT before any collect_list, so no aggregation buffer ever holds
+      more than ``cap`` structs. Measured a wash with window on minhash
+      and slower on simhash (ISOLATE_r9.json
+      ``dedup_shape_bounded_paired_series``). NOTE: assumes the wide set
+      is small — do not use with cap ≈ 1 (star-everything callers), where
+      "wide" is every bucket and the broadcast anti degenerates.
     - ``grouped_unbounded``: the round-8 single-groupBy form — one read of
       the bands exchange, narrow/star split as a per-row ``when`` on
-      ``size()``; fastest on a healthy corpus (ISOLATE_r8.json
-      ``dedup_shape_paired_series``: wins dedup_minhash 4/4 pairs, median
-      2.67 s vs window's 3.19; simhash a wash) but its collect_list buffer
-      is O(bucket width) and collect_list state is per-group
-      NON-spillable — the W-deep-clique exposure the bounded default
-      removes.
-    - ``window`` (3.19, 3.73 as (minhash, simhash) medians,
-      ISOLATE_r8.json): tag every band row with bucket width and
-      bucket-min via one window over the bucket key; narrow/star split is
-      a filter, pairs via self-join. Window partition buffers spill
-      (ExternalAppendOnlyUnsafeRowArray), trading disk for the bound.
+      ``size()``; best minhash median in the r9 series (2.79) but within
+      the tie, and its collect_list buffer is O(bucket width) per-group
+      NON-spillable state — the W-deep-clique exposure that made round 9
+      demote it from default.
     - ``join`` / ``anti`` / ``nopart``: the round-6/7 historical shapes
       (groupBy stats + tagging join; explicit repartition + left-anti;
       AQE-broadcast anti) — all measured slower (earlier ISOLATE_r8.json
@@ -77,7 +87,7 @@ def _banded_pairs_with_guard(
     test_guard_shapes_equivalent).
     """
     if shape is None:
-        shape = os.environ.get("PYCAIM_LSH_GUARD_SHAPE", "grouped")
+        shape = os.environ.get("PYCAIM_LSH_GUARD_SHAPE", "window")
     cap = max_bucket_width
     min_expr = F.min(F.struct("id", "sig")) if with_sig else F.min("id")
 
@@ -341,6 +351,7 @@ def minhash_candidate_pairs(
     seed: int = 42,
     max_bucket_width: int | None = None,
     return_wide_buckets: bool = False,
+    guard_shape: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (id_a < id_b, jaccard_dist).
 
@@ -382,7 +393,7 @@ def minhash_candidate_pairs(
     wide_buckets = None
     if max_bucket_width:
         pairs, wide_buckets = _banded_pairs_with_guard(
-            bands, ["table_id", "mh"], max_bucket_width
+            bands, ["table_id", "mh"], max_bucket_width, shape=guard_shape
         )
     else:
         pairs = (
@@ -454,7 +465,10 @@ def minhash_clusters(
 
     # max_bucket_width=1 routes EVERY bucket (width ≥ 2) down the star
     # path of the measured guard shapes — reusing the A/B'd plan machinery
-    # (shape env knob included) rather than a sixth bespoke plan.
+    # rather than a sixth bespoke plan. The shape is PINNED to ``window``
+    # (not the env knob): with cap=1 "wide" means every bucket, so the
+    # grouped shape's tiny-broadcast-wide-set assumption degenerates —
+    # the window tag streams regardless of how many buckets are wide.
     pairs = minhash_candidate_pairs(
         docs,
         text_col=text_col,
@@ -464,6 +478,7 @@ def minhash_clusters(
         max_jaccard_dist=max_jaccard_dist,
         seed=seed,
         max_bucket_width=1,
+        guard_shape="window",
     )
     comp = connected_components_star(pairs, src="id_a", dst="id_b")
     cluster = F.coalesce(F.col("component"), F.col(id_col))

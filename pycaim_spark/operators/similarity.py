@@ -672,8 +672,6 @@ def ivf_pq_topk_neighbors(
     4. Exact JVM re-rank of the top ``n_candidates`` per query (shared
        ``_exact_rerank`` tail) — returned cosines are bit-exact.
     """
-    import pandas as pd
-
     sample = np.stack(
         emb.orderBy("vec_id")
         .limit(sample_size)
@@ -681,12 +679,25 @@ def ivf_pq_topk_neighbors(
         .toPandas()["embedding"]
         .to_numpy()
     ).astype(np.float64)
-    dim = sample.shape[1]
-    sub = dim // m
     centroids = _spherical_kmeans(sample, n_cells, iters, seed)
     s_normed = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     s_cells = np.argmax(s_normed @ centroids.T, axis=1)
     codebooks = _pq_train(sample - centroids[s_cells], m, k_centroids, iters, seed)
+
+    coded = _ivf_pq_encode(emb, centroids, codebooks)
+    return _ivf_pq_query(
+        emb, coded, centroids, codebooks, nprobe, k, n_queries, n_candidates
+    )
+
+
+def _ivf_pq_encode(
+    emb: DataFrame, centroids: np.ndarray, codebooks: np.ndarray
+) -> DataFrame:
+    """Corpus → (neighbor_id, cell, codes, recon_norm): one Arrow pass,
+    cell-partitioned output (the IVF storage layout)."""
+    import pandas as pd
+
+    m, _, sub = codebooks.shape
 
     def _encode(col):
         mat = np.stack(col.to_numpy()).astype(np.float64)
@@ -708,7 +719,35 @@ def ivf_pq_topk_neighbors(
         )
 
     encode = F.pandas_udf(_encode, "cell int, codes array<int>, recon_norm double")
+    return (
+        emb.select("vec_id", encode("embedding").alias("_e"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_e.cell").alias("cell"),
+            F.col("_e.codes").alias("codes"),
+            F.col("_e.recon_norm").alias("recon_norm"),
+        )
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, F.col("cell")
+        )
+    )
 
+
+def _ivf_pq_query(
+    emb: DataFrame,
+    coded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int,
+    k: int,
+    n_queries: int,
+    n_candidates: int,
+) -> DataFrame:
+    """Query side of IVF-PQ: probe frame → ADC over codes in probed cells
+    → exact re-rank. Shared by the inline and stored-index operators."""
+    import pandas as pd
+
+    m, _, sub = codebooks.shape
     q_rows = (
         emb.filter(F.col("vec_id") < n_queries)
         .orderBy("vec_id")
@@ -734,18 +773,6 @@ def ivf_pq_topk_neighbors(
 
     adc = F.pandas_udf(_adc, "double")
 
-    coded = (
-        emb.select("vec_id", encode("embedding").alias("_e"))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("_e.cell").alias("cell"),
-            F.col("_e.codes").alias("codes"),
-            F.col("_e.recon_norm").alias("recon_norm"),
-        )
-        .repartition(
-            emb.sparkSession.sparkContext.defaultParallelism, F.col("cell")
-        )
-    )
     # Tiny probe frame: (query position, ACTUAL query vec_id, probed cell);
     # real ids ride along so no positional/id divergence is possible.
     probes = F.broadcast(
@@ -778,6 +805,86 @@ def ivf_pq_topk_neighbors(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(emb, cand, q_rows, k)
+
+
+def ivf_pq_index_build(
+    emb: DataFrame,
+    store_dir: str,
+    n_cells: int = 32,
+    m: int = 8,
+    k_centroids: int = 16,
+    sample_size: int = 1024,
+    iters: int = 10,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build (or reuse) a PERSISTED IVF-PQ index at ``store_dir``: the
+    coded corpus as parquet plus an ``index.npz`` sidecar holding the
+    trained centroids/codebooks. Idempotent — if both artifacts exist the
+    build is skipped entirely, which is the deployment shape: at 100 TB
+    the index is built once (or incrementally per ingest slice) and every
+    query run reads 8-byte codes instead of re-encoding the corpus.
+    Training is seeded, so a rebuild reproduces the same index bit-(and
+    code-)identically. Returns (centroids, codebooks)."""
+    import os
+
+    npz = os.path.join(store_dir, "index.npz")
+    codes_dir = os.path.join(store_dir, "codes")
+    if os.path.exists(npz) and os.path.exists(
+        os.path.join(codes_dir, "_SUCCESS")
+    ):
+        with np.load(npz) as idx:
+            return idx["centroids"], idx["codebooks"]
+    sample = np.stack(
+        emb.orderBy("vec_id")
+        .limit(sample_size)
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    centroids = _spherical_kmeans(sample, n_cells, iters, seed)
+    s_normed = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    s_cells = np.argmax(s_normed @ centroids.T, axis=1)
+    codebooks = _pq_train(sample - centroids[s_cells], m, k_centroids, iters, seed)
+    _ivf_pq_encode(emb, centroids, codebooks).write.mode("overwrite").parquet(
+        codes_dir
+    )
+    os.makedirs(store_dir, exist_ok=True)
+    np.savez(npz, centroids=centroids, codebooks=codebooks)
+    return centroids, codebooks
+
+
+def ivf_pq_topk_stored(
+    emb: DataFrame,
+    store_dir: str,
+    n_cells: int = 32,
+    nprobe: int = 12,
+    m: int = 8,
+    k_centroids: int = 16,
+    k: int = 5,
+    n_queries: int = 10,
+    n_candidates: int = 32,
+    sample_size: int = 1024,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ top-k over a PERSISTED index (``ivf_pq_index_build``) — the
+    deployment shape of the composition. The inline ``ivf_pq_topk_
+    neighbors`` re-encodes the corpus every run, so its wall time is
+    BUILD-dominated and sits at ≈ flat-PQ cost (ISOLATE_r9.json ann_sf10:
+    ivf_pq 4.92 vs pq 4.99 vs ivf 2.70 at sf10); here the steady-state
+    query touches only the probed cells' 8-byte codes plus the exact
+    re-rank — the stage the IVF×PQ composition actually accelerates.
+    Same seeded training → identical results to the inline operator
+    (asserted in tests/test_llm_ops.py)."""
+    centroids, codebooks = ivf_pq_index_build(
+        emb, store_dir, n_cells, m, k_centroids, sample_size, iters, seed
+    )
+    import os
+
+    coded = emb.sparkSession.read.parquet(os.path.join(store_dir, "codes"))
+    return _ivf_pq_query(
+        emb, coded, centroids, codebooks, nprobe, k, n_queries, n_candidates
+    )
 
 
 # Ship by value: Spark workers cannot import pycaim_spark (driver-only

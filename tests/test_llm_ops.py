@@ -814,3 +814,25 @@ def test_ivf_pq_recall_and_exact_rerank(spark, sf_dir):
             assert exact[pair] == cos  # exact re-rank: bit-identical
     recall = len(exact.keys() & approx.keys()) / len(exact)
     assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall:.2f}"
+
+
+def test_ivf_pq_stored_matches_inline(spark, sf_dir):
+    """The persisted-index variant must return EXACTLY the inline
+    operator's rows (same seeded training → same codes → same ADC
+    candidates → same exact re-rank), and the second call must reuse the
+    store (idempotent build)."""
+    import os
+
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    inline = {(r.query_id, r.neighbor_id, r.cos, r.rn)
+              for r in REGISTRY["sim_ivf_pq"].fn(spark, sf_dir).collect()}
+    stored = {(r.query_id, r.neighbor_id, r.cos, r.rn)
+              for r in REGISTRY["sim_ivf_pq_stored"].fn(spark, sf_dir).collect()}
+    assert stored == inline
+    # the store exists and a re-run reuses it byte-identically
+    stores = [d for d in os.listdir(_SCRATCH) if d.startswith("ivfpq_")]
+    assert stores
+    again = {(r.query_id, r.neighbor_id, r.cos, r.rn)
+             for r in REGISTRY["sim_ivf_pq_stored"].fn(spark, sf_dir).collect()}
+    assert again == inline

@@ -63,6 +63,43 @@ CONFIGS: dict[str, tuple[dict[str, str], list[str]]] = {
     ),
     # mm_decode round-7 slowdown bisection control
     "mm_decode": ({}, ["mm_decode"]),
+    # --- round 9 ---
+    # join_broadcast adjudication at sf10 (VERDICT r8 #5): pinned hint vs
+    # AQE's free choice vs an explicitly DEMOTED broadcast (threshold 1 MiB
+    # forces the sort-merge/shuffled-hash path a cluster would take when
+    # the dim outgrows broadcast budgets).
+    "join_sf10_pinned": (
+        {"SPARK_GRAFT_SF_DIR": "/root/repo/.scratch/sf10"},
+        ["join_broadcast"],
+    ),
+    "join_sf10_aqe": (
+        {"SPARK_GRAFT_SF_DIR": "/root/repo/.scratch/sf10"},
+        ["join_aqe_choice"],
+    ),
+    "join_sf10_demoted": (
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/repo/.scratch/sf10",
+            "PYCAIM_EXTRA_CONFS":
+                "spark.sql.autoBroadcastJoinThreshold=1048576;"
+                "spark.sql.adaptive.autoBroadcastJoinThreshold=1048576",
+        },
+        ["join_aqe_choice"],
+    ),
+    # Cluster output contract vs pair list at sf10 (VERDICT r8 #1): same
+    # corpus, same session protocol — the star-edge clusters query must be
+    # materially below the pair query's output-bound wall time.
+    "dedup_sf10_pairs_vs_clusters": (
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/repo/.scratch/sf10",
+            "PYCAIM_ISOLATE_TIMEOUT": "1800",
+        },
+        ["dedup_minhash", "dedup_minhash_clusters"],
+    ),
+    # ANN family at sf10: the composed IVF-PQ vs both parents.
+    "ann_sf10": (
+        {"SPARK_GRAFT_SF_DIR": "/root/repo/.scratch/sf10"},
+        ["sim_ivf", "sim_pq", "sim_ivf_pq"],
+    ),
 }
 
 
@@ -83,7 +120,7 @@ def main() -> None:
         env = {**os.environ, **env_extra}
         proc = subprocess.run(
             [sys.executable, BENCH, "--isolate", *queries, "--n", "3"],
-            capture_output=True, text=True, env=env, timeout=1800,
+            capture_output=True, text=True, env=env, timeout=3600,
         )
         line = proc.stdout.strip().rsplit("\n", 1)[-1] if proc.stdout else ""
         try:
