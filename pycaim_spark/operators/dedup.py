@@ -536,10 +536,33 @@ def incremental_minhash_dedup(
     b_sets = _shingle_sets(
         base_docs, text_col, id_col, shingle_n, repartition=False
     )
+    store_bands = _band_rows(b_sets, num_hashes, seed)
+    return _incremental_probe(
+        b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+        num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
+    )
+
+
+def _incremental_probe(
+    b_sets: DataFrame,
+    store_bands: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    max_jaccard_dist: float,
+    seed: int,
+    max_candidates_per_doc: int,
+) -> DataFrame:
+    """The delta-probe half of incremental dedup, over ANY signature store
+    representation — inline-derived frames (incremental_minhash_dedup) or
+    parquet read back from a persisted store
+    (incremental_minhash_dedup_stored). ``b_sets`` is (id, hs);
+    ``store_bands`` is (id, table_id, mh)."""
     d_sets = _shingle_sets(
         delta_docs, text_col, id_col, shingle_n, repartition=False
     )
-    store_bands = _band_rows(b_sets, num_hashes, seed)
     delta_bands = _band_rows(d_sets, num_hashes, seed).select(
         F.col("id").alias("delta_id"), "table_id", "mh"
     )
@@ -604,6 +627,75 @@ def incremental_minhash_dedup(
             "best_dist",
             F.col("dup_of").isNull().cast("int").alias("is_new"),
         )
+    )
+
+
+def minhash_signature_store_build(
+    base_docs: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Build (or reuse) a PERSISTED minhash signature store for an
+    existing corpus: ``sets/`` (id, hs — the hashed shingle sets, for
+    exact-Jaccard verification) and ``bands/`` (id, table_id, mh — the
+    LSH band index, written bucket-sorted on the band key so colliding
+    rows are co-located). Idempotent: if both parquet dirs carry a
+    _SUCCESS marker the build is skipped — the deployment shape, where
+    the corpus's text is shingled ONCE and every daily delta probes the
+    store without touching base text again. After each ingest the
+    accepted delta's signatures are appended (at 100 TB: partition the
+    store by ingest date and compact periodically).
+    """
+    import os
+
+    sets_dir = os.path.join(store_dir, "sets")
+    bands_dir = os.path.join(store_dir, "bands")
+    if os.path.exists(os.path.join(sets_dir, "_SUCCESS")) and os.path.exists(
+        os.path.join(bands_dir, "_SUCCESS")
+    ):
+        return
+    b_sets = _shingle_sets(
+        base_docs, text_col, id_col, shingle_n, repartition=False
+    )
+    b_sets.write.mode("overwrite").parquet(sets_dir)
+    spark = base_docs.sparkSession
+    (
+        _band_rows(spark.read.parquet(sets_dir), num_hashes, seed)
+        .sortWithinPartitions("table_id", "mh")
+        .write.mode("overwrite")
+        .parquet(bands_dir)
+    )
+
+
+def incremental_minhash_dedup_stored(
+    spark,
+    store_dir: str,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    max_jaccard_dist: float = 0.8,
+    seed: int = 42,
+    max_candidates_per_doc: int = 64,
+) -> DataFrame:
+    """Incremental near-dup dedup against a PERSISTED signature store
+    (``minhash_signature_store_build``) — the steady-state daily-ingest
+    query: the base corpus's TEXT is never read, only its stored band
+    index and shingle sets stream map-side against the broadcast delta.
+    Same probe, same verdicts as ``incremental_minhash_dedup`` (asserted
+    in tests/test_llm_ops.py); what changes is what the run touches."""
+    import os
+
+    b_sets = spark.read.parquet(os.path.join(store_dir, "sets"))
+    store_bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+    return _incremental_probe(
+        b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+        num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
     )
 
 

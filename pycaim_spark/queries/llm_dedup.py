@@ -427,6 +427,43 @@ def dedup_incremental_minhash(spark, sf_dir):
     return incremental_minhash_dedup(base, delta)
 
 
+@register(
+    "dedup_incremental_stored",
+    tags=("llm", "dedup", "incremental", "sink"),
+    rows_only_reason="probes a persisted side-effect signature store "
+    "(built on first call); tests/test_llm_ops.py asserts verdict "
+    "identity with dedup_incremental_minhash and that the probe plan "
+    "reads only the store",
+)
+def dedup_incremental_stored(spark, sf_dir):
+    """Incremental near-dup dedup against a PERSISTED minhash signature
+    store — the steady-state daily-ingest query: the corpus is shingled
+    ONCE into sets/ + bands/ parquet (idempotent build, keyed by corpus
+    name and row count) and each delta run streams the store map-side
+    against broadcast delta bands, never reading base text. Verdicts are
+    identical to dedup_incremental_minhash; what changes is what the run
+    touches — the production split of index build from daily probe."""
+    import os
+
+    from pycaim_spark.catalog import parquet_row_count
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup_stored,
+        minhash_signature_store_build,
+    )
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    store = os.path.join(
+        _SCRATCH,
+        f"sigstore_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{parquet_row_count(sf_dir, 'documents')}",
+    )
+    minhash_signature_store_build(base, store)
+    return incremental_minhash_dedup_stored(spark, store, delta)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -291,7 +291,15 @@ def test_real_jpeg_roundtrip_and_corruption():
         "fmt": "jpeg", "width": 129, "height": 65, "bit_depth": 8,
         "channels": 3, "sample_rate": -1, "n_samples": -1,
     }
-    assert decode_media(make_jpeg(40, 30, channels=1))["channels"] == 1
+    gray = make_jpeg(40, 30, channels=1)
+    assert decode_media(gray)["channels"] == 1
+    # corruption handling must hold on the 1-channel stream too
+    # (VERDICT r8 #7): truncated mid-SOF and Nf/segment-length mismatch
+    g_sof = gray.index(b"\xff\xc0")
+    assert decode_media(gray[: g_sof + 3]) is None
+    g_bad = bytearray(gray)
+    g_bad[g_sof + 9] = 3  # claims 3 components, list holds 1
+    assert decode_media(bytes(g_bad)) is None
 
     # SOS declares the same component count as SOF0 (ADVICE r7): Ns is the
     # first payload byte of the FFDA segment.
@@ -835,4 +843,25 @@ def test_ivf_pq_stored_matches_inline(spark, sf_dir):
     assert stores
     again = {(r.query_id, r.neighbor_id, r.cos, r.rn)
              for r in REGISTRY["sim_ivf_pq_stored"].fn(spark, sf_dir).collect()}
+    assert again == inline
+
+
+def test_incremental_stored_matches_inline_and_reads_only_store(spark, sf_dir):
+    """The persisted-signature-store variant must return EXACTLY the
+    inline operator's verdicts (same hash functions through the store
+    round-trip), and its probe plan must scan the store parquet — not
+    the documents table — with no sort-merge join on the base side."""
+    inline = {(r.doc_id, r.dup_of, r.is_new)
+              for r in REGISTRY["dedup_incremental_minhash"].fn(spark, sf_dir).collect()}
+    df = REGISTRY["dedup_incremental_stored"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "sigstore_" in plan          # base side comes from the store...
+    stored = {(r.doc_id, r.dup_of, r.is_new) for r in df.collect()}
+    assert stored == inline
+    # ...and a second run reuses the store (idempotent build)
+    again = {(r.doc_id, r.dup_of, r.is_new)
+             for r in REGISTRY["dedup_incremental_stored"].fn(spark, sf_dir).collect()}
     assert again == inline
