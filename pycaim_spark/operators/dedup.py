@@ -543,7 +543,7 @@ def incremental_minhash_dedup(
     )
 
 
-def _incremental_probe(
+def _incremental_matches(
     b_sets: DataFrame,
     store_bands: DataFrame,
     delta_docs: DataFrame,
@@ -555,10 +555,10 @@ def _incremental_probe(
     seed: int,
     max_candidates_per_doc: int,
 ) -> DataFrame:
-    """The delta-probe half of incremental dedup, over ANY signature store
-    representation — inline-derived frames (incremental_minhash_dedup) or
-    parquet read back from a persisted store
-    (incremental_minhash_dedup_stored). ``b_sets`` is (id, hs);
+    """ALL verified capped (delta_id, base_id, jd) matches of the delta
+    probe, over ANY signature store representation — inline-derived frames
+    (incremental_minhash_dedup) or parquet read back from a persisted
+    store (incremental_minhash_dedup_stored). ``b_sets`` is (id, hs);
     ``store_bands`` is (id, table_id, mh)."""
     d_sets = _shingle_sets(
         delta_docs, text_col, id_col, shingle_n, repartition=False
@@ -606,9 +606,30 @@ def _incremental_probe(
     jd = F.round(
         F.lit(1.0) - inter.cast("double") / union.cast("double"), 6
     )
+    return matched.select("delta_id", "base_id", jd.alias("jd")).filter(
+        F.col("jd") <= max_jaccard_dist
+    )
+
+
+def _incremental_probe(
+    b_sets: DataFrame,
+    store_bands: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    max_jaccard_dist: float,
+    seed: int,
+    max_candidates_per_doc: int,
+) -> DataFrame:
+    """Per-delta-doc verdict frame (doc_id, dup_of, best_dist, is_new)
+    over the verified matches of ``_incremental_matches``."""
     verified = (
-        matched.select("delta_id", "base_id", jd.alias("jd"))
-        .filter(F.col("jd") <= max_jaccard_dist)
+        _incremental_matches(
+            b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+            num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
+        )
         .groupBy("delta_id")
         .agg(
             F.min("base_id").alias("dup_of"),
@@ -628,6 +649,108 @@ def _incremental_probe(
             F.col("dup_of").isNull().cast("int").alias("is_new"),
         )
     )
+
+
+def incremental_cluster_assignments(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    base_assignments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    max_jaccard_dist: float = 0.8,
+    seed: int = 42,
+    max_candidates_per_doc: int = 64,
+    b_sets: DataFrame | None = None,
+    store_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental CLUSTER maintenance: fold a new ingest slice into an
+    EXISTING corpus's near-dup cluster assignments without re-clustering
+    the corpus — the daily companion to ``minhash_clusters`` the way
+    ``incremental_minhash_dedup`` is to ``dedup_minhash``. Pass
+    ``b_sets``/``store_bands`` (e.g. read back from
+    ``minhash_signature_store_build``'s parquet) to skip re-shingling the
+    base corpus — the steady-state daily shape.
+
+    ``base_assignments`` is (doc_id, cluster_id) for the existing corpus
+    (from ``minhash_clusters`` or a stored assignment table; cluster ids
+    are min-member doc ids). The computation is DELTA-sized throughout:
+
+    1. Verified delta→base matches (the incremental probe — base store
+       streams map-side, candidates capped per delta doc).
+    2. Each matched base doc is replaced by its CLUSTER id (one map-side
+       join of the delta-sized match list against the assignment table),
+       so base-side connectivity is inherited through the cluster reps
+       instead of re-walking base-base edges.
+    3. Delta-internal near-dup pairs (full minhash banding over the slice
+       alone — identical hash functions, so the pair set equals the
+       full-corpus run's delta×delta pairs).
+    4. Connected components over this delta-sized graph (delta ids ∪
+       touched cluster-rep ids); labels are min ids, which REPRODUCES the
+       full re-clustering labels: a cluster rep IS its cluster's min
+       member, so min over {reps, delta ids} in a component equals min
+       over the merged member set.
+
+    Output: one row per delta doc ``(doc_id, cluster_id, kind='delta')``
+    — singletons label themselves — plus one row per TOUCHED base cluster
+    whose label changed ``(old_rep_id, new_cluster_id, kind='base_remap')``:
+    the remap a pipeline applies to the stored assignment table (base
+    labels are not rewritten here; a delta doc bridging two base clusters
+    yields remap rows merging them, exactly what full re-clustering would
+    do). Planted-corpus equality with full re-clustering is asserted in
+    tests/test_llm_ops.py.
+    """
+    from pycaim_spark.operators.graph import connected_components_star
+
+    if b_sets is None:
+        b_sets = _shingle_sets(
+            base_docs, text_col, id_col, shingle_n, repartition=False
+        )
+    if store_bands is None:
+        store_bands = _band_rows(b_sets, num_hashes, seed)
+    matches = _incremental_matches(
+        b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+        num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
+    )
+    assign = base_assignments.select(
+        F.col(id_col).alias("base_id"), F.col("cluster_id").alias("_bc")
+    )
+    # matches is delta-sized → broadcast; the assignment table streams.
+    anchored = assign.join(F.broadcast(matches), "base_id").select(
+        F.col("delta_id").alias("src"), F.col("_bc").alias("dst")
+    )
+    dd = minhash_candidate_pairs(
+        delta_docs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        max_jaccard_dist=max_jaccard_dist,
+        seed=seed,
+        guard_shape="window",
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components_star(anchored.unionByName(dd), "src", "dst")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    delta_rows = (
+        delta_docs.join(comp, delta_docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            F.lit("delta").alias("kind"),
+        )
+    )
+    touched_reps = anchored.select(F.col("dst").alias("node")).distinct()
+    remap_rows = (
+        comp.join(touched_reps, "node")
+        .filter(F.col("component") != F.col("node"))
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            F.lit("base_remap").alias("kind"),
+        )
+    )
+    return delta_rows.unionByName(remap_rows)
 
 
 def minhash_signature_store_build(

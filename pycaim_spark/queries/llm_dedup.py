@@ -428,6 +428,59 @@ def dedup_incremental_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_clusters",
+    tags=("llm", "dedup", "incremental", "graph", "sink"),
+    rows_only_reason="MinHash banding is seeded, cluster maintenance is "
+    "iterative, and the base assignment/signature stores are side-effect "
+    "builds; tests/test_llm_ops.py asserts planted-corpus equality with "
+    "full re-clustering, including the two-cluster-merge remap case",
+)
+def dedup_incremental_clusters(spark, sf_dir):
+    """Incremental cluster maintenance: fold today's slice (doc_id % 10
+    = 0) into the existing corpus's near-dup cluster assignments with
+    DELTA-sized work (operators/dedup.py incremental_cluster_assignments)
+    — delta docs get cluster ids consistent with full re-clustering, and
+    `base_remap` rows carry the label rewrites (cluster merges) a
+    pipeline applies to its stored assignment table. The daily companion
+    to dedup_minhash_clusters, in the production shape: the base corpus's
+    cluster assignments AND minhash signature store are persisted once
+    (idempotent builds keyed by corpus) so the steady-state run touches
+    only the stores and the slice — never base text, never a base
+    re-clustering."""
+    import os
+
+    from pycaim_spark.catalog import parquet_row_count
+    from pycaim_spark.operators.dedup import (
+        incremental_cluster_assignments,
+        minhash_clusters,
+        minhash_signature_store_build,
+    )
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{parquet_row_count(sf_dir, 'documents')}"
+    )
+    sig_store = os.path.join(_SCRATCH, f"sigstore_{key}")
+    minhash_signature_store_build(base, sig_store)
+    assign_store = os.path.join(_SCRATCH, f"clusterstore_{key}")
+    if not os.path.exists(os.path.join(assign_store, "_SUCCESS")):
+        minhash_clusters(base).select("doc_id", "cluster_id").write.mode(
+            "overwrite"
+        ).parquet(assign_store)
+    return incremental_cluster_assignments(
+        base,
+        delta,
+        spark.read.parquet(assign_store),
+        b_sets=spark.read.parquet(os.path.join(sig_store, "sets")),
+        store_bands=spark.read.parquet(os.path.join(sig_store, "bands")),
+    )
+
+
+@register(
     "dedup_incremental_stored",
     tags=("llm", "dedup", "incremental", "sink"),
     rows_only_reason="probes a persisted side-effect signature store "

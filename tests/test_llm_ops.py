@@ -865,3 +865,48 @@ def test_incremental_stored_matches_inline_and_reads_only_store(spark, sf_dir):
     again = {(r.doc_id, r.dup_of, r.is_new)
              for r in REGISTRY["dedup_incremental_stored"].fn(spark, sf_dir).collect()}
     assert again == inline
+
+
+def test_incremental_clusters_match_full_reclustering(spark):
+    """incremental_cluster_assignments must give every delta doc the SAME
+    cluster id a full re-clustering over base+delta would, with
+    delta-sized work; a delta doc bridging two base clusters must emit
+    the base_remap rows that merge them."""
+    from pycaim_spark.operators.dedup import (
+        incremental_cluster_assignments,
+        minhash_clusters,
+    )
+
+    ca = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cb = "one two three four five six seven eight nine ten"
+    base_rows = (
+        [(i, ca + f" t{i % 2}") for i in (1, 2, 3)]       # base cluster A (rep 1)
+        + [(i, cb + f" u{i % 2}") for i in (4, 5, 6)]     # base cluster B (rep 4)
+        + [(7, "a lonely base document with entirely private vocabulary")]
+    )
+    delta_rows = [
+        (10, ca + " t1"),                                  # joins cluster A
+        (20, ca + " one two three four five six seven eight nine ten"),
+        # ^ overlaps BOTH vocabularies: the bridge that merges A and B
+        (30, "a brand new delta topic utterly related to nothing else"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    both = base.unionByName(delta)
+
+    base_assign = minhash_clusters(base).select("doc_id", "cluster_id")
+    got = incremental_cluster_assignments(base, delta, base_assign).collect()
+    inc = {(r.doc_id, r.kind): r.cluster_id for r in got}
+    full = {r.doc_id: r.cluster_id for r in minhash_clusters(both).collect()}
+
+    # every delta doc labeled, consistent with full re-clustering
+    for d, _ in delta_rows:
+        assert inc[(d, "delta")] == full[d], d
+    # base clusters whose full label changed appear as remap rows
+    base_reps = {r.cluster_id for r in base_assign.collect()}
+    expected_remaps = {
+        rep: full[rep] for rep in base_reps if full[rep] != rep
+    }
+    got_remaps = {d: c for (d, k), c in inc.items() if k == "base_remap"}
+    assert got_remaps == expected_remaps
+    assert expected_remaps, "fixture must exercise the merge case"
