@@ -109,8 +109,13 @@ def _tune_partitions(spark) -> None:
 def _run_once(fn, spark) -> float:
     t0 = time.perf_counter()
     df = fn(spark, SF_DIR)
-    # count() materializes the full result without driver-side row transfer.
-    df.count()
+    # noop sink: consumes every row AND column without driver transfer.
+    # NOT count() — Catalyst's distinct-key join elimination + column
+    # pruning can collapse a count() plan to a fraction of the query
+    # (measured: the incremental-dedup probe's count() optimized to a
+    # bare delta scan, reporting 0.8 s for an 86 s probe at sf10 —
+    # ISOLATE_r9.json `count_elimination`).
+    df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 

@@ -92,7 +92,16 @@ def bench_sf(spark, sf_dir: str, names: list[str]) -> dict[str, dict[str, float]
     try:
         for name in names:
             spec = REGISTRY[name]
-            s = _median3(lambda: spec.fn(spark, sf_dir).count())
+            # noop sink, not count(): a count() plan is subject to
+            # distinct-key join elimination + column pruning and can skip
+            # most of the query (bench.py `_run_once` records the measured
+            # case). The noop write consumes every row and column.
+            s = _median3(
+                lambda: spec.fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
             out[name] = {"spark": round(s, 4)}
             if spec.oracle is not None:
                 d = _median3(lambda: con.execute(spec.oracle).fetchall())
