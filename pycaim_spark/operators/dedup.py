@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -517,16 +519,23 @@ def incremental_minhash_dedup(
 
     1. delta band rows (small, the daily slice) are BROADCAST; the base
        band store streams map-side through a broadcast hash join to find
-       colliding (base_id, delta_id) candidates. At 100 TB the band store
-       is a persisted parquet table keyed by (table_id, mh); here it is
-       derived inline from ``base_docs`` with identical hash functions.
-    2. Candidates collapse per (delta, base) pair counting HOW MANY bands
-       collided, and each delta doc keeps its ``max_candidates_per_doc``
-       strongest candidates (most colliding bands ≈ highest Jaccard — the
-       standard LSH collision-count ranking). This shuffle is
-       candidate-sized (≤ bands × |delta|), never base-sized, and the cap
-       bounds the verification cost per delta doc against boilerplate
-       buckets the same way the clique guard bounds pair emission.
+       colliding candidates — one hit row per (delta doc, band) carrying
+       the bucket's member ARRAY, never a row per collision (a dense
+       corpus makes per-collision rows |delta|×bands×bucket_width; see
+       ``_incremental_matches``). At 100 TB the bucket store is a
+       persisted parquet table keyed by (table_id, mh)
+       (``minhash_signature_store_build``); here it is derived inline
+       from ``base_docs`` with identical hash functions — the one
+       exchange of 8-per-doc band rows that builds the buckets is the
+       inline stand-in for the store build, and base TEXT still never
+       shuffles.
+    2. Each delta doc ranks its candidates IN-ROW: flatten the ≤ bands
+       bucket arrays, count occurrences (= number of colliding bands ≈
+       highest Jaccard — the standard LSH collision-count ranking), keep
+       the ``max_candidates_per_doc`` strongest. The only shuffle is
+       bands-per-doc rows — delta-sized — and the per-bucket slice bounds
+       probe cost against boilerplate buckets the same way the clique
+       guard bounds pair emission.
     3. Verification re-reads base shingle sets map-side (broadcast of the
        capped candidate list) and exact-Jaccards only the capped pairs.
 
@@ -536,16 +545,82 @@ def incremental_minhash_dedup(
     b_sets = _shingle_sets(
         base_docs, text_col, id_col, shingle_n, repartition=False
     )
-    store_bands = _band_rows(b_sets, num_hashes, seed)
+    store_buckets = _band_buckets(_band_rows(b_sets, num_hashes, seed))
     return _incremental_probe(
-        b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+        b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
     )
 
 
+#: Per-bucket member cap at signature-store build time — the probe-side
+#: density guard, mirroring ``max_bucket_width`` in the self-join dedup.
+#: A boilerplate shingle whose band bucket holds millions of docs would
+#: otherwise make every probe of that bucket emit millions of candidates;
+#: the store keeps the ``BUCKET_STORE_CAP`` smallest doc ids (plus the
+#: true ``width`` for observability) and probes degrade deterministically
+#: on wider buckets, exactly like the clique guard's star degradation.
+BUCKET_STORE_CAP = 1024
+
+
+def _band_buckets(store_bands: DataFrame, bucket_cap: int = BUCKET_STORE_CAP) -> DataFrame:
+    """Aggregate (id, table_id, mh) band rows into per-bucket member
+    arrays ``(table_id, mh, width, ids)`` — ids ascending, capped at
+    ``bucket_cap`` (width records the UNCAPPED bucket size). The window
+    pre-truncates wide buckets row-wise BEFORE collect_list, so no
+    aggregation buffer ever holds more than ``bucket_cap`` ids (the
+    ADVICE-r8 memory rule); the groupBy reuses the window's hash
+    partitioning, so the whole build is ONE exchange of 8-per-doc band
+    rows."""
+    from pyspark.sql import Window
+
+    bucket = Window.partitionBy("table_id", "mh")
+    return (
+        store_bands.withColumn("_r", F.row_number().over(bucket.orderBy("id")))
+        .withColumn("width", F.count(F.lit(1)).over(bucket))
+        .filter(F.col("_r") <= bucket_cap)
+        .groupBy("table_id", "mh")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.max("width").alias("width"),
+        )
+    )
+
+
+def _with_top_candidates(df: DataFrame, cands_col: str, cap: int) -> DataFrame:
+    """Add ``top_cands``: the top-``cap`` elements of array column
+    ``cands_col`` by (occurrence count desc, value asc) — the LSH
+    collision-count ranking, computed per row with no shuffle.
+
+    Arrow-batched numpy on purpose — this is one of the rare spots where
+    the built-ins genuinely can't express the semantics efficiently.
+    Three JVM-side shapes were built and measured on the sf10 probe
+    (ISOLATE_r9.json ``incremental_probe_shape``): a row-per-collision
+    groupBy+window ranks exactly but materializes |delta|×bands×width
+    rows (155 M rows, 73 s); an aggregate-HOF run-length encoder stays
+    in-row but grows its accumulator via concat — a copy per element,
+    O(n²) (14.7 s); an index-based HOF chain is O(n log n) on paper but
+    Catalyst's project collapse inlines the sorted array into the lambda
+    bodies and re-evaluates it per element (minutes). numpy's
+    unique+argsort over the ≤ bands × cap array is exact, and the input
+    frame is one bounded row per delta doc — batch count is
+    |delta| / 10k, not corpus-sized."""
+
+    @F.pandas_udf("array<bigint>")
+    def _top(cands: pd.Series) -> pd.Series:
+        def one(arr):
+            ids, cnt = np.unique(np.asarray(arr, dtype=np.int64),
+                                 return_counts=True)
+            # lexsort: last key is primary → (-cnt, then ids asc for ties)
+            order = np.lexsort((ids, -cnt))[:cap]
+            return ids[order]
+        return cands.map(one)
+
+    return df.withColumn("top_cands", _top(F.col(cands_col)))
+
+
 def _incremental_matches(
     b_sets: DataFrame,
-    store_bands: DataFrame,
+    store_buckets: DataFrame,
     delta_docs: DataFrame,
     text_col: str,
     id_col: str,
@@ -559,36 +634,48 @@ def _incremental_matches(
     probe, over ANY signature store representation — inline-derived frames
     (incremental_minhash_dedup) or parquet read back from a persisted
     store (incremental_minhash_dedup_stored). ``b_sets`` is (id, hs);
-    ``store_bands`` is (id, table_id, mh)."""
+    ``store_buckets`` is ``_band_buckets``'s (table_id, mh, width, ids).
+
+    The probe never materializes per-collision rows: a dense corpus
+    (every doc ~100 near-dups) would turn a row-per-collision plan into
+    |delta| × bands × bucket_width rows — measured at 155 M rows / 73 s
+    for the 50 k-doc sf10 delta, ISOLATE_r9.json ``incremental_probe_shape``
+    — while the bucket-array form carries the same information in
+    |delta| × bands rows and ranks candidates with in-row array ops."""
     d_sets = _shingle_sets(
         delta_docs, text_col, id_col, shingle_n, repartition=False
     )
     delta_bands = _band_rows(d_sets, num_hashes, seed).select(
         F.col("id").alias("delta_id"), "table_id", "mh"
     )
-    # (1) broadcast the delta probe: the base store streams through a BHJ.
-    collisions = store_bands.join(
+    # (1) broadcast the delta probe: the base store streams through a BHJ,
+    # one hit row per (delta doc, band) with the bucket's member array
+    # sliced to the probe cap (ids are stored ascending, so the slice is
+    # the deterministic min-id prefix).
+    hits = store_buckets.join(
         F.broadcast(delta_bands), ["table_id", "mh"]
-    ).select(F.col("id").alias("base_id"), "delta_id")
-    # (2) collision-count ranking + per-delta-doc cap (delta-sized shuffle).
-    from pyspark.sql import Window
-
-    ranked = (
-        collisions.groupBy("delta_id", "base_id")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("delta_id").orderBy(
-                    F.col("n_bands").desc(), F.col("base_id")
-                )
-            ),
-        )
-        .filter(F.col("_r") <= max_candidates_per_doc)
-        .select("delta_id", "base_id")
+    ).select(
+        "delta_id",
+        F.slice("ids", 1, max_candidates_per_doc).alias("ids"),
     )
+    # (2) collision-count ranking + per-delta-doc cap, all in-row: a doc's
+    # ≤ bands arrays flatten to one bounded array; occurrences of a base
+    # id across it = number of colliding bands (each band contributes one
+    # bucket), the standard LSH ranking. The only shuffle is bands-per-doc
+    # rows — delta-sized, never collision-sized.
+    ranked = _with_top_candidates(
+        hits.groupBy("delta_id").agg(
+            F.flatten(F.collect_list("ids")).alias("cands")
+        ),
+        "cands",
+        max_candidates_per_doc,
+    ).select("delta_id", F.explode("top_cands").alias("base_id"))
     # (3) exact-Jaccard verify, base side map-side again (broadcast the
-    # capped candidates, ≤ cap × |delta| rows).
+    # capped candidates, ≤ cap × |delta| rows). At a 100 TB deployment
+    # with a multi-million-doc daily slice the candidate list outgrows a
+    # broadcast; the scale path is an id-bucketed sets/ store so this
+    # join shuffles ONLY the candidate side into the store's bucketing —
+    # base sets still never shuffle. The hint is right at bench scales.
     matched = (
         b_sets.select(F.col("id").alias("base_id"), F.col("hs").alias("b_hs"))
         .join(F.broadcast(ranked), "base_id")
@@ -613,7 +700,7 @@ def _incremental_matches(
 
 def _incremental_probe(
     b_sets: DataFrame,
-    store_bands: DataFrame,
+    store_buckets: DataFrame,
     delta_docs: DataFrame,
     text_col: str,
     id_col: str,
@@ -627,7 +714,7 @@ def _incremental_probe(
     over the verified matches of ``_incremental_matches``."""
     verified = (
         _incremental_matches(
-            b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+            b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
             num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
         )
         .groupBy("delta_id")
@@ -663,13 +750,13 @@ def incremental_cluster_assignments(
     seed: int = 42,
     max_candidates_per_doc: int = 64,
     b_sets: DataFrame | None = None,
-    store_bands: DataFrame | None = None,
+    store_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental CLUSTER maintenance: fold a new ingest slice into an
     EXISTING corpus's near-dup cluster assignments without re-clustering
     the corpus — the daily companion to ``minhash_clusters`` the way
     ``incremental_minhash_dedup`` is to ``dedup_minhash``. Pass
-    ``b_sets``/``store_bands`` (e.g. read back from
+    ``b_sets``/``store_buckets`` (e.g. read back from
     ``minhash_signature_store_build``'s parquet) to skip re-shingling the
     base corpus — the steady-state daily shape.
 
@@ -707,18 +794,24 @@ def incremental_cluster_assignments(
         b_sets = _shingle_sets(
             base_docs, text_col, id_col, shingle_n, repartition=False
         )
-    if store_bands is None:
-        store_bands = _band_rows(b_sets, num_hashes, seed)
+    if store_buckets is None:
+        store_buckets = _band_buckets(_band_rows(b_sets, num_hashes, seed))
     matches = _incremental_matches(
-        b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+        b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
     )
     assign = base_assignments.select(
         F.col(id_col).alias("base_id"), F.col("cluster_id").alias("_bc")
     )
     # matches is delta-sized → broadcast; the assignment table streams.
-    anchored = assign.join(F.broadcast(matches), "base_id").select(
-        F.col("delta_id").alias("src"), F.col("_bc").alias("dst")
+    # anchored is consumed twice (the CC edge set AND touched_reps below);
+    # without the eager checkpoint each consumer re-runs the whole probe —
+    # measured as ~2× the query's sf10 wall (ISOLATE_r9.json
+    # incremental_clusters_anchor_ckpt).
+    anchored = (
+        assign.join(F.broadcast(matches), "base_id")
+        .select(F.col("delta_id").alias("src"), F.col("_bc").alias("dst"))
+        .localCheckpoint(eager=True)
     )
     dd = minhash_candidate_pairs(
         delta_docs,
@@ -764,21 +857,23 @@ def minhash_signature_store_build(
 ) -> None:
     """Build (or reuse) a PERSISTED minhash signature store for an
     existing corpus: ``sets/`` (id, hs — the hashed shingle sets, for
-    exact-Jaccard verification) and ``bands/`` (id, table_id, mh — the
-    LSH band index, written bucket-sorted on the band key so colliding
-    rows are co-located). Idempotent: if both parquet dirs carry a
-    _SUCCESS marker the build is skipped — the deployment shape, where
-    the corpus's text is shingled ONCE and every daily delta probes the
-    store without touching base text again. After each ingest the
-    accepted delta's signatures are appended (at 100 TB: partition the
-    store by ingest date and compact periodically).
+    exact-Jaccard verification) and ``buckets/`` (table_id, mh, width,
+    ids — the LSH band index pre-aggregated into per-bucket member
+    arrays by ``_band_buckets``, so a probe joins one row per bucket and
+    never expands per-collision rows). Idempotent: if both parquet dirs
+    carry a _SUCCESS marker the build is skipped — the deployment shape,
+    where the corpus's text is shingled ONCE and every daily delta
+    probes the store without touching base text again. After each ingest
+    the accepted delta's signatures are appended as band-row deltas and
+    folded into the bucket arrays at the periodic compaction (at 100 TB:
+    partition the store by ingest date — the LSM pattern).
     """
     import os
 
     sets_dir = os.path.join(store_dir, "sets")
-    bands_dir = os.path.join(store_dir, "bands")
+    buckets_dir = os.path.join(store_dir, "buckets")
     if os.path.exists(os.path.join(sets_dir, "_SUCCESS")) and os.path.exists(
-        os.path.join(bands_dir, "_SUCCESS")
+        os.path.join(buckets_dir, "_SUCCESS")
     ):
         return
     b_sets = _shingle_sets(
@@ -787,10 +882,9 @@ def minhash_signature_store_build(
     b_sets.write.mode("overwrite").parquet(sets_dir)
     spark = base_docs.sparkSession
     (
-        _band_rows(spark.read.parquet(sets_dir), num_hashes, seed)
-        .sortWithinPartitions("table_id", "mh")
+        _band_buckets(_band_rows(spark.read.parquet(sets_dir), num_hashes, seed))
         .write.mode("overwrite")
-        .parquet(bands_dir)
+        .parquet(buckets_dir)
     )
 
 
@@ -815,9 +909,9 @@ def incremental_minhash_dedup_stored(
     import os
 
     b_sets = spark.read.parquet(os.path.join(store_dir, "sets"))
-    store_bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+    store_buckets = spark.read.parquet(os.path.join(store_dir, "buckets"))
     return _incremental_probe(
-        b_sets, store_bands, delta_docs, text_col, id_col, shingle_n,
+        b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
     )
 

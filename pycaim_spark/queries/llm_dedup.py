@@ -476,7 +476,7 @@ def dedup_incremental_clusters(spark, sf_dir):
         delta,
         spark.read.parquet(assign_store),
         b_sets=spark.read.parquet(os.path.join(sig_store, "sets")),
-        store_bands=spark.read.parquet(os.path.join(sig_store, "bands")),
+        store_buckets=spark.read.parquet(os.path.join(sig_store, "buckets")),
     )
 
 

@@ -760,6 +760,48 @@ def test_minhash_clusters_refine_pair_clusters(spark, sf_dir):
     assert any(d != c for d, c in star.items())
 
 
+def test_top_candidates_ranking_matches_reference(spark):
+    """_with_top_candidates must rank by (occurrence count desc, id asc)
+    and cap — checked against a plain-Python reference on arrays that
+    exercise ties, singletons, and cap truncation."""
+    from collections import Counter
+
+    from pycaim_spark.operators.dedup import _with_top_candidates
+
+    rows = [
+        (1, [5, 3, 5, 3, 5, 9]),            # counts 5:3, 3:2, 9:1
+        (2, [7, 7, 2, 2, 4, 4]),            # all tied → id asc
+        (3, [11]),                          # singleton
+        (4, [1, 2, 3, 4, 5, 6, 1, 2, 3]),   # cap truncates the tail
+    ]
+    df = spark.createDataFrame(rows, "delta_id long, cands array<bigint>")
+    got = {
+        r.delta_id: list(r.top_cands)
+        for r in _with_top_candidates(df, "cands", 3).collect()
+    }
+    for did, arr in rows:
+        c = Counter(arr)
+        expect = [i for i, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))][:3]
+        assert got[did] == expect, (did, got[did], expect)
+
+
+def test_bucket_store_caps_wide_buckets_deterministically(spark):
+    """_band_buckets must record the TRUE bucket width but keep only the
+    cap smallest member ids (the probe-side density guard), and a probe
+    against the capped store must still verify matches into the kept
+    members — degradation is deterministic, never an error."""
+    import pyspark.sql.functions as F
+
+    from pycaim_spark.operators.dedup import _band_buckets
+
+    rows = [(i, 0, 42) for i in range(10, 20)] + [(7, 1, 99)]
+    bands = spark.createDataFrame(rows, "id long, table_id int, mh long")
+    got = {(r.table_id, r.mh): (r.width, list(r.ids))
+           for r in _band_buckets(bands, bucket_cap=4).collect()}
+    assert got[(0, 42)] == (10, [10, 11, 12, 13])  # true width, min-id prefix
+    assert got[(1, 99)] == (1, [7])
+
+
 def test_incremental_minhash_matches_full_run_and_never_shuffles_base(spark):
     """dedup_incremental_minhash verdicts must equal a full-corpus pair
     run restricted to base×delta, and the physical plan must stream the
