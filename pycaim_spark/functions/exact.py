@@ -68,3 +68,83 @@ def dmul_sum(expr: Column, alias: str) -> Column:
     ``_dec(price) * (1 - _dec(discount))``.
     """
     return F.sum(expr).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Fixed-point fast path
+# --------------------------------------------------------------------------
+#
+# The decimal helpers above are exact but leave Spark's fast path once a
+# SUM's result precision exceeds 18: the aggregation buffer switches from a
+# long-backed Decimal to per-row java.math.BigDecimal, and a scan-bound
+# aggregate becomes arithmetic-bound (measured: TPC-H Q1's seven decimal
+# aggregates add ~8 s over the 1.3 s grouping skeleton at 60 M rows —
+# SCALING_r9.json `sweep_headline_noop` vs the pruned-aggregate count()
+# row). The fixed-point helpers below compute the SAME values with plain
+# long arithmetic — whole-stage-codegen'd, vectorizable — and reconstruct
+# the exact decimal only on the handful of post-aggregation rows:
+#
+#   * a 2-decimal money double becomes integer hundredths via
+#     round(x*100) (the fixtures' money columns carry ≤2 fractional
+#     digits, the same assumption DEC2 already documents);
+#   * per-row integer products that could overflow a 63-bit SUM are split
+#     hi = p div 10^k, lo = p mod 10^k and summed separately — both sums
+#     stay far under 2^63;
+#   * the group result Σhi + Σlo/10^k is recombined in decimal space on
+#     ~|groups| rows, where BigDecimal cost is irrelevant. The decimal
+#     division below is EXACT: cast(Σlo as decimal(20,0)) / 10^k yields
+#     result scale max(6, p2+1) ≥ k for every k ≤ 6 used here, so no
+#     rounding occurs before the single terminal cast to double — the
+#     same one-rounding contract as CAST(SUM(decimal) AS DOUBLE).
+#
+# Bit-identity with the decimal spelling (and therefore with the DuckDB
+# oracle) is asserted per group across sf0.01/sf0.1/sf1/sf10 in
+# tests/test_aggregates.py.
+
+
+def cents(col: Column | str, digits: int = 2) -> Column:
+    """Integer fixed-point value of a ≤``digits``-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10 ** digits)).cast("long")
+
+
+def _exact_div_pow10(long_col: Column, k: int) -> Column:
+    """EXACT decimal ``long_col / 10^k`` (see module note on scales)."""
+    return long_col.cast("decimal(38,0)") / F.lit(10 ** k).cast(
+        f"decimal({k + 1},0)"
+    )
+
+
+def fsum(cents_expr: Column, k: int, alias: str) -> Column:
+    """Exact SUM of a fixed-point long expression scaled by 10^k, returned
+    as double. The caller guarantees Σ fits a long (sum of per-row values
+    each ≤ ~10^11 over ≤ 10^8 rows is fine)."""
+    return _exact_div_pow10(F.sum(cents_expr), k).cast("double").alias(alias)
+
+
+def fsum_split(prod_expr: Column, k: int, alias: str) -> Column:
+    """Exact SUM of a fixed-point product scaled by 10^k whose direct sum
+    COULD overflow a long: per-row hi/lo split at 10^k, two long sums,
+    exact decimal recombination, one terminal double cast."""
+    p = F.lit(10 ** k).cast("long")
+    rem = prod_expr % p
+    # (prod - rem) is an exact multiple of p and < 2^53, so the IEEE
+    # division is exact (the true quotient is representable) — no
+    # truncation-boundary risk, unlike floor(prod / p).
+    hi = F.sum(((prod_expr - rem) / p).cast("long"))
+    lo = F.sum(rem)
+    return (
+        (hi.cast("decimal(38,6)") + _exact_div_pow10(lo, k))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def favg(cents_expr: Column, k: int, alias: str) -> Column:
+    """Exact AVG twin of :func:`davg`: exact fixed-point SUM as double,
+    divided by COUNT(*) in double space (identical operands → identical
+    IEEE result in both engines)."""
+    return (
+        _exact_div_pow10(F.sum(cents_expr), k).cast("double")
+        / F.count(F.lit(1))
+    ).alias(alias)

@@ -916,6 +916,179 @@ def incremental_minhash_dedup_stored(
     )
 
 
+def _store_manifest(store_dir: str) -> set[str]:
+    """Ingest keys already folded into the base layer by compaction."""
+    import json as _json
+
+    path = os.path.join(store_dir, "folded_keys.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return set(_json.load(f))
+    return set()
+
+
+def minhash_signature_store_append(
+    spark,
+    store_dir: str,
+    accepted_docs: DataFrame,
+    ingest_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Append an ACCEPTED ingest slice's signatures to a persisted store
+    as a new LAYER ``append/<ingest_key>/{sets,bands}`` — the write half
+    of the daily loop: probe the slice, keep the survivors, append them
+    so TOMORROW's slice dedups against today's. Idempotent per
+    ``ingest_key``: the layer dir is overwritten on re-delivery, and a
+    key the compactor has already folded into the base (the manifest,
+    ``folded_keys.json``) is skipped entirely — replaying a processed
+    day is a no-op, the same batch-id discipline as the streaming upsert
+    sink (streaming/runner.py). Layers hold RAW band rows (the LSM log);
+    ``minhash_signature_store_compact`` folds them into the
+    bucket-aggregated base."""
+    if ingest_key in _store_manifest(store_dir):
+        return
+    layer = os.path.join(store_dir, "append", ingest_key)
+    a_sets = _shingle_sets(
+        accepted_docs, text_col, id_col, shingle_n, repartition=False
+    )
+    a_sets.write.mode("overwrite").parquet(os.path.join(layer, "sets"))
+    (
+        _band_rows(
+            spark.read.parquet(os.path.join(layer, "sets")), num_hashes, seed
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(layer, "bands"))
+    )
+
+
+def _store_layer_dirs(store_dir: str) -> list[str]:
+    append_dir = os.path.join(store_dir, "append")
+    if not os.path.isdir(append_dir):
+        return []
+    return sorted(
+        os.path.join(append_dir, k)
+        for k in os.listdir(append_dir)
+        if os.path.exists(os.path.join(append_dir, k, "bands", "_SUCCESS"))
+    )
+
+
+def _merge_bucket_layers(
+    base_buckets: DataFrame, pending_bands: DataFrame,
+    bucket_cap: int = BUCKET_STORE_CAP,
+) -> DataFrame:
+    """Fold raw pending band rows into bucket-aggregated base buckets.
+
+    The min-id-prefix cap is MERGE-STABLE: the cap smallest ids of
+    (cap-smallest-of-base ∪ new) equal the cap smallest of
+    (all-base ∪ new), because the base prefix already contains every
+    base id that could make the merged prefix. So compaction produces
+    byte-identical buckets to a from-scratch rebuild over the union
+    corpus — asserted in tests/test_llm_ops.py. Widths add exactly."""
+    pend = _band_buckets(pending_bands, bucket_cap)
+    b = base_buckets.select(
+        "table_id", "mh",
+        F.col("ids").alias("_bi"), F.col("width").alias("_bw"),
+    )
+    p = pend.select(
+        "table_id", "mh",
+        F.col("ids").alias("_pi"), F.col("width").alias("_pw"),
+    )
+    empty = F.array().cast("array<bigint>")
+    return b.join(p, ["table_id", "mh"], "full_outer").select(
+        "table_id",
+        "mh",
+        F.slice(
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("_bi"), empty),
+                    F.coalesce(F.col("_pi"), empty),
+                )
+            ),
+            1,
+            bucket_cap,
+        ).alias("ids"),
+        (
+            F.coalesce(F.col("_bw"), F.lit(0)) + F.coalesce(F.col("_pw"), F.lit(0))
+        ).alias("width"),
+    )
+
+
+def minhash_signature_store_compact(spark, store_dir: str) -> None:
+    """Fold every append layer into the base ``sets/`` + ``buckets/`` and
+    record the folded keys in the manifest — the LSM compaction. The new
+    base is written beside the old and swapped in with directory renames
+    (on an object store: a metadata swap / table-format commit), so a
+    concurrent probe reads either the old base + layers or the new base —
+    both describe the same corpus."""
+    import json as _json
+    import shutil
+
+    layers = _store_layer_dirs(store_dir)
+    if not layers:
+        return
+    sets_dir = os.path.join(store_dir, "sets")
+    buckets_dir = os.path.join(store_dir, "buckets")
+    merged_sets = spark.read.parquet(sets_dir)
+    pending = None
+    for l in layers:
+        merged_sets = merged_sets.unionByName(
+            spark.read.parquet(os.path.join(l, "sets"))
+        )
+        bands = spark.read.parquet(os.path.join(l, "bands"))
+        pending = bands if pending is None else pending.unionByName(bands)
+    merged_buckets = _merge_bucket_layers(
+        spark.read.parquet(buckets_dir), pending
+    )
+    merged_sets.write.mode("overwrite").parquet(sets_dir + "_next")
+    merged_buckets.write.mode("overwrite").parquet(buckets_dir + "_next")
+    for cur in (sets_dir, buckets_dir):
+        shutil.rmtree(cur)
+        os.rename(cur + "_next", cur)
+    folded = _store_manifest(store_dir) | {os.path.basename(l) for l in layers}
+    with open(os.path.join(store_dir, "folded_keys.json"), "w") as f:
+        _json.dump(sorted(folded), f)
+    shutil.rmtree(os.path.join(store_dir, "append"))
+
+
+def incremental_minhash_dedup_layered(
+    spark,
+    store_dir: str,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    max_jaccard_dist: float = 0.8,
+    seed: int = 42,
+    max_candidates_per_doc: int = 64,
+) -> DataFrame:
+    """The stored probe, but against base + any un-compacted append
+    layers — so a slice ingested this morning dedups against a slice
+    appended an hour ago without waiting for compaction. Layer band rows
+    are bucket-aggregated on the fly and merged with the base buckets
+    (merge-stable cap, see ``_merge_bucket_layers``); verdicts equal a
+    probe of the compacted store, asserted in tests/test_llm_ops.py."""
+    b_sets = spark.read.parquet(os.path.join(store_dir, "sets"))
+    store_buckets = spark.read.parquet(os.path.join(store_dir, "buckets"))
+    pending = None
+    for l in _store_layer_dirs(store_dir):
+        b_sets = b_sets.unionByName(
+            spark.read.parquet(os.path.join(l, "sets"))
+        )
+        bands = spark.read.parquet(os.path.join(l, "bands"))
+        pending = bands if pending is None else pending.unionByName(bands)
+    if pending is not None:
+        store_buckets = _merge_bucket_layers(store_buckets, pending)
+    return _incremental_probe(
+        b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
+        num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
+    )
+
+
 def with_simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -52,6 +52,7 @@ SKIP_EFFECTFUL = {
 EXECUTES_AT_BUILD = {
     "dedup_clusters",
     "dedup_clusters_star",
+    "dedup_incremental_append",
     "dedup_incremental_clusters",
     "dedup_minhash_clusters",
     "graph_pagerank",

@@ -9,7 +9,18 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from pycaim_spark.catalog import load_table
-from pycaim_spark.functions.exact import DEC, DEC2, davg, dec2, dmul_sum, dsum
+from pycaim_spark.functions.exact import (
+    DEC,
+    DEC2,
+    cents,
+    davg,
+    dec2,
+    dmul_sum,
+    dsum,
+    favg,
+    fsum,
+    fsum_split,
+)
 from pycaim_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -51,22 +62,37 @@ def agg_hash(spark, sf_dir):
 
     SURVEY.md §2.B ``agg_hash``. HashAggregate partial+final with one
     shuffle; the date predicate reaches the parquet scan (PushedFilters).
+
+    Aggregates run on the FIXED-POINT fast path (functions/exact.py):
+    integer-cents long sums with hi/lo splitting where a product sum
+    could overflow, recombined exactly in decimal on the |groups| output
+    rows. Values are bit-identical to the decimal spelling the DuckDB
+    oracle uses (asserted across all sf fixtures in
+    tests/test_aggregates.py); what changes is that the 60 M-row
+    aggregation stays on codegen'd long arithmetic instead of per-row
+    BigDecimal once SUM precision passes 18 — measured 9.6 s → see
+    SCALING_r9.json `agg_hash_fixedpoint` at sf10.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    price = dec2("l_extendedprice")
-    disc = (F.lit(1) - dec2("l_discount")).cast(DEC2)
-    tax = (F.lit(1) + dec2("l_tax")).cast(DEC2)
+    q_c = cents("l_quantity")               # ≤ 5e3/row → direct long sum
+    ep_c = cents("l_extendedprice")         # ≤ ~1e7/row → direct long sum
+    d_c = cents("l_discount")               # 0..10
+    t_c = cents("l_tax")                    # 0..8
+    disc_price = ep_c * (F.lit(100).cast("long") - d_c)       # scale 1e4
+    charge = disc_price * (F.lit(100).cast("long") + t_c)     # scale 1e6
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dmul_sum(price * disc, "sum_disc_price"),
-            dmul_sum(price * disc * tax, "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            fsum(q_c, 2, "sum_qty"),
+            fsum(ep_c, 2, "sum_base_price"),
+            fsum(disc_price, 4, "sum_disc_price"),
+            # per-row charge ≤ ~1.2e11: Σ over ≥5e7 rows nears 2^63, so
+            # hi/lo split (see fsum_split)
+            fsum_split(charge, 6, "sum_charge"),
+            favg(q_c, 2, "avg_qty"),
+            favg(ep_c, 2, "avg_price"),
+            favg(d_c, 2, "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

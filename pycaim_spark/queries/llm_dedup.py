@@ -491,8 +491,9 @@ def dedup_incremental_clusters(spark, sf_dir):
 def dedup_incremental_stored(spark, sf_dir):
     """Incremental near-dup dedup against a PERSISTED minhash signature
     store — the steady-state daily-ingest query: the corpus is shingled
-    ONCE into sets/ + bands/ parquet (idempotent build, keyed by corpus
-    name and row count) and each delta run streams the store map-side
+    ONCE into sets/ + bucket-aggregated buckets/ parquet (idempotent
+    build, keyed by corpus name and row count) and each delta run
+    streams the store map-side
     against broadcast delta bands, never reading base text. Verdicts are
     identical to dedup_incremental_minhash; what changes is what the run
     touches — the production split of index build from daily probe."""
@@ -515,6 +516,59 @@ def dedup_incremental_stored(spark, sf_dir):
     )
     minhash_signature_store_build(base, store)
     return incremental_minhash_dedup_stored(spark, store, delta)
+
+
+@register(
+    "dedup_incremental_append",
+    tags=("llm", "dedup", "incremental", "sink"),
+    rows_only_reason="exercises side-effect store appends + LSM "
+    "compaction; tests/test_llm_ops.py asserts the layered probe equals "
+    "a fresh inline rebuild over base ∪ accepted slice (the min-id "
+    "bucket cap is merge-stable) and that compaction + replayed appends "
+    "are no-ops",
+)
+def dedup_incremental_append(spark, sf_dir):
+    """The COMPLETE daily dedup loop, two ingest days deep: build the
+    base store once, probe day-1's slice (doc_id % 10 = 0), APPEND the
+    surviving docs' signatures as an LSM layer
+    (operators/dedup.py minhash_signature_store_append — idempotent per
+    ingest key via the folded-keys manifest), probe day-2's slice
+    (doc_id % 10 = 1) against base + layer WITHOUT waiting for
+    compaction, then compact layers into the bucket-aggregated base.
+    Day-2 verdicts — the returned frame — flag near-dups of day-1-only
+    docs, which a store that never learned day 1 would miss; they are
+    checkpointed before compaction swaps the layer dirs away."""
+    import os
+
+    from pycaim_spark.catalog import parquet_row_count
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+    )
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 >= 2)
+    s1 = d.filter(F.col("doc_id") % 10 == 0)
+    s2 = d.filter(F.col("doc_id") % 10 == 1)
+    store = os.path.join(
+        _SCRATCH,
+        f"appendstore_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{parquet_row_count(sf_dir, 'documents')}",
+    )
+    minhash_signature_store_build(base, store)
+    v1 = incremental_minhash_dedup_layered(spark, store, s1)
+    accepted = s1.join(
+        v1.filter(F.col("is_new") == 1).select("doc_id"), "doc_id"
+    )
+    minhash_signature_store_append(spark, store, accepted, "day1")
+    v2 = incremental_minhash_dedup_layered(spark, store, s2).localCheckpoint(
+        eager=True
+    )
+    minhash_signature_store_compact(spark, store)
+    return v2
 
 
 # --------------------------------------------------------------------------

@@ -909,6 +909,61 @@ def test_incremental_stored_matches_inline_and_reads_only_store(spark, sf_dir):
     assert again == inline
 
 
+def test_store_append_compact_equals_fresh_rebuild(spark, tmp_path):
+    """The LSM loop: a layered probe (base + un-compacted append layer)
+    must equal a fresh inline probe over base ∪ accepted slice (min-id
+    bucket caps are merge-stable), compaction must not change verdicts,
+    and replaying a folded ingest key must be a no-op."""
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+    )
+
+    ca = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = spark.createDataFrame(
+        [(1, ca + " v0"), (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "brand new day one topic with its own vocabulary entirely"),
+         (11, ca + " v1")],                      # dup of base 1 → rejected
+        "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [(20, "brand new day one topic with its own vocabulary right"),
+         (21, "day two fresh material matching nothing else at all")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    v1 = incremental_minhash_dedup_layered(spark, store, s1)
+    accepted = s1.join(
+        v1.filter(v1.is_new == 1).select("doc_id"), "doc_id"
+    )
+    assert {r.doc_id for r in accepted.select("doc_id").collect()} == {10}
+    minhash_signature_store_append(spark, store, accepted, "day1")
+
+    layered = {(r.doc_id, r.dup_of, r.is_new)
+               for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    fresh = {(r.doc_id, r.dup_of, r.is_new)
+             for r in incremental_minhash_dedup(base.unionByName(accepted), s2).collect()}
+    assert layered == fresh
+    # the loop's point: 20 dups against the DAY-1-ONLY doc 10
+    assert (20, 10, 0) in layered and (21, None, 1) in layered
+
+    minhash_signature_store_compact(spark, store)
+    compacted = {(r.doc_id, r.dup_of, r.is_new)
+                 for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert compacted == layered
+    # replaying the folded key is a no-op: no layer dir reappears
+    import os
+    minhash_signature_store_append(spark, store, accepted, "day1")
+    assert not os.path.isdir(os.path.join(store, "append"))
+
+
 def test_incremental_clusters_match_full_reclustering(spark):
     """incremental_cluster_assignments must give every delta doc the SAME
     cluster id a full re-clustering over base+delta would, with
