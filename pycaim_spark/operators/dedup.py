@@ -1089,6 +1089,77 @@ def incremental_minhash_dedup_layered(
     )
 
 
+def stream_ingest_dedup(
+    spark,
+    base_docs: DataFrame,
+    slices: list[DataFrame],
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The signature-store ingestion loop AS A STREAM: stage each slice
+    as a file with ordered mtimes, consume one file per trigger under
+    availableNow, and inside ``foreachBatch`` probe the store (base +
+    every earlier batch's append layer), write verdicts to a per-batch
+    dir (idempotent on replay), and append the batch's accepted docs'
+    signatures so the NEXT batch dedups against this one — cross-batch
+    state no pure per-batch job carries. Returns all verdicts
+    ``(doc_id, dup_of, best_dist, is_new, batch_id)`` re-read from the
+    sink. foreachBatch runs driver-side, so the store helpers close over
+    the live SparkSession safely."""
+    import shutil
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    store = os.path.join(work_dir, "store")
+    minhash_signature_store_build(
+        base_docs, store, text_col=text_col, id_col=id_col
+    )
+
+    src = os.path.join(work_dir, "incoming")
+    for i, sl in enumerate(slices):
+        sub = os.path.join(src, f"slice{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(sub)
+        # FileStreamSource orders by modification time: pin mtimes so
+        # slices become micro-batches in list order.
+        t0 = 1_000_000_000 + i * 1_000_000
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(sub, f), (t0, t0))
+
+    verdicts_dir = os.path.join(work_dir, "verdicts")
+
+    def _probe_and_append(batch_df, batch_id):
+        v = incremental_minhash_dedup_layered(
+            spark, store, batch_df, text_col=text_col, id_col=id_col
+        )
+        v.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(verdicts_dir, f"batch{batch_id}"))
+        accepted = batch_df.join(
+            v.filter(F.col("is_new") == 1).select(id_col), id_col
+        )
+        minhash_signature_store_append(
+            spark, store, accepted, f"batch{batch_id}",
+            text_col=text_col, id_col=id_col,
+        )
+
+    stream = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "slice*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", verdicts_dir).parquet(
+        os.path.join(verdicts_dir, "batch*")
+    )
+
+
 def with_simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -53,6 +53,7 @@ EXECUTES_AT_BUILD = {
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_incremental_append",
+    "dedup_stream_ingest",
     "dedup_incremental_clusters",
     "dedup_minhash_clusters",
     "graph_pagerank",

@@ -571,6 +571,43 @@ def dedup_incremental_append(spark, sf_dir):
     return v2
 
 
+@register(
+    "dedup_stream_ingest",
+    tags=("llm", "dedup", "incremental", "streaming", "sink"),
+    rows_only_reason="Structured Streaming foreachBatch over side-effect "
+    "stores; tests/test_llm_ops.py asserts per-batch verdicts equal the "
+    "sequential (non-streaming) store loop and that cross-batch learning "
+    "flags a batch-1 near-dup of a batch-0-only doc",
+)
+def dedup_stream_ingest(spark, sf_dir):
+    """The signature-store ingestion loop AS A STREAM — how the daily
+    dedup actually deploys: document slices arrive as files, each
+    micro-batch probes the store (base + every earlier batch's layer)
+    inside ``foreachBatch``, writes its verdicts to a per-batch dir
+    (idempotent on replay), and appends its accepted docs' signatures so
+    the NEXT batch dedups against this one. Two slices (doc_id % 10 =
+    0, then 1) are staged with ordered mtimes and consumed one file per
+    trigger under availableNow; batch 1's verdicts therefore flag
+    near-dups of batch-0-only documents — state no pure per-batch job
+    could carry. Returns all verdicts (doc_id, dup_of, best_dist,
+    is_new, batch_id) re-read from the sink."""
+    import os
+
+    from pycaim_spark.operators.dedup import stream_ingest_dedup
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    d = load_table(spark, sf_dir, "documents")
+    return stream_ingest_dedup(
+        spark,
+        d.filter(F.col("doc_id") % 10 >= 2),
+        [
+            d.filter(F.col("doc_id") % 10 == 0),
+            d.filter(F.col("doc_id") % 10 == 1),
+        ],
+        os.path.join(_SCRATCH, "stream_ingest"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -964,6 +964,58 @@ def test_store_append_compact_equals_fresh_rebuild(spark, tmp_path):
     assert not os.path.isdir(os.path.join(store, "append"))
 
 
+def test_stream_ingest_matches_sequential_loop(spark, tmp_path):
+    """The streaming ingestion loop must produce, per micro-batch, the
+    verdicts of the sequential store loop on the same slices — and batch
+    1 must flag a near-dup of a batch-0-ONLY doc (cross-batch state)."""
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        stream_ingest_dedup,
+    )
+
+    ca = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = spark.createDataFrame(
+        [(1, ca + " v0"), (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    s0 = spark.createDataFrame(
+        [(10, "day zero novel topic with its very own vocabulary set"),
+         (11, ca + " v1")],                      # dup of base 1 → rejected
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(20, "day zero novel topic with its very own vocabulary kit"),
+         # ^ near-dup of 10, which exists ONLY in batch 0's append layer
+         (21, "batch one fresh material matching nothing else at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.batch_id, r.doc_id): (r.dup_of, r.is_new)
+        for r in stream_ingest_dedup(
+            spark, base, [s0, s1], str(tmp_path / "stream")
+        ).collect()
+    }
+
+    # sequential twin over the same slices
+    seq_store = str(tmp_path / "seq")
+    minhash_signature_store_build(base, seq_store)
+    expect = {}
+    for i, sl in enumerate((s0, s1)):
+        v = incremental_minhash_dedup_layered(spark, seq_store, sl)
+        for r in v.collect():
+            expect[(i, r.doc_id)] = (r.dup_of, r.is_new)
+        accepted = sl.join(
+            v.filter(v.is_new == 1).select("doc_id"), "doc_id"
+        )
+        minhash_signature_store_append(spark, seq_store, accepted, f"b{i}")
+    assert got == expect
+    # the cross-batch case the stream exists for:
+    assert got[(1, 20)] == (10, 0)
+    assert got[(0, 11)] == (1, 0) and got[(1, 21)] == (None, 1)
+
+
 def test_incremental_clusters_match_full_reclustering(spark):
     """incremental_cluster_assignments must give every delta doc the SAME
     cluster id a full re-clustering over base+delta would, with
