@@ -90,6 +90,94 @@ class _CaimParams(Params):
                          strategy="histogram")
 
 
+def melted_histogram(dataset: DataFrame, cols: list[str], label: str) -> DataFrame:
+    """Steps 1–2 of the Strategy-B fit as a standalone frame: melt the
+    feature columns JVM-side and collapse to the ``(feature, value,
+    label, cnt)`` histogram with map-side partial aggregation. This frame
+    is MERGEABLE STATE — counts over disjoint row sets add — which is
+    what :func:`caim_incremental_fit` persists and folds delta slices
+    into (the agg_incremental_merge pattern applied to the reference-core
+    operator)."""
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    melted = dataset.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (feature, value)"),
+        F.col(label).cast("string").alias("label"),
+    ).filter(F.col("value").isNotNull() & F.col("label").isNotNull())
+    return melted.groupBy("feature", "value", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def fit_from_histogram(hist: DataFrame, max_cand: int) -> dict[str, list[float]]:
+    """Step 3: one vectorized greedy per feature via ``applyInPandas``
+    over a ``(feature, value, label, cnt)`` histogram — corpus-size-free:
+    cost depends only on distinct (value × label) combinations."""
+
+    def fit_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        feature = pdf["feature"].iloc[0]
+        pivot = (
+            pdf.pivot_table(index="value", columns="label", values="cnt",
+                            aggfunc="sum", fill_value=0)
+            .sort_index()
+            .sort_index(axis=1)  # label order: sorted → deterministic
+        )
+        values = pivot.index.to_numpy(dtype=np.float64)
+        counts = pivot.to_numpy(dtype=np.int64)
+        if len(values) > max_cand:
+            values, counts = _compress_histogram(values, counts, max_cand)
+        cuts = caim_greedy(values, counts)
+        return pd.DataFrame({"feature": [feature], "cuts": [list(cuts)]})
+
+    cuts_rows = (
+        hist.groupBy("feature")
+        .applyInPandas(fit_feature, "feature string, cuts array<double>")
+        .collect()
+    )
+    return {r["feature"]: list(r["cuts"]) for r in cuts_rows}
+
+
+def caim_incremental_fit(
+    spark,
+    store_dir: str,
+    base_dataset: DataFrame | None,
+    delta_dataset: DataFrame,
+    cols: list[str],
+    label: str,
+    max_cand: int = 100_000,
+) -> dict[str, list[float]]:
+    """Daily CAIM refit WITHOUT rescanning the corpus: the ``(feature,
+    value, label, cnt)`` histogram is persisted once (built from
+    ``base_dataset`` if the store is absent), each ingest merges the
+    delta slice's histogram — union + groupBy SUM, counts over disjoint
+    row sets add exactly — writes the merged state back (versioned dir +
+    rename, so a crashed merge never corrupts the store), and the greedy
+    reruns on the merged histogram, whose size tracks distinct values,
+    not corpus rows. Cuts are IDENTICAL to a full refit over
+    base ∪ delta (asserted in tests/test_caim.py): histogram merging is
+    exact, so incrementality costs nothing in fidelity — the property
+    that makes Strategy B the right 100 TB design."""
+    import os
+    import shutil
+
+    hist_dir = os.path.join(store_dir, "hist")
+    if not os.path.exists(os.path.join(hist_dir, "_SUCCESS")):
+        if base_dataset is None:
+            raise ValueError(f"no histogram store at {hist_dir} and no base")
+        melted_histogram(base_dataset, cols, label).write.mode(
+            "overwrite"
+        ).parquet(hist_dir)
+    merged = (
+        spark.read.parquet(hist_dir)
+        .unionByName(melted_histogram(delta_dataset, cols, label))
+        .groupBy("feature", "value", "label")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged.write.mode("overwrite").parquet(hist_dir + "_next")
+    shutil.rmtree(hist_dir)
+    os.rename(hist_dir + "_next", hist_dir)
+    return fit_from_histogram(spark.read.parquet(hist_dir), max_cand)
+
+
 def _compress_histogram(
     values: np.ndarray, counts: np.ndarray, max_bins: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -155,35 +243,16 @@ class CaimDiscretizer(Estimator, _CaimParams):
             model._set(inputCols=cols, labelCol=label)
             return model
 
-        # 2. The scale step: collapse raw rows to a per-feature histogram.
-        hist = melted.groupBy("feature", "value", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
+        # 2–3. Histogram collapse + per-feature greedy (factored so
+        # caim_incremental_fit can persist/merge the histogram state; the
+        # groupBy in fit_from_histogram inserts its own hash exchange on
+        # `feature` — an explicit repartition would add a redundant one).
+        cuts = fit_from_histogram(
+            melted.groupBy("feature", "value", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ),
+            max_cand,
         )
-
-        # 3. One greedy search per feature, in parallel across executors.
-        def fit_feature(pdf: pd.DataFrame) -> pd.DataFrame:
-            feature = pdf["feature"].iloc[0]
-            pivot = (
-                pdf.pivot_table(index="value", columns="label", values="cnt",
-                                aggfunc="sum", fill_value=0)
-                .sort_index()
-                .sort_index(axis=1)  # label order: sorted → deterministic
-            )
-            values = pivot.index.to_numpy(dtype=np.float64)
-            counts = pivot.to_numpy(dtype=np.int64)
-            if len(values) > max_cand:
-                values, counts = _compress_histogram(values, counts, max_cand)
-            cuts = caim_greedy(values, counts)
-            return pd.DataFrame({"feature": [feature], "cuts": [list(cuts)]})
-
-        # groupBy inserts its own hash exchange on `feature`; an explicit
-        # repartition here would add a second, redundant shuffle.
-        cuts_rows = (
-            hist.groupBy("feature")
-            .applyInPandas(fit_feature, "feature string, cuts array<double>")
-            .collect()
-        )
-        cuts = {r["feature"]: list(r["cuts"]) for r in cuts_rows}
         model = CaimDiscretizerModel(
             cuts=cuts, outputSuffix=self.getOrDefault(self.outputSuffix)
         )

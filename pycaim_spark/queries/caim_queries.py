@@ -172,6 +172,55 @@ def caim_fit(spark, sf_dir):
 
 
 @register(
+    "caim_incremental_fit",
+    tags=("caim", "incremental", "sink"),
+    rows_only_reason="iterative greedy over a persisted side-effect "
+    "histogram store; tests/test_caim.py asserts cut IDENTITY with a "
+    "full refit over base ∪ delta (histogram merging is exact)",
+)
+def caim_incremental_fit(spark, sf_dir):
+    """Incremental CAIM refit: the (feature, value, label, cnt) histogram
+    — Strategy B's mergeable pre-aggregation state — is persisted once
+    for the base corpus (event_id % 10 != 0); the daily slice merges its
+    delta histogram in (union + groupBy SUM, exact) and the greedy reruns
+    on merged state whose size tracks distinct values, never corpus rows
+    (operators/caim/estimator.py caim_incremental_fit). Cuts are
+    identical to a full refit over all events. The reference-core
+    operator in the same daily-ingest shape as the dedup family."""
+    import os
+    import shutil
+
+    from pycaim_spark.catalog import parquet_row_count
+    from pycaim_spark.operators.caim.estimator import caim_incremental_fit
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    ev = load_table(spark, sf_dir, "events")
+    store = os.path.join(
+        _SCRATCH,
+        f"caimhist_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{parquet_row_count(sf_dir, 'events')}",
+    )
+    # The registered query must be idempotent across runs, but a merge
+    # mutates the store — rebuild the base state each run (cheap: the
+    # histogram build is one aggregation over the fixture).
+    shutil.rmtree(store, ignore_errors=True)
+    cuts = caim_incremental_fit(
+        spark,
+        store,
+        ev.filter(F.col("event_id") % 10 != 0),
+        ev.filter(F.col("event_id") % 10 == 0),
+        ["value"],
+        "event_type",
+    )["value"]
+    if not cuts:
+        return spark.createDataFrame([], "cut_index int, cut_value double")
+    rows = ", ".join(
+        f"({i + 1}, CAST('{float(c)!r}' AS DOUBLE))" for i, c in enumerate(cuts)
+    )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(cut_index, cut_value)")
+
+
+@register(
     "caim_transform",
     tags=("caim",),
     rows_only_reason="output depends on the iteratively-fitted cuts; bucket "

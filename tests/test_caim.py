@@ -281,3 +281,38 @@ def test_spark_estimator_multifeature_pipeline(spark, sf_dir):
             pdf[feature].to_numpy(), pdf["label"].to_numpy()
         )
         assert np.array_equal(np.array(model.cuts[feature]), caim_greedy(values, counts))
+
+
+def test_caim_incremental_fit_identical_to_full_refit(spark, sf_dir, tmp_path):
+    """Histogram merging is exact (counts over disjoint row sets add), so
+    the incremental fit's cuts must EQUAL a full refit over base ∪ delta —
+    and a second delta merge against the persisted store must equal the
+    corresponding three-way full refit."""
+    import pyspark.sql.functions as F
+
+    from pycaim_spark.catalog import load_table
+    from pycaim_spark.operators.caim import CaimDiscretizer
+    from pycaim_spark.operators.caim.estimator import caim_incremental_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 10 > 1)
+    d1 = ev.filter(F.col("event_id") % 10 == 0)
+    d2 = ev.filter(F.col("event_id") % 10 == 1)
+    store = str(tmp_path / "caimhist")
+
+    inc1 = caim_incremental_fit(
+        spark, store, base, d1, ["value"], "event_type"
+    )["value"]
+    full1 = CaimDiscretizer(
+        inputCols=["value"], labelCol="event_type"
+    ).fit(base.unionByName(d1)).cuts["value"]
+    assert inc1 == full1
+
+    # second day: store already exists, base must not be needed
+    inc2 = caim_incremental_fit(
+        spark, store, None, d2, ["value"], "event_type"
+    )["value"]
+    full2 = CaimDiscretizer(
+        inputCols=["value"], labelCol="event_type"
+    ).fit(ev).cuts["value"]
+    assert inc2 == full2
