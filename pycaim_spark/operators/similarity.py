@@ -853,6 +853,40 @@ def ivf_pq_index_build(
     return centroids, codebooks
 
 
+def ivf_pq_index_append(
+    new_emb: DataFrame,
+    store_dir: str,
+    ingest_key: str,
+) -> None:
+    """Append new vectors to a PERSISTED IVF-PQ index WITHOUT retraining:
+    encode them with the STORED centroids/codebooks — the standard
+    production practice (the codebooks model the corpus distribution, not
+    its membership; periodic retraining is a separate offline job) — and
+    add their cell/code rows to the codes table. Idempotent per
+    ``ingest_key`` via an ``append_keys.json`` manifest, the same
+    replay-safe discipline as the minhash signature store: a re-delivered
+    slice is skipped, never double-indexed. The ANN half of the daily
+    ingest loop — new documents become searchable as soon as their slice
+    is appended, no index rebuild."""
+    import json
+    import os
+
+    manifest = os.path.join(store_dir, "append_keys.json")
+    done: list[str] = []
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            done = json.load(f)
+    if ingest_key in done:
+        return
+    with np.load(os.path.join(store_dir, "index.npz")) as idx:
+        centroids, codebooks = idx["centroids"], idx["codebooks"]
+    _ivf_pq_encode(new_emb, centroids, codebooks).write.mode("append").parquet(
+        os.path.join(store_dir, "codes")
+    )
+    with open(manifest, "w") as f:
+        json.dump(sorted(set(done) | {ingest_key}), f)
+
+
 def ivf_pq_topk_stored(
     emb: DataFrame,
     store_dir: str,

@@ -887,3 +887,51 @@ def sim_ivf_pq_stored(spark, sf_dir):
         emb, store, n_cells=32, nprobe=12, m=8, k_centroids=16, k=5,
         n_queries=10,
     )
+
+
+@register(
+    "sim_ann_index_append",
+    tags=("llm", "similarity", "incremental", "sink"),
+    rows_only_reason="appends to a side-effect index store with stored "
+    "(not retrained) codebooks; tests/test_llm_ops.py asserts planted "
+    "exact-twin vectors become top-1 retrievable only after append, "
+    "re-rank cosines stay exact, and a replayed append key is a no-op",
+)
+def sim_ann_index_append(spark, sf_dir):
+    """The ANN half of the daily ingest loop: build the IVF-PQ index on
+    the base corpus (vec_id % 10 != 5), APPEND the new slice's vectors
+    encoded with the STORED codebooks (operators/similarity.py
+    ivf_pq_index_append — no retrain, replay-safe per ingest key), and
+    query the appended index. Returned top-5 lists can now surface
+    appended vectors; exact re-rank keeps every returned cosine exact.
+    The store is rebuilt per run (cheap at fixture scale) so repeated
+    runs are deterministic."""
+    import os
+    import shutil
+
+    from pycaim_spark.catalog import parquet_row_count
+    from pycaim_spark.operators.similarity import (
+        _ivf_pq_query,
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+    )
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 5)
+    delta = emb.filter(F.col("vec_id") % 10 == 5)
+    store = os.path.join(
+        _SCRATCH,
+        f"annappend_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{parquet_row_count(sf_dir, 'embeddings')}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    centroids, codebooks = ivf_pq_index_build(
+        base, store, n_cells=32, m=8, k_centroids=16
+    )
+    ivf_pq_index_append(delta, store, "day1")
+    coded = spark.read.parquet(os.path.join(store, "codes"))
+    return _ivf_pq_query(
+        emb, coded, centroids, codebooks, nprobe=12, k=5, n_queries=10,
+        n_candidates=32,
+    )

@@ -964,6 +964,65 @@ def test_store_append_compact_equals_fresh_rebuild(spark, tmp_path):
     assert not os.path.isdir(os.path.join(store, "append"))
 
 
+def test_ann_index_append_makes_new_vectors_retrievable(spark, tmp_path):
+    """Appending a slice (encoded with STORED codebooks, no retrain) must
+    make its vectors retrievable: planted exact twins of the query
+    vectors become top-1 with cos == 1.0 only after the append; returned
+    cosines stay exact (re-rank property); replaying the ingest key must
+    not grow the codes table."""
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import (
+        _ivf_pq_query,
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, nq = 16, 3
+    base_vecs = rng.normal(size=(60, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base_vecs)]
+    emb_base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # delta: EXACT copies of the query vectors (ids 1000+q) — after the
+    # float32 round-trip each twin has cosine exactly 1.0 with its query
+    twin_rows = [(1000 + q, rows[q][1]) for q in range(nq)]
+    emb_delta = spark.createDataFrame(
+        twin_rows, "vec_id long, embedding array<float>"
+    )
+    emb_all = emb_base.unionByName(emb_delta)
+    store = str(tmp_path / "ann")
+
+    centroids, codebooks = ivf_pq_index_build(
+        emb_base, store, n_cells=4, m=4, k_centroids=8, sample_size=60
+    )
+    import os
+    coded = lambda: spark.read.parquet(os.path.join(store, "codes"))  # noqa: E731
+
+    def probe():
+        return {
+            (r.query_id, r.rn): (r.neighbor_id, r.cos)
+            for r in _ivf_pq_query(
+                emb_all, coded(), centroids, codebooks, nprobe=4, k=3,
+                n_queries=nq, n_candidates=16,
+            ).collect()
+        }
+
+    before = probe()
+    assert not any(n >= 1000 for (n, _) in before.values())
+
+    ivf_pq_index_append(emb_delta, store, "day1")
+    n_codes = coded().count()
+    after = probe()
+    for q in range(nq):
+        # the twin is top-1 at cosine exactly 1.0 (self is excluded only
+        # for identical ids; the twin has a different id)
+        nid, cos = after[(q, 1)]
+        assert nid == 1000 + q and cos == 1.0, (q, nid, cos)
+    # replayed key: no-op
+    ivf_pq_index_append(emb_delta, store, "day1")
+    assert coded().count() == n_codes
+
+
 def test_stream_ingest_matches_sequential_loop(spark, tmp_path):
     """The streaming ingestion loop must produce, per micro-batch, the
     verdicts of the sequential store loop on the same slices — and batch
