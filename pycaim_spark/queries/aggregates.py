@@ -11,12 +11,7 @@ import pyspark.sql.functions as F
 from pycaim_spark.catalog import load_table
 from pycaim_spark.functions.exact import (
     DEC,
-    DEC2,
     cents,
-    davg,
-    dec2,
-    dmul_sum,
-    dsum,
     favg,
     fsum,
     fsum_split,
@@ -167,7 +162,7 @@ def agg_grouping_sets(spark, sf_dir):
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        dsum("o_totalprice", "revenue"),
+        fsum(cents("o_totalprice"), 2, "revenue"),
     )
 
 
@@ -349,7 +344,7 @@ def agg_histogram(spark, sf_dir):
         li.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            dsum("l_extendedprice", "sum_price"),
+            fsum(cents("l_extendedprice"), 2, "sum_price"),
         )
         .select(
             "bucket",

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pycaim_spark.catalog import load_table
-from pycaim_spark.functions.exact import dsum
+from pycaim_spark.functions.exact import cents, fsum
 from pycaim_spark.registry import register
 
 
@@ -53,7 +53,7 @@ def join_broadcast(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            dsum("o_totalprice", "total_revenue"),
+            fsum(cents("o_totalprice"), 2, "total_revenue"),
         )
         .orderBy("n_name")
     )
@@ -92,7 +92,7 @@ def join_aqe_choice(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            dsum("o_totalprice", "total_revenue"),
+            fsum(cents("o_totalprice"), 2, "total_revenue"),
         )
         .orderBy("n_name")
     )
@@ -146,7 +146,7 @@ def join_sort_merge(spark, sf_dir):
     return (
         li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderstatus")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .agg(fsum(cents("l_quantity"), 2, "sum_qty"))
     )
 
 
@@ -505,6 +505,6 @@ def join_skew_salted(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            dsum("o_totalprice", "total_price"),
+            fsum(cents("o_totalprice"), 2, "total_price"),
         )
     )
