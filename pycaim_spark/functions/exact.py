@@ -117,8 +117,12 @@ def _exact_div_pow10(long_col: Column, k: int) -> Column:
 
 def fsum(cents_expr: Column, k: int, alias: str) -> Column:
     """Exact SUM of a fixed-point long expression scaled by 10^k, returned
-    as double. The caller guarantees Σ fits a long (sum of per-row values
-    each ≤ ~10^11 over ≤ 10^8 rows is fine)."""
+    as double. The caller guarantees the TOTAL Σ stays below
+    2^63−1 ≈ 9.2×10^18 — e.g. per-row values ≤ 10^10 over ≤ 10^8 rows
+    (Σ ≤ 10^18). With ANSI mode off an overflowing long SUM wraps
+    silently, so products that can push Σ past that bound must go
+    through :func:`fsum_split` instead (current call sites top out at
+    per-row ~1.1×10^9 over ≤ 6×10^7 rows: Σ ≤ 6.6×10^16)."""
     return _exact_div_pow10(F.sum(cents_expr), k).cast("double").alias(alias)
 
 

@@ -870,6 +870,7 @@ def minhash_signature_store_build(
     """
     import os
 
+    _recover_store_swap(store_dir)
     sets_dir = os.path.join(store_dir, "sets")
     buckets_dir = os.path.join(store_dir, "buckets")
     if os.path.exists(os.path.join(sets_dir, "_SUCCESS")) and os.path.exists(
@@ -908,6 +909,7 @@ def incremental_minhash_dedup_stored(
     in tests/test_llm_ops.py); what changes is what the run touches."""
     import os
 
+    _recover_store_swap(store_dir)
     b_sets = spark.read.parquet(os.path.join(store_dir, "sets"))
     store_buckets = spark.read.parquet(os.path.join(store_dir, "buckets"))
     return _incremental_probe(
@@ -949,6 +951,7 @@ def minhash_signature_store_append(
     sink (streaming/runner.py). Layers hold RAW band rows (the LSM log);
     ``minhash_signature_store_compact`` folds them into the
     bucket-aggregated base."""
+    _recover_store_swap(store_dir)
     if ingest_key in _store_manifest(store_dir):
         return
     layer = os.path.join(store_dir, "append", ingest_key)
@@ -1017,16 +1020,59 @@ def _merge_bucket_layers(
     )
 
 
-def minhash_signature_store_compact(spark, store_dir: str) -> None:
-    """Fold every append layer into the base ``sets/`` + ``buckets/`` and
-    record the folded keys in the manifest — the LSM compaction. The new
-    base is written beside the old and swapped in with directory renames
-    (on an object store: a metadata swap / table-format commit), so a
-    concurrent probe reads either the old base + layers or the new base —
-    both describe the same corpus."""
+def _recover_store_swap(store_dir: str) -> None:
+    """Finish or undo a compaction interrupted mid-swap (ADVICE r9: the
+    old rmtree-then-rename swap could crash with NO base dirs at all).
+    The compactor writes a journal only after both ``*_next`` dirs are
+    complete, so recovery is deterministic: journal present → the new
+    base is authoritative, roll the swap FORWARD (finish renames, replay
+    the manifest update, drop the folded append layers); journal absent →
+    any ``*_next``/``*_old`` leftovers are incomplete writes, roll BACK
+    by deleting them. Every store entry point calls this first, so a
+    crashed compaction heals on the next build/probe/append/compact."""
     import json as _json
     import shutil
 
+    journal = os.path.join(store_dir, "compact_journal.json")
+    dirs = [os.path.join(store_dir, d) for d in ("sets", "buckets")]
+    if os.path.exists(journal):
+        with open(journal) as f:
+            folded = _json.load(f)
+        for cur in dirs:
+            nxt, old = cur + "_next", cur + "_old"
+            if os.path.exists(nxt):
+                if os.path.exists(cur):
+                    os.rename(cur, old)
+                os.rename(nxt, cur)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        with open(os.path.join(store_dir, "folded_keys.json"), "w") as f:
+            _json.dump(sorted(folded), f)
+        append_dir = os.path.join(store_dir, "append")
+        if os.path.isdir(append_dir):
+            shutil.rmtree(append_dir)
+        os.remove(journal)
+    else:
+        for cur in dirs:
+            for stray in (cur + "_next", cur + "_old"):
+                if os.path.exists(stray):
+                    shutil.rmtree(stray)
+
+
+def minhash_signature_store_compact(spark, store_dir: str) -> None:
+    """Fold every append layer into the base ``sets/`` + ``buckets/`` and
+    record the folded keys in the manifest — the LSM compaction. The new
+    base is written beside the old, a commit journal is fsync-ordered
+    after it, and the swap is rename-aside (old base renamed away, never
+    deleted before the new base is in place), so a crash at ANY point
+    leaves a store that ``_recover_store_swap`` rolls forward (journal
+    present: new base complete) or back (no journal) on the next store
+    operation — on an object store this whole block is a metadata swap /
+    table-format commit."""
+    import json as _json
+    import shutil
+
+    _recover_store_swap(store_dir)
     layers = _store_layer_dirs(store_dir)
     if not layers:
         return
@@ -1045,13 +1091,20 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
     )
     merged_sets.write.mode("overwrite").parquet(sets_dir + "_next")
     merged_buckets.write.mode("overwrite").parquet(buckets_dir + "_next")
-    for cur in (sets_dir, buckets_dir):
-        shutil.rmtree(cur)
-        os.rename(cur + "_next", cur)
     folded = _store_manifest(store_dir) | {os.path.basename(l) for l in layers}
+    journal = os.path.join(store_dir, "compact_journal.json")
+    with open(journal, "w") as f:
+        _json.dump(sorted(folded), f)
+        f.flush()
+        os.fsync(f.fileno())
+    for cur in (sets_dir, buckets_dir):
+        os.rename(cur, cur + "_old")
+        os.rename(cur + "_next", cur)
+        shutil.rmtree(cur + "_old")
     with open(os.path.join(store_dir, "folded_keys.json"), "w") as f:
         _json.dump(sorted(folded), f)
     shutil.rmtree(os.path.join(store_dir, "append"))
+    os.remove(journal)
 
 
 def incremental_minhash_dedup_layered(
@@ -1072,6 +1125,7 @@ def incremental_minhash_dedup_layered(
     are bucket-aggregated on the fly and merged with the base buckets
     (merge-stable cap, see ``_merge_bucket_layers``); verdicts equal a
     probe of the compacted store, asserted in tests/test_llm_ops.py."""
+    _recover_store_swap(store_dir)
     b_sets = spark.read.parquet(os.path.join(store_dir, "sets"))
     store_buckets = spark.read.parquet(os.path.join(store_dir, "buckets"))
     pending = None

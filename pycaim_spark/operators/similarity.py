@@ -807,6 +807,10 @@ def _ivf_pq_query(
     return _exact_rerank(emb, cand, q_rows, k)
 
 
+# Order of the persisted hyperparameter vector in index.npz["params"].
+_INDEX_PARAM_KEYS = ("n_cells", "m", "k_centroids", "sample_size", "iters", "seed")
+
+
 def ivf_pq_index_build(
     emb: DataFrame,
     store_dir: str,
@@ -824,15 +828,43 @@ def ivf_pq_index_build(
     the index is built once (or incrementally per ingest slice) and every
     query run reads 8-byte codes instead of re-encoding the corpus.
     Training is seeded, so a rebuild reproduces the same index bit-(and
-    code-)identically. Returns (centroids, codebooks)."""
+    code-)identically. The build hyperparameters are persisted alongside
+    the arrays and re-validated on reuse: a call with different
+    n_cells/m/k_centroids/sample_size/iters/seed than the stored build
+    raises instead of silently serving the stale index (ADVICE r9).
+    Returns (centroids, codebooks)."""
     import os
 
+    params = {
+        "n_cells": n_cells,
+        "m": m,
+        "k_centroids": k_centroids,
+        "sample_size": sample_size,
+        "iters": iters,
+        "seed": seed,
+    }
     npz = os.path.join(store_dir, "index.npz")
     codes_dir = os.path.join(store_dir, "codes")
     if os.path.exists(npz) and os.path.exists(
         os.path.join(codes_dir, "_SUCCESS")
     ):
         with np.load(npz) as idx:
+            stored = (
+                dict(zip(_INDEX_PARAM_KEYS, idx["params"].tolist()))
+                if "params" in idx
+                else None
+            )
+            if stored is not None and stored != params:
+                diff = {
+                    key: (stored[key], params[key])
+                    for key in _INDEX_PARAM_KEYS
+                    if stored[key] != params[key]
+                }
+                raise ValueError(
+                    f"IVF-PQ index at {store_dir} was built with different "
+                    f"hyperparameters (stored vs requested): {diff}; "
+                    "delete the store or match the stored build"
+                )
             return idx["centroids"], idx["codebooks"]
     sample = np.stack(
         emb.orderBy("vec_id")
@@ -849,7 +881,12 @@ def ivf_pq_index_build(
         codes_dir
     )
     os.makedirs(store_dir, exist_ok=True)
-    np.savez(npz, centroids=centroids, codebooks=codebooks)
+    np.savez(
+        npz,
+        centroids=centroids,
+        codebooks=codebooks,
+        params=np.array([params[key] for key in _INDEX_PARAM_KEYS]),
+    )
     return centroids, codebooks
 
 

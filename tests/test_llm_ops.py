@@ -964,6 +964,110 @@ def test_store_append_compact_equals_fresh_rebuild(spark, tmp_path):
     assert not os.path.isdir(os.path.join(store, "append"))
 
 
+def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
+    """ADVICE r9: a compaction crash must never strand the store. Two
+    crash classes: (a) before the commit journal exists, leftover
+    ``*_next`` dirs are rolled BACK; (b) mid-swap with the journal
+    present, the swap is rolled FORWARD (new base adopted, manifest
+    replayed, folded layers dropped) by the next store operation."""
+    import os
+
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+    )
+
+    ca = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = spark.createDataFrame(
+        [(1, ca + " v0"), (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "brand new day one topic with its own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [(20, "brand new day one topic with its own vocabulary right"),
+         (21, ca + " v2")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    minhash_signature_store_append(spark, store, s1, "day1")
+    expected = {(r.doc_id, r.dup_of, r.is_new)
+                for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert (20, 10, 0) in expected and (21, 1, 0) in expected
+
+    # (a) crash BEFORE the journal: a half-written _next dir rolls back
+    os.makedirs(os.path.join(store, "sets_next"))
+    after_rollback = {(r.doc_id, r.dup_of, r.is_new)
+                      for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert after_rollback == expected
+    assert not os.path.exists(os.path.join(store, "sets_next"))
+
+    # (b) crash MID-SWAP: journal written, sets fully swapped, buckets not
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 3:          # after sets old→aside + next→cur
+            raise OSError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    import pytest as _pytest
+    with _pytest.raises(OSError, match="simulated crash"):
+        minhash_signature_store_compact(spark, store)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert os.path.exists(os.path.join(store, "compact_journal.json"))
+    assert os.path.exists(os.path.join(store, "buckets_next"))
+
+    # the next probe heals the store and sees identical verdicts
+    healed = {(r.doc_id, r.dup_of, r.is_new)
+              for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert healed == expected
+    for leftover in ("compact_journal.json", "sets_next", "sets_old",
+                     "buckets_next", "buckets_old", "append"):
+        assert not os.path.exists(os.path.join(store, leftover)), leftover
+    # the manifest was replayed: the folded key is now a no-op on append
+    minhash_signature_store_append(spark, store, s1, "day1")
+    assert not os.path.isdir(os.path.join(store, "append"))
+    # and a fresh compact finds nothing to do
+    minhash_signature_store_compact(spark, store)
+    assert healed == {(r.doc_id, r.dup_of, r.is_new)
+                      for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+
+
+def test_ivf_pq_index_rejects_mismatched_hyperparams(spark, tmp_path):
+    """ADVICE r9: a stored IVF-PQ index must refuse to serve a query
+    built with different hyperparameters instead of silently reusing the
+    stale arrays."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pycaim_spark.operators.similarity import ivf_pq_index_build
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.normal(size=(40, 8)))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "ann")
+    c1, b1 = ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
+                                sample_size=40)
+    # same params: served from the store, bit-identical
+    c2, b2 = ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
+                                sample_size=40)
+    assert (c1 == c2).all() and (b1 == b2).all()
+    with _pytest.raises(ValueError, match="different hyperparameters"):
+        ivf_pq_index_build(emb, store, n_cells=8, m=4, k_centroids=8,
+                           sample_size=40)
+    with _pytest.raises(ValueError, match="k_centroids"):
+        ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=16,
+                           sample_size=40)
+
+
 def test_ann_index_append_makes_new_vectors_retrievable(spark, tmp_path):
     """Appending a slice (encoded with STORED codebooks, no retrain) must
     make its vectors retrievable: planted exact twins of the query

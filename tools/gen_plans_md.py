@@ -104,8 +104,9 @@ def _audit(spark, name, fn):
     return audit_plan(plan_string(df))
 
 
-def sweep(spark) -> dict[str, dict]:
-    """Registry-wide static audit → {name: {shuffles, broadcasts, bad}}."""
+def sweep(spark) -> tuple[dict[str, dict], list[str]]:
+    """Registry-wide static audit → ({name: {shuffles, broadcasts, bad}},
+    [skipped effectful/build-time query names])."""
     from pycaim_spark.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
