@@ -629,6 +629,7 @@ def _incremental_matches(
     max_jaccard_dist: float,
     seed: int,
     max_candidates_per_doc: int,
+    extra_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ALL verified capped (delta_id, base_id, jd) matches of the delta
     probe, over ANY signature store representation — inline-derived frames
@@ -656,8 +657,41 @@ def _incremental_matches(
         F.broadcast(delta_bands), ["table_id", "mh"]
     ).select(
         "delta_id",
+        "table_id",
+        "mh",
         F.slice("ids", 1, max_candidates_per_doc).alias("ids"),
     )
+    if extra_buckets is not None:
+        # Un-compacted append-layer buckets probe the SAME broadcast and
+        # merge per HIT, not per store row: base and layer bucket rows for
+        # one (band, delta doc) concat → sort → re-slice, which equals the
+        # compacted store's merged min-id prefix (merge-stable cap, the
+        # _merge_bucket_layers argument; requires probe cap ≤ store cap,
+        # true by construction: 64 ≤ BUCKET_STORE_CAP). The base bucket
+        # index therefore NEVER shuffles on a layered probe — the r11 fix
+        # for the full-outer SortMergeJoin the per-batch stream plan
+        # assert exposed; the merge shuffle is delta-hit-sized.
+        hits = (
+            hits.unionByName(
+                extra_buckets.join(
+                    F.broadcast(delta_bands), ["table_id", "mh"]
+                ).select(
+                    "delta_id",
+                    "table_id",
+                    "mh",
+                    F.slice("ids", 1, max_candidates_per_doc).alias("ids"),
+                )
+            )
+            .groupBy("delta_id", "table_id", "mh")
+            .agg(
+                F.slice(
+                    F.sort_array(F.flatten(F.collect_list("ids"))),
+                    1,
+                    max_candidates_per_doc,
+                ).alias("ids")
+            )
+        )
+    hits = hits.select("delta_id", "ids")
     # (2) collision-count ranking + per-delta-doc cap, all in-row: a doc's
     # ≤ bands arrays flatten to one bounded array; occurrences of a base
     # id across it = number of colliding bands (each band contributes one
@@ -709,6 +743,7 @@ def _incremental_probe(
     max_jaccard_dist: float,
     seed: int,
     max_candidates_per_doc: int,
+    extra_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-delta-doc verdict frame (doc_id, dup_of, best_dist, is_new)
     over the verified matches of ``_incremental_matches``."""
@@ -716,6 +751,7 @@ def _incremental_probe(
         _incremental_matches(
             b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
             num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
+            extra_buckets=extra_buckets,
         )
         .groupBy("delta_id")
         .agg(
@@ -868,25 +904,26 @@ def minhash_signature_store_build(
     folded into the bucket arrays at the periodic compaction (at 100 TB:
     partition the store by ingest date — the LSM pattern).
     """
-    import os
-
-    _recover_store_swap(store_dir)
-    sets_dir = os.path.join(store_dir, "sets")
-    buckets_dir = os.path.join(store_dir, "buckets")
-    if os.path.exists(os.path.join(sets_dir, "_SUCCESS")) and os.path.exists(
-        os.path.join(buckets_dir, "_SUCCESS")
-    ):
-        return
-    b_sets = _shingle_sets(
-        base_docs, text_col, id_col, shingle_n, repartition=False
-    )
-    b_sets.write.mode("overwrite").parquet(sets_dir)
-    spark = base_docs.sparkSession
-    (
-        _band_buckets(_band_rows(spark.read.parquet(sets_dir), num_hashes, seed))
-        .write.mode("overwrite")
-        .parquet(buckets_dir)
-    )
+    with _store_write_lock(store_dir):
+        _recover_store_swap(store_dir)
+        sets_dir = os.path.join(store_dir, "sets")
+        buckets_dir = os.path.join(store_dir, "buckets")
+        if os.path.exists(os.path.join(sets_dir, "_SUCCESS")) and os.path.exists(
+            os.path.join(buckets_dir, "_SUCCESS")
+        ):
+            return
+        b_sets = _shingle_sets(
+            base_docs, text_col, id_col, shingle_n, repartition=False
+        )
+        b_sets.write.mode("overwrite").parquet(sets_dir)
+        spark = base_docs.sparkSession
+        (
+            _band_buckets(
+                _band_rows(spark.read.parquet(sets_dir), num_hashes, seed)
+            )
+            .write.mode("overwrite")
+            .parquet(buckets_dir)
+        )
 
 
 def incremental_minhash_dedup_stored(
@@ -906,12 +943,12 @@ def incremental_minhash_dedup_stored(
     query: the base corpus's TEXT is never read, only its stored band
     index and shingle sets stream map-side against the broadcast delta.
     Same probe, same verdicts as ``incremental_minhash_dedup`` (asserted
-    in tests/test_llm_ops.py); what changes is what the run touches."""
-    import os
-
-    _recover_store_swap(store_dir)
-    b_sets = spark.read.parquet(os.path.join(store_dir, "sets"))
-    store_buckets = spark.read.parquet(os.path.join(store_dir, "buckets"))
+    in tests/test_llm_ops.py); what changes is what the run touches.
+    Read-only: resolves a consistent view even of a mid-swap store
+    (``_store_read_view``) instead of mutating it (ADVICE r10)."""
+    sets_path, buckets_path, _ = _store_read_view(store_dir)
+    b_sets = spark.read.parquet(sets_path)
+    store_buckets = spark.read.parquet(buckets_path)
     return _incremental_probe(
         b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
@@ -951,21 +988,22 @@ def minhash_signature_store_append(
     sink (streaming/runner.py). Layers hold RAW band rows (the LSM log);
     ``minhash_signature_store_compact`` folds them into the
     bucket-aggregated base."""
-    _recover_store_swap(store_dir)
-    if ingest_key in _store_manifest(store_dir):
-        return
-    layer = os.path.join(store_dir, "append", ingest_key)
-    a_sets = _shingle_sets(
-        accepted_docs, text_col, id_col, shingle_n, repartition=False
-    )
-    a_sets.write.mode("overwrite").parquet(os.path.join(layer, "sets"))
-    (
-        _band_rows(
-            spark.read.parquet(os.path.join(layer, "sets")), num_hashes, seed
+    with _store_write_lock(store_dir):
+        _recover_store_swap(store_dir)
+        if ingest_key in _store_manifest(store_dir):
+            return
+        layer = os.path.join(store_dir, "append", ingest_key)
+        a_sets = _shingle_sets(
+            accepted_docs, text_col, id_col, shingle_n, repartition=False
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(layer, "bands"))
-    )
+        a_sets.write.mode("overwrite").parquet(os.path.join(layer, "sets"))
+        (
+            _band_rows(
+                spark.read.parquet(os.path.join(layer, "sets")), num_hashes, seed
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(layer, "bands"))
+        )
 
 
 def _store_layer_dirs(store_dir: str) -> list[str]:
@@ -1020,24 +1058,97 @@ def _merge_bucket_layers(
     )
 
 
+class _store_write_lock:
+    """Exclusive advisory lock on a signature store, held for the whole
+    body of every WRITE path (build/append/compact, each of which starts
+    with crash recovery). Serializes two concurrent compactions — the
+    second blocks, then finds nothing to fold and no-ops — and keeps a
+    concurrent append from racing the swap renames. Read paths (the
+    probes) take no lock: they never mutate the store (recovery runs
+    only under this lock) and resolve a consistent view of a mid-swap
+    store via ``_store_read_view``. flock is per-open-file, so this also
+    serializes threads inside one driver process. Cross-HOST writers are
+    NOT serialized (flock is host-local) — on an object store the swap
+    below is a table-format commit and the catalog provides the lock."""
+
+    def __init__(self, store_dir: str):
+        os.makedirs(store_dir, exist_ok=True)
+        self._path = os.path.join(store_dir, "store.lock")
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "w")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+        return False
+
+
+def _write_json_atomic(path: str, obj) -> None:
+    """Write JSON durably: temp file, fsync, rename into place, fsync the
+    directory entry — a reader (or crash recovery) sees the old content,
+    the new content, or nothing, never a truncated file (ADVICE r10)."""
+    import json as _json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _load_journal(store_dir: str) -> list[str] | None:
+    """Parse the compaction commit journal; ``None`` if absent OR
+    unparseable. The journal is written atomically (temp + rename), so a
+    truncated file can only be a pre-atomic-write artifact or torn
+    storage — and treating it as absent is SAFE: the swap renames only
+    start after the journal is durably in place, so no journal ⇒ the old
+    base and every append layer are intact ⇒ roll back (ADVICE r10: a
+    truncated journal must not strand the store)."""
+    import json as _json
+
+    journal = os.path.join(store_dir, "compact_journal.json")
+    if not os.path.exists(journal):
+        return None
+    try:
+        with open(journal) as f:
+            return _json.load(f)
+    except ValueError:
+        return None
+
+
 def _recover_store_swap(store_dir: str) -> None:
     """Finish or undo a compaction interrupted mid-swap (ADVICE r9: the
     old rmtree-then-rename swap could crash with NO base dirs at all).
-    The compactor writes a journal only after both ``*_next`` dirs are
-    complete, so recovery is deterministic: journal present → the new
-    base is authoritative, roll the swap FORWARD (finish renames, replay
-    the manifest update, drop the folded append layers); journal absent →
-    any ``*_next``/``*_old`` leftovers are incomplete writes, roll BACK
-    by deleting them. Every store entry point calls this first, so a
-    crashed compaction heals on the next build/probe/append/compact."""
-    import json as _json
+    The compactor writes a journal (atomically) only after both
+    ``*_next`` dirs are complete, so recovery is deterministic: journal
+    present → the new base is authoritative, roll the swap FORWARD
+    (finish renames, replay the manifest update, drop the folded append
+    layers); journal absent or unparseable → any ``*_next``/``*_old``
+    leftovers are incomplete writes, roll BACK by deleting them (old
+    base and layers are still intact). Runs ONLY from write paths
+    (build/append/compact) under ``_store_write_lock`` — probes stay
+    read-only (ADVICE r10: a probe must not rmtree a live compactor's
+    half-written dirs) and see a consistent store via
+    ``_store_read_view``."""
     import shutil
 
     journal = os.path.join(store_dir, "compact_journal.json")
+    folded = _load_journal(store_dir)
     dirs = [os.path.join(store_dir, d) for d in ("sets", "buckets")]
-    if os.path.exists(journal):
-        with open(journal) as f:
-            folded = _json.load(f)
+    if folded is not None:
         for cur in dirs:
             nxt, old = cur + "_next", cur + "_old"
             if os.path.exists(nxt):
@@ -1046,65 +1157,119 @@ def _recover_store_swap(store_dir: str) -> None:
                 os.rename(nxt, cur)
             if os.path.exists(old):
                 shutil.rmtree(old)
-        with open(os.path.join(store_dir, "folded_keys.json"), "w") as f:
-            _json.dump(sorted(folded), f)
+        _write_json_atomic(
+            os.path.join(store_dir, "folded_keys.json"), sorted(folded)
+        )
         append_dir = os.path.join(store_dir, "append")
         if os.path.isdir(append_dir):
             shutil.rmtree(append_dir)
         os.remove(journal)
     else:
+        if os.path.exists(journal):
+            os.remove(journal)
         for cur in dirs:
             for stray in (cur + "_next", cur + "_old"):
                 if os.path.exists(stray):
                     shutil.rmtree(stray)
 
 
+def _store_read_view(store_dir: str) -> tuple[str, str, set[str]]:
+    """Resolve a CONSISTENT read-only view of a store that may be
+    mid-swap, without mutating anything: returns (sets_path,
+    buckets_path, folded_keys_to_skip). Journal present (parseable) →
+    the new base is authoritative; each dir reads ``*_next`` if the
+    rename hasn't happened yet, else the already-swapped current dir,
+    and every append layer named in the journal is SKIPPED (the new base
+    already contains it — reading both would double-count its rows).
+    Journal absent → the old base + all layers are the truth, and stray
+    ``*_next`` dirs are ignored. Either way the view equals the same
+    logical corpus, so probe verdicts are swap-state-independent
+    (asserted in tests/test_llm_ops.py)."""
+    folded = _load_journal(store_dir)
+    paths = []
+    for d in ("sets", "buckets"):
+        cur = os.path.join(store_dir, d)
+        nxt = cur + "_next"
+        paths.append(nxt if folded is not None and os.path.exists(nxt) else cur)
+    return paths[0], paths[1], set(folded or ())
+
+
 def minhash_signature_store_compact(spark, store_dir: str) -> None:
     """Fold every append layer into the base ``sets/`` + ``buckets/`` and
     record the folded keys in the manifest — the LSM compaction. The new
-    base is written beside the old, a commit journal is fsync-ordered
-    after it, and the swap is rename-aside (old base renamed away, never
-    deleted before the new base is in place), so a crash at ANY point
-    leaves a store that ``_recover_store_swap`` rolls forward (journal
-    present: new base complete) or back (no journal) on the next store
-    operation — on an object store this whole block is a metadata swap /
-    table-format commit."""
-    import json as _json
+    base is written beside the old, a commit journal is written
+    ATOMICALLY (temp + fsync + rename + dir fsync) after it, and the
+    swap is rename-aside (old base renamed away, never deleted before
+    the new base is in place), so a PROCESS crash at any point leaves a
+    store that ``_recover_store_swap`` rolls forward (journal present:
+    new base complete) or back (no/unparseable journal) on the next
+    write-path store operation. Scope (ADVICE r10): the journal and
+    manifest are fsynced, but the ``*_next`` parquet part files are not
+    — full POWER-LOSS durability of the data files is the filesystem's
+    (or, in deployment, the object store's — where this whole block is
+    one table-format metadata commit) contract, not this function's.
+    Concurrency: the whole fold-write-swap runs under the store's
+    exclusive write lock, so a second concurrent compaction blocks and
+    then no-ops (no layers left to fold)."""
     import shutil
 
-    _recover_store_swap(store_dir)
-    layers = _store_layer_dirs(store_dir)
-    if not layers:
-        return
-    sets_dir = os.path.join(store_dir, "sets")
-    buckets_dir = os.path.join(store_dir, "buckets")
-    merged_sets = spark.read.parquet(sets_dir)
-    pending = None
-    for l in layers:
-        merged_sets = merged_sets.unionByName(
-            spark.read.parquet(os.path.join(l, "sets"))
+    with _store_write_lock(store_dir):
+        _recover_store_swap(store_dir)
+        layers = _store_layer_dirs(store_dir)
+        if not layers:
+            return
+        sets_dir = os.path.join(store_dir, "sets")
+        buckets_dir = os.path.join(store_dir, "buckets")
+        merged_sets = spark.read.parquet(sets_dir)
+        pending = None
+        for l in layers:
+            merged_sets = merged_sets.unionByName(
+                spark.read.parquet(os.path.join(l, "sets"))
+            )
+            bands = spark.read.parquet(os.path.join(l, "bands"))
+            pending = bands if pending is None else pending.unionByName(bands)
+        merged_buckets = _merge_bucket_layers(
+            spark.read.parquet(buckets_dir), pending
         )
-        bands = spark.read.parquet(os.path.join(l, "bands"))
-        pending = bands if pending is None else pending.unionByName(bands)
-    merged_buckets = _merge_bucket_layers(
-        spark.read.parquet(buckets_dir), pending
-    )
-    merged_sets.write.mode("overwrite").parquet(sets_dir + "_next")
-    merged_buckets.write.mode("overwrite").parquet(buckets_dir + "_next")
-    folded = _store_manifest(store_dir) | {os.path.basename(l) for l in layers}
-    journal = os.path.join(store_dir, "compact_journal.json")
-    with open(journal, "w") as f:
-        _json.dump(sorted(folded), f)
-        f.flush()
-        os.fsync(f.fileno())
-    for cur in (sets_dir, buckets_dir):
-        os.rename(cur, cur + "_old")
-        os.rename(cur + "_next", cur)
-        shutil.rmtree(cur + "_old")
-    with open(os.path.join(store_dir, "folded_keys.json"), "w") as f:
-        _json.dump(sorted(folded), f)
-    shutil.rmtree(os.path.join(store_dir, "append"))
-    os.remove(journal)
+        merged_sets.write.mode("overwrite").parquet(sets_dir + "_next")
+        merged_buckets.write.mode("overwrite").parquet(buckets_dir + "_next")
+        folded = _store_manifest(store_dir) | {
+            os.path.basename(l) for l in layers
+        }
+        _write_json_atomic(
+            os.path.join(store_dir, "compact_journal.json"), sorted(folded)
+        )
+        for cur in (sets_dir, buckets_dir):
+            os.rename(cur, cur + "_old")
+            os.rename(cur + "_next", cur)
+            shutil.rmtree(cur + "_old")
+        _write_json_atomic(
+            os.path.join(store_dir, "folded_keys.json"), sorted(folded)
+        )
+        shutil.rmtree(os.path.join(store_dir, "append"))
+        os.remove(os.path.join(store_dir, "compact_journal.json"))
+
+
+def minhash_store_manifest_gc(store_dir: str, keep_last: int = 32) -> int:
+    """Trim the folded-keys manifest to its ``keep_last`` most recent
+    ingest keys (keys sort lexicographically — date-stamped keys like
+    ``2026-08-14`` order correctly) and return how many were dropped.
+    The manifest's only job is replay idempotency (a re-delivered,
+    already-folded ingest key no-ops in ``minhash_signature_store_append``),
+    so GC trades manifest size for replay window: a key older than the
+    retained window would re-append on replay and re-introduce its rows
+    as duplicates — run GC with ``keep_last`` ≥ the upstream redelivery
+    horizon (e.g. a few times the ingest pipeline's max retry age). At
+    one key per daily ingest the un-GC'd manifest grows ~4 KB/decade, so
+    this is housekeeping, not a scale requirement."""
+    with _store_write_lock(store_dir):
+        _recover_store_swap(store_dir)
+        keys = sorted(_store_manifest(store_dir))
+        if len(keys) <= keep_last:
+            return 0
+        kept = keys[-keep_last:] if keep_last > 0 else []
+        _write_json_atomic(os.path.join(store_dir, "folded_keys.json"), kept)
+        return len(keys) - len(kept)
 
 
 def incremental_minhash_dedup_layered(
@@ -1122,24 +1287,33 @@ def incremental_minhash_dedup_layered(
     """The stored probe, but against base + any un-compacted append
     layers — so a slice ingested this morning dedups against a slice
     appended an hour ago without waiting for compaction. Layer band rows
-    are bucket-aggregated on the fly and merged with the base buckets
-    (merge-stable cap, see ``_merge_bucket_layers``); verdicts equal a
-    probe of the compacted store, asserted in tests/test_llm_ops.py."""
-    _recover_store_swap(store_dir)
-    b_sets = spark.read.parquet(os.path.join(store_dir, "sets"))
-    store_buckets = spark.read.parquet(os.path.join(store_dir, "buckets"))
+    are bucket-aggregated on the fly and probed ALONGSIDE the base
+    buckets — both sides stream through broadcast hash joins against the
+    delta and merge per hit (``_incremental_matches`` ``extra_buckets``;
+    merge-stable cap), so the base bucket index never shuffles here (the
+    old pre-join ``_merge_bucket_layers`` full-outer reshuffled the
+    whole base index per probe — caught by the r11 per-batch stream plan
+    assert; that merge now runs only inside compaction, where it
+    belongs). Verdicts equal a probe of the compacted store, asserted in
+    tests/test_llm_ops.py. Read-only: a mid-swap store resolves via
+    ``_store_read_view`` — the new base plus only the layers it does NOT
+    already contain — instead of being healed in place (ADVICE r10)."""
+    sets_path, buckets_path, skip_keys = _store_read_view(store_dir)
+    b_sets = spark.read.parquet(sets_path)
+    store_buckets = spark.read.parquet(buckets_path)
     pending = None
     for l in _store_layer_dirs(store_dir):
+        if os.path.basename(l) in skip_keys:
+            continue
         b_sets = b_sets.unionByName(
             spark.read.parquet(os.path.join(l, "sets"))
         )
         bands = spark.read.parquet(os.path.join(l, "bands"))
         pending = bands if pending is None else pending.unionByName(bands)
-    if pending is not None:
-        store_buckets = _merge_bucket_layers(store_buckets, pending)
     return _incremental_probe(
         b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
+        extra_buckets=None if pending is None else _band_buckets(pending),
     )
 
 
@@ -1150,6 +1324,7 @@ def stream_ingest_dedup(
     work_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    plan_sink: list | None = None,
 ) -> DataFrame:
     """The signature-store ingestion loop AS A STREAM: stage each slice
     as a file with ordered mtimes, consume one file per trigger under
@@ -1160,7 +1335,10 @@ def stream_ingest_dedup(
     state no pure per-batch job carries. Returns all verdicts
     ``(doc_id, dup_of, best_dist, is_new, batch_id)`` re-read from the
     sink. foreachBatch runs driver-side, so the store helpers close over
-    the live SparkSession safely."""
+    the live SparkSession safely. ``plan_sink``, when given, collects
+    each micro-batch probe's formatted plan so tests can assert the
+    per-batch shape (base side broadcast-probed, never shuffle-joined —
+    the same steady-state contract as the stored probe)."""
     import shutil
 
     shutil.rmtree(work_dir, ignore_errors=True)
@@ -1186,6 +1364,12 @@ def stream_ingest_dedup(
         v = incremental_minhash_dedup_layered(
             spark, store, batch_df, text_col=text_col, id_col=id_col
         )
+        if plan_sink is not None:
+            plan_sink.append(
+                v._sc._jvm.PythonSQLUtils.explainString(
+                    v._jdf.queryExecution(), "formatted"
+                )
+            )
         v.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
         ).parquet(os.path.join(verdicts_dir, f"batch{batch_id}"))

@@ -831,8 +831,13 @@ def ivf_pq_index_build(
     code-)identically. The build hyperparameters are persisted alongside
     the arrays and re-validated on reuse: a call with different
     n_cells/m/k_centroids/sample_size/iters/seed than the stored build
-    raises instead of silently serving the stale index (ADVICE r9).
-    Returns (centroids, codebooks)."""
+    raises instead of silently serving the stale index (ADVICE r9); a
+    sidecar with no persisted params at all is likewise refused (ADVICE
+    r10). Concurrency: the index store assumes a SINGLE writer (one
+    build or append at a time — the daily-batch shape); concurrent
+    readers are always safe because both artifacts are written aside
+    and only ever replaced whole, never edited in place. Returns
+    (centroids, codebooks)."""
     import os
 
     params = {
@@ -849,12 +854,16 @@ def ivf_pq_index_build(
         os.path.join(codes_dir, "_SUCCESS")
     ):
         with np.load(npz) as idx:
-            stored = (
-                dict(zip(_INDEX_PARAM_KEYS, idx["params"].tolist()))
-                if "params" in idx
-                else None
-            )
-            if stored is not None and stored != params:
+            if "params" not in idx:
+                # ADVICE r10: a params-less sidecar is indistinguishable
+                # from a stale index — refuse rather than silently serve.
+                raise ValueError(
+                    f"IVF-PQ index at {store_dir} has no persisted build "
+                    "hyperparameters, so the requested parameters cannot "
+                    "be validated against it; delete the store and rebuild"
+                )
+            stored = dict(zip(_INDEX_PARAM_KEYS, idx["params"].tolist()))
+            if stored != params:
                 diff = {
                     key: (stored[key], params[key])
                     for key in _INDEX_PARAM_KEYS

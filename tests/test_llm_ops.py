@@ -108,10 +108,10 @@ def test_sign_lsh_pairs_are_exact_verified_subset(spark, sf_dir):
         assert recall >= 0.5, f"sign-LSH recall collapsed: {recall:.3f}"
 
 
-def test_mm_decode_stub_parses_planted_headers(spark, sf_dir):
+def test_mm_decode_plumbing_parses_planted_headers(spark, sf_dir):
     from pycaim_spark.registry import REGISTRY
 
-    rows = REGISTRY["mm_decode_stub"].fn(spark, sf_dir).collect()
+    rows = REGISTRY["mm_decode_plumbing"].fn(spark, sf_dir).collect()
     assert rows and all(r.valid for r in rows)
     for r in rows:
         assert r.kind == 1 and r.channels == 3
@@ -1000,20 +1000,25 @@ def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
                 for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
     assert (20, 10, 0) in expected and (21, 1, 0) in expected
 
-    # (a) crash BEFORE the journal: a half-written _next dir rolls back
+    # (a) crash BEFORE the journal: the probe IGNORES the half-written
+    # _next dir (read-only, ADVICE r10); the next write path rolls it back
     os.makedirs(os.path.join(store, "sets_next"))
-    after_rollback = {(r.doc_id, r.dup_of, r.is_new)
-                      for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
-    assert after_rollback == expected
+    after_stray = {(r.doc_id, r.dup_of, r.is_new)
+                   for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert after_stray == expected
+    assert os.path.exists(os.path.join(store, "sets_next"))
+    minhash_signature_store_append(spark, store, s1, "day1")  # re-delivery
     assert not os.path.exists(os.path.join(store, "sets_next"))
 
-    # (b) crash MID-SWAP: journal written, sets fully swapped, buckets not
+    # (b) crash MID-SWAP: journal committed (rename 1 is the atomic
+    # journal publish), sets fully swapped (renames 2-3), buckets not
+    # (crash at rename 4)
     real_rename = os.rename
     calls = {"n": 0}
 
     def crashing_rename(src, dst):
         calls["n"] += 1
-        if calls["n"] == 3:          # after sets old→aside + next→cur
+        if calls["n"] == 4:
             raise OSError("simulated crash mid-swap")
         return real_rename(src, dst)
 
@@ -1025,7 +1030,20 @@ def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(store, "compact_journal.json"))
     assert os.path.exists(os.path.join(store, "buckets_next"))
 
-    # the next probe heals the store and sees identical verdicts
+    # ADVICE r10: a probe of the mid-swap store is READ-ONLY — identical
+    # verdicts via the consistent read view, and every swap artifact
+    # (a live compactor's state) is left exactly where it was
+    mid_swap = {(r.doc_id, r.dup_of, r.is_new)
+                for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert mid_swap == expected
+    assert os.path.exists(os.path.join(store, "compact_journal.json"))
+    assert os.path.exists(os.path.join(store, "buckets_next"))
+    assert os.path.isdir(os.path.join(store, "append"))
+
+    # the next WRITE-path operation heals the store (here: a compact,
+    # which after recovery finds nothing left to fold — the "second
+    # compact during recovery is a no-op" contract)
+    minhash_signature_store_compact(spark, store)
     healed = {(r.doc_id, r.dup_of, r.is_new)
               for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
     assert healed == expected
@@ -1035,10 +1053,102 @@ def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
     # the manifest was replayed: the folded key is now a no-op on append
     minhash_signature_store_append(spark, store, s1, "day1")
     assert not os.path.isdir(os.path.join(store, "append"))
-    # and a fresh compact finds nothing to do
+    # and yet another compact still finds nothing to do
     minhash_signature_store_compact(spark, store)
     assert healed == {(r.doc_id, r.dup_of, r.is_new)
                       for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+
+
+def test_store_truncated_journal_and_manifest_gc(spark, tmp_path):
+    """ADVICE r10: a truncated/unparseable commit journal must be treated
+    as absent (roll BACK — the swap renames only start after the journal
+    is atomically in place, so old base + layers are intact), never
+    strand the store with a parse error. Plus the manifest GC contract:
+    trim to the newest keep_last keys; a retained key still no-ops on
+    replay; a GC'd key re-appends (the documented replay-window trade)."""
+    import os
+
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+        minhash_store_manifest_gc,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "first fresh slice with its very own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [(20, "second slice also completely novel words throughout here")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(30, "first fresh slice with its very own vocabulary entire")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    minhash_signature_store_append(spark, store, s1, "day1")
+    expected = {(r.doc_id, r.dup_of, r.is_new)
+                for r in incremental_minhash_dedup_layered(spark, store, probe).collect()}
+    assert (30, 10, 0) in expected
+
+    # torn journal + a half-written _next dir: probe treats it as absent
+    # (read-only), write path rolls back and removes it
+    with open(os.path.join(store, "compact_journal.json"), "w") as f:
+        f.write('["day1", "da')  # truncated mid-write
+    os.makedirs(os.path.join(store, "sets_next"))
+    torn = {(r.doc_id, r.dup_of, r.is_new)
+            for r in incremental_minhash_dedup_layered(spark, store, probe).collect()}
+    assert torn == expected
+    assert os.path.exists(os.path.join(store, "compact_journal.json"))
+    minhash_signature_store_compact(spark, store)
+    assert not os.path.exists(os.path.join(store, "compact_journal.json"))
+    assert not os.path.exists(os.path.join(store, "sets_next"))
+    assert expected == {(r.doc_id, r.dup_of, r.is_new)
+                        for r in incremental_minhash_dedup_layered(spark, store, probe).collect()}
+
+    # manifest GC: day1 was folded by the compact above; add + fold day2
+    minhash_signature_store_append(spark, store, s2, "day2")
+    minhash_signature_store_compact(spark, store)
+    assert minhash_store_manifest_gc(store, keep_last=5) == 0
+    assert minhash_store_manifest_gc(store, keep_last=1) == 1  # drops day1
+    # retained key still replay-safe; GC'd key re-appends as documented
+    minhash_signature_store_append(spark, store, s2, "day2")
+    assert not os.path.isdir(os.path.join(store, "append"))
+    minhash_signature_store_append(spark, store, s1, "day1")
+    assert os.path.isdir(os.path.join(store, "append", "day1"))
+
+
+def test_ivf_pq_index_refuses_paramless_sidecar(spark, tmp_path):
+    """ADVICE r10: an index.npz with no persisted 'params' entry cannot
+    be validated against the requested hyperparameters — it must be
+    refused, not silently served."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pycaim_spark.operators.similarity import ivf_pq_index_build
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.normal(size=(40, 8)))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "ann")
+    ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8, sample_size=40)
+    npz = os.path.join(store, "index.npz")
+    with np.load(npz) as idx:
+        stripped = {k: idx[k] for k in idx.files if k != "params"}
+    np.savez(npz, **stripped)
+    with _pytest.raises(ValueError, match="no persisted build"):
+        ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
+                           sample_size=40)
 
 
 def test_ivf_pq_index_rejects_mismatched_hyperparams(spark, tmp_path):
@@ -1154,12 +1264,20 @@ def test_stream_ingest_matches_sequential_loop(spark, tmp_path):
          (21, "batch one fresh material matching nothing else at all")],
         "doc_id long, text string",
     )
+    plans = []
     got = {
         (r.batch_id, r.doc_id): (r.dup_of, r.is_new)
         for r in stream_ingest_dedup(
-            spark, base, [s0, s1], str(tmp_path / "stream")
+            spark, base, [s0, s1], str(tmp_path / "stream"), plan_sink=plans
         ).collect()
     }
+    # per-batch steady-state contract (VERDICT r10 #7): every micro-batch
+    # probe broadcast-probes the store — the base corpus is never
+    # shuffle-joined inside the stream either
+    assert len(plans) == 2
+    for plan in plans:
+        assert "SortMergeJoin" not in plan, "stream batch shuffle-joins base"
+        assert plan.count("BroadcastHashJoin") >= 2
 
     # sequential twin over the same slices
     seq_store = str(tmp_path / "seq")
