@@ -85,8 +85,9 @@ def dmul_sum(expr: Column, alias: str) -> Column:
 # the exact decimal only on the handful of post-aggregation rows:
 #
 #   * a 2-decimal money double becomes integer hundredths via
-#     round(x*100) (the fixtures' money columns carry ≤2 fractional
-#     digits, the same assumption DEC2 already documents);
+#     floor(x*100 + 0.5) (the fixtures' money columns carry ≤2 fractional
+#     digits, the same assumption DEC2 already documents; see cents() for
+#     why not F.round — Spark's Round on double is per-row BigDecimal);
 #   * per-row integer products that could overflow a 63-bit SUM are split
 #     hi = p div 10^k, lo = p mod 10^k and summed separately — both sums
 #     stay far under 2^63;
@@ -103,9 +104,26 @@ def dmul_sum(expr: Column, alias: str) -> Column:
 
 
 def cents(col: Column | str, digits: int = 2) -> Column:
-    """Integer fixed-point value of a ≤``digits``-decimal double column."""
+    """Integer fixed-point value of a ≤``digits``-decimal double column.
+
+    Computed as ``floor(x·10^d + 0.5)`` — pure double arithmetic plus one
+    ``Math.floor``, which codegen keeps register-resident. The obvious
+    ``F.round(x·10^d)`` spelling is NOT used because Spark's Round on
+    DoubleType allocates a java.math.BigDecimal per row, and that
+    dominated the whole flagship aggregation: at sf10 the round-based Q1
+    measured a median 2.60 s vs 1.28 s for this form, the floor form
+    winning all 4 alternating fresh-JVM paired rounds (ISOLATE_r11.json
+    ``q1_cents_paired_series``). Exactness: for a double representing a ≤d-decimal
+    value n·10^-d, x·10^d lands within ~1e-9 of the integer n (error
+    bound n·2^-52 plus one rounding, ≪ 0.5), so adding 0.5 and flooring
+    yields exactly n for any sign; a true half-way point (which floor
+    would round toward +∞ but HALF_UP rounds away from zero) would need
+    a (d+1)-th decimal digit of 5, excluded by the ≤d-decimal
+    precondition this helper already carries. Bit-identity with the
+    decimal/oracle spelling stays asserted per group across all sf
+    fixtures in tests/test_aggregates.py."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10 ** digits)).cast("long")
+    return F.floor(c * (10 ** digits) + F.lit(0.5))
 
 
 def _exact_div_pow10(long_col: Column, k: int) -> Column:

@@ -59,14 +59,18 @@ def agg_hash(spark, sf_dir):
     shuffle; the date predicate reaches the parquet scan (PushedFilters).
 
     Aggregates run on the FIXED-POINT fast path (functions/exact.py):
-    integer-cents long sums with hi/lo splitting where a product sum
+    integer-cents long sums (cents = floor(x·100+0.5), never per-row
+    BigDecimal — see cents()) with hi/lo splitting where a product sum
     could overflow, recombined exactly in decimal on the |groups| output
     rows. Values are bit-identical to the decimal spelling the DuckDB
     oracle uses (asserted across all sf fixtures in
-    tests/test_aggregates.py); what changes is that the 60 M-row
-    aggregation stays on codegen'd long arithmetic instead of per-row
-    BigDecimal once SUM precision passes 18 — measured 9.6 s → see
-    SCALING_r9.json `agg_hash_fixedpoint` at sf10.
+    tests/test_aggregates.py). sf10 history: 9.6 s decimal → 2.3 s
+    fixed-point (SCALING_r9.json `agg_hash_fixedpoint`) → 1.28 s after
+    the r11 floor-cents fix (ISOLATE_r11.json `q1_cents_paired_series`),
+    where the committed decomposition (`q1_decomposition`) shows the
+    residual vs DuckDB is the row-pipeline scan+group floor — a
+    count-only grouping skeleton alone costs 2.35× DuckDB's full query —
+    not the exact-decimal contract (BASELINE.md §Scope note agg_hash).
     """
     li = load_table(spark, sf_dir, "lineitem")
     q_c = cents("l_quantity")               # ≤ 5e3/row → direct long sum
