@@ -522,7 +522,7 @@ def pq_topk_neighbors(
     k_centroids: int = 16,
     k: int = 5,
     n_queries: int = 10,
-    n_candidates: int = 32,
+    n_candidates: int = 256,
     sample_size: int = 1024,
     iters: int = 10,
     seed: int = 42,
@@ -553,6 +553,13 @@ def pq_topk_neighbors(
     stay Arrow-batched and shuffle-free, and the only joins are the tiny
     candidate re-rank — combine with the IVF cell layout for the full
     IVF-PQ design.
+
+    ``n_candidates`` defaults to 256 (raised from 32 in r11): on the
+    near-isotropic fixture embeddings — the adversarial case for ADC
+    ranking — recall@5 at sf0.1 went 0.40 → 0.82 (PQ) and 0.30 → 0.70
+    (IVF-PQ) while wall time at sf10 was flat-to-better, because the
+    exact re-rank is per-query bounded (256 vectors/query) regardless
+    of corpus size (SCALING_r11.json ``ann_candidates_retune``).
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -645,7 +652,7 @@ def ivf_pq_topk_neighbors(
     k_centroids: int = 16,
     k: int = 5,
     n_queries: int = 10,
-    n_candidates: int = 32,
+    n_candidates: int = 256,
     sample_size: int = 1024,
     iters: int = 10,
     seed: int = 42,
@@ -942,7 +949,7 @@ def ivf_pq_topk_stored(
     k_centroids: int = 16,
     k: int = 5,
     n_queries: int = 10,
-    n_candidates: int = 32,
+    n_candidates: int = 256,
     sample_size: int = 1024,
     iters: int = 10,
     seed: int = 42,

@@ -933,5 +933,5 @@ def sim_ann_index_append(spark, sf_dir):
     coded = spark.read.parquet(os.path.join(store, "codes"))
     return _ivf_pq_query(
         emb, coded, centroids, codebooks, nprobe=12, k=5, n_queries=10,
-        n_candidates=32,
+        n_candidates=256,
     )
