@@ -649,7 +649,7 @@ def ivf_pq_topk_neighbors(
     n_cells: int = 32,
     nprobe: int = 12,
     m: int = 8,
-    k_centroids: int = 16,
+    k_centroids: int = 32,
     k: int = 5,
     n_queries: int = 10,
     n_candidates: int = 256,
@@ -678,6 +678,14 @@ def ivf_pq_topk_neighbors(
        from closure-resident tables — no vector column is read.
     4. Exact JVM re-rank of the top ``n_candidates`` per query (shared
        ``_exact_rerank`` tail) — returned cosines are bit-exact.
+
+    ``k_centroids`` defaults to 32 (raised from 16 in r11): at nprobe=12
+    of 32 cells the cell-coverage cap on the near-isotropic fixture
+    corpus is recall 0.80, and the 4-bit codebooks' ADC error was what
+    kept IVF-PQ at 0.70 below its own cap — 5-bit codebooks close the
+    gap exactly to 0.80 at unchanged scan and re-rank volume
+    (SCALING_r11.json ``ivfpq_kc_retune``). Codes stay ≤ 1 byte per
+    subquantizer, so the 8-byte-codes storage contract is unchanged.
     """
     sample = np.stack(
         emb.orderBy("vec_id")
@@ -823,7 +831,7 @@ def ivf_pq_index_build(
     store_dir: str,
     n_cells: int = 32,
     m: int = 8,
-    k_centroids: int = 16,
+    k_centroids: int = 32,
     sample_size: int = 1024,
     iters: int = 10,
     seed: int = 42,
@@ -946,7 +954,7 @@ def ivf_pq_topk_stored(
     n_cells: int = 32,
     nprobe: int = 12,
     m: int = 8,
-    k_centroids: int = 16,
+    k_centroids: int = 32,
     k: int = 5,
     n_queries: int = 10,
     n_candidates: int = 256,

@@ -847,7 +847,7 @@ def sim_ivf_pq(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk_neighbors(
-        emb, n_cells=32, nprobe=12, m=8, k_centroids=16, k=5, n_queries=10
+        emb, n_cells=32, nprobe=12, m=8, k_centroids=32, k=5, n_queries=10
     )
 
 
@@ -875,16 +875,18 @@ def sim_ivf_pq_stored(spark, sf_dir):
     from pycaim_spark.streaming.runner import _SCRATCH
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Store keyed by corpus name AND row count (footer metadata, no scan):
-    # a regenerated/differently-sized corpus cannot silently reuse a stale
-    # index.
+    # Store keyed by corpus name, row count (footer metadata, no scan) AND
+    # the build hyperparameters: a regenerated corpus OR a retuned build
+    # cannot silently reuse a stale index — and a default-param bump gets
+    # a fresh store instead of tripping the sidecar mismatch guard on an
+    # index built under the old defaults.
     store = os.path.join(
         _SCRATCH,
         f"ivfpq_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{parquet_row_count(sf_dir, 'embeddings')}",
+        f"_{parquet_row_count(sf_dir, 'embeddings')}_c32m8k32",
     )
     return ivf_pq_topk_stored(
-        emb, store, n_cells=32, nprobe=12, m=8, k_centroids=16, k=5,
+        emb, store, n_cells=32, nprobe=12, m=8, k_centroids=32, k=5,
         n_queries=10,
     )
 
@@ -927,7 +929,7 @@ def sim_ann_index_append(spark, sf_dir):
     )
     shutil.rmtree(store, ignore_errors=True)
     centroids, codebooks = ivf_pq_index_build(
-        base, store, n_cells=32, m=8, k_centroids=16
+        base, store, n_cells=32, m=8, k_centroids=32
     )
     ivf_pq_index_append(delta, store, "day1")
     coded = spark.read.parquet(os.path.join(store, "codes"))
