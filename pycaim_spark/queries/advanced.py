@@ -9,9 +9,12 @@ applies identically; the SQL parser feeds the same Catalyst pipeline).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from pycaim_spark.catalog import load_table, register_temp_views
+from pycaim_spark.functions.exact import cents, fsum
 from pycaim_spark.registry import register
 
 
@@ -97,9 +100,40 @@ def tpch_q3(spark, sf_dir):
 
     Plan at scale: customer filter broadcast into orders, SMJ/SHJ to
     lineitem on the shuffled orderkey, partial agg before the final
-    TakeOrdered."""
+    TakeOrdered. The revenue sum runs on the fixed-point fast path
+    (functions/exact.py): the oracle's DECIMAL(12,2)×DECIMAL(12,2)
+    product is DECIMAL(25,4) — precision >18 leaves Spark's long-backed
+    Decimal representation for per-row BigDecimal, the same slow path
+    that cost agg_hash ~8 s at sf10. Bit-identical recombination on the
+    output rows; A/B vs the SQL-decimal form in ISOLATE_r11.json
+    `tpch_fixedpoint_paired_series` (PYCAIM_TPCH_FORM=sql keeps the
+    measured SQL spelling runnable)."""
     register_temp_views(spark, sf_dir)
-    return spark.sql(_Q3_SQL)
+    if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
+        return spark.sql(_Q3_SQL)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(fsum(disc_price, 4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
 
 
 _Q5_SQL = """
@@ -123,9 +157,34 @@ _Q5_SQL = """
 @register("tpch_q5", tags=("composite",), oracle=_Q5_SQL)
 def tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape: local-supplier volume — 5-way star join with a
-    region filter cascading through broadcast dims."""
+    region filter cascading through broadcast dims. Revenue on the
+    fixed-point fast path (see tpch_q3's rationale — the decimal product
+    is precision 25, off the long-backed representation)."""
     register_temp_views(spark, sf_dir)
-    return spark.sql(_Q5_SQL)
+    if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
+        return spark.sql(_Q5_SQL)
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == F.col("n_nationkey"))
+        .join(o, o.o_custkey == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(fsum(disc_price, 4, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
 
 
 @register(

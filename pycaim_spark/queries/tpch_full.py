@@ -18,6 +18,15 @@ subset is shared), so the hash gate checks the full SQL front-end +
 Catalyst + execution pipeline per query. Money aggregates follow the
 exact-decimal determinism contract (README): accumulate in DECIMAL(12,2)
 products, cast the final aggregate to DOUBLE.
+
+Deliberate scope: these queries keep the decimal spelling ON THE SPARK
+SIDE TOO — identical-SQL coverage is their purpose. The five composites
+measured at scale (q1/q3/q5/q6/q10/q18 in aggregates.py / advanced.py /
+tpch_more.py) instead run the fixed-point fast path (functions/exact.py),
+because decimal products past precision 18 leave Spark's long-backed
+Decimal representation for per-row BigDecimal (A/B at sf10:
+ISOLATE_r11.json `tpch_fixedpoint_paired_series`). A deployment that
+benches any query here should apply the same rewrite.
 """
 
 from __future__ import annotations

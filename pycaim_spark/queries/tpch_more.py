@@ -11,9 +11,12 @@ a left-semi join against the re-aggregated lineitem).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
-from pycaim_spark.catalog import register_temp_views
+from pycaim_spark.catalog import load_table, register_temp_views
+from pycaim_spark.functions.exact import cents, fsum
 from pycaim_spark.registry import register
 
 _Q6_SQL = """
@@ -34,9 +37,25 @@ def tpch_q6(spark, sf_dir):
     join, no groupBy key. Every predicate reaches the parquet scan
     (PushedFilters on l_shipdate/l_discount/l_quantity), so at 100 TB this
     reads only matching row groups and aggregates map-side; the exchange
-    moves one partial-agg row per partition."""
+    moves one partial-agg row per partition. Revenue on the fixed-point
+    fast path (see tpch_q3's rationale; A/B in ISOLATE_r11.json
+    `tpch_fixedpoint_paired_series`)."""
     register_temp_views(spark, sf_dir)
-    return spark.sql(_Q6_SQL)
+    if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
+        return spark.sql(_Q6_SQL)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        fsum(cents("l_extendedprice") * cents("l_discount"), 4, "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
 
 
 _Q10_SQL = """
@@ -62,9 +81,35 @@ _Q10_SQL = """
 def tpch_q10(spark, sf_dir):
     """TPC-H Q10 shape: returned-item reporting — 4-way join (nation
     broadcasts, orders filtered to one quarter before joining lineitem),
-    group-agg, global top-20 via TakeOrderedAndProject."""
+    group-agg, global top-20 via TakeOrderedAndProject. Revenue on the
+    fixed-point fast path (see tpch_q3's rationale)."""
     register_temp_views(spark, sf_dir)
-    return spark.sql(_Q10_SQL)
+    if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
+        return spark.sql(_Q10_SQL)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    disc_price = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(fsum(disc_price, 4, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
 
 
 _Q18_SQL = """
@@ -91,6 +136,38 @@ def tpch_q18(spark, sf_dir):
     aggregate of lineitem (planned as aggregate → left-semi join), then the
     3-way join re-aggregates per order. The threshold (180 ≈ p90 of
     per-order quantity) keeps the semi-join side small enough to broadcast
-    under AQE at any scale factor."""
+    under AQE at any scale factor.
+
+    Both lineitem aggregations (the HAVING subquery over the FULL table
+    and the final per-order re-aggregate) run on the fixed-point fast
+    path: SUM(DECIMAL(12,2)) carries a precision-22 accumulator — off
+    Spark's long-backed Decimal fast path — and the subquery pays it on
+    every lineitem row, which made this the most expensive composite at
+    sf10 (19.9 s; see ISOLATE_r11.json `tpch_fixedpoint_paired_series`).
+    ``HAVING SUM(qty) > 180`` becomes ``Σ cents > 18000`` — exact, no
+    boundary drift."""
     register_temp_views(spark, sf_dir)
-    return spark.sql(_Q18_SQL)
+    if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
+        return spark.sql(_Q18_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = cents("l_quantity")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 18000)
+        .select("l_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").join(
+        big_orders, F.col("o_orderkey") == big_orders.l_orderkey, "left_semi"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(fsum(qty_c, 2, "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

@@ -86,3 +86,29 @@ def test_agg_hash_fixedpoint_bit_identical_to_decimal_spelling(spark):
         fixed = bits(REGISTRY["agg_hash"].fn(spark, d).collect())
         dec = bits(decimal_spelling(d).collect())
         assert fixed == dec, d
+
+
+def test_tpch_composites_fixedpoint_matches_sql_decimal_form(spark, monkeypatch):
+    """The five measured TPC-H composites (q3/q5/q6/q10/q18) ship a
+    fixed-point DataFrame form; PYCAIM_TPCH_FORM=sql keeps the original
+    SQL-decimal spelling runnable (the A/B control in ISOLATE_r11.json
+    `tpch_fixedpoint_paired_series`). The two forms must agree
+    BIT-FOR-BIT — same rows, same float bits — on every fixture."""
+    import struct
+
+    def bits(rows):
+        out = []
+        for r in rows:
+            out.append(tuple(
+                struct.pack(">d", v).hex() if isinstance(v, float) else v
+                for v in r
+            ))
+        return sorted(out, key=str)
+
+    for q in ("tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18"):
+        for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            monkeypatch.setenv("PYCAIM_TPCH_FORM", "sql")
+            sql_form = bits(REGISTRY[q].fn(spark, d).collect())
+            monkeypatch.delenv("PYCAIM_TPCH_FORM")
+            shipped = bits(REGISTRY[q].fn(spark, d).collect())
+            assert shipped == sql_form, (q, d)
