@@ -487,6 +487,16 @@ def join_skew_salted(spark, sf_dir):
     rows spread over SALT reducers; the dim side grows SALT×, which is
     noise for a dimension table. Salt is derived from o_orderkey (pmod,
     deterministic), never random — reruns and retries stay identical.
+
+    Measured on a genuinely skewed join (one key = 50% of a 16 M-row
+    fact; tools/skew_ab.py, ISOLATE_r11.json `skew_join_ab`): AQE's
+    skew-split beats plain sort-merge 2.59 vs 4.68 s median winning all
+    4 paired rounds, while this manual-salt shape manages only 4.49 s
+    on a 2 M-row dim — the SALT× build-side explosion cancels most of
+    the rebalance gain. Salting is the right tool when the build side
+    is small or the skewed op is one AQE cannot split; otherwise prefer
+    AQE (on by default in session.py, now measured rather than
+    asserted).
     """
     SALT = 8
     o = load_table(spark, sf_dir, "orders")
