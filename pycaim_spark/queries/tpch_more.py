@@ -145,29 +145,68 @@ def tpch_q18(spark, sf_dir):
     every lineitem row, which made this the most expensive composite at
     sf10 (19.9 s; see ISOLATE_r11.json `tpch_fixedpoint_paired_series`).
     ``HAVING SUM(qty) > 180`` becomes ``Σ cents > 18000`` — exact, no
-    boundary drift."""
+    boundary drift.
+
+    The shipped form also applies an AGGREGATE-REUSE rewrite Catalyst
+    cannot derive from the SQL: the final GROUP BY's keys are
+    functionally dependent on o_orderkey (one order → one customer/
+    date/price) and every lineitem row of a qualifying order joins, so
+    the re-aggregate over the joined 60 M-row lineitem recomputes
+    exactly the per-order sum the subquery already holds. Computing the
+    per-order sum ONCE and joining it through halves the lineitem work
+    (one 60 M-row aggregation instead of two plus a 60 M-row join) —
+    A/B in ISOLATE_r11.json `q18_shape_paired_series`;
+    PYCAIM_Q18_SHAPE=twophase keeps the literal two-aggregation shape
+    runnable as the control. Result equality with the SQL form is
+    bit-asserted by the forms-equality test and the parity gate."""
     register_temp_views(spark, sf_dir)
     if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
         return spark.sql(_Q18_SQL)
     li = load_table(spark, sf_dir, "lineitem")
     qty_c = cents("l_quantity")
+    if os.environ.get("PYCAIM_Q18_SHAPE") == "twophase":
+        big_orders = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(qty_c).alias("qty_cents"))
+            .filter(F.col("qty_cents") > 18000)
+            .select("l_orderkey")
+        )
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders").join(
+            big_orders, F.col("o_orderkey") == big_orders.l_orderkey,
+            "left_semi",
+        )
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .groupBy(
+                "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice",
+            )
+            .agg(fsum(qty_c, 2, "sum_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(100)
+        )
+    # Catalyst collapses the two sum expressions into one buffer: the
+    # filter runs on the exact long, sum_qty is its decimal recombination.
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(qty_c).alias("qty_cents"))
+        .agg(
+            F.sum(qty_c).alias("qty_cents"),
+            fsum(qty_c, 2, "sum_qty"),
+        )
         .filter(F.col("qty_cents") > 18000)
-        .select("l_orderkey")
+        .select("l_orderkey", "sum_qty")
     )
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").join(
-        big_orders, F.col("o_orderkey") == big_orders.l_orderkey, "left_semi"
-    )
+    o = load_table(spark, sf_dir, "orders")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        o.join(big_orders, o.o_orderkey == big_orders.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
         )
-        .agg(fsum(qty_c, 2, "sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
