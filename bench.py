@@ -135,6 +135,20 @@ def _fresh_session():
     from pycaim_spark.catalog import load_table
     from pycaim_spark.session import get_spark
 
+    # Scale the child heap to the corpus: at sf10 (~2.5 GiB parquet) the
+    # default 8 GiB JVM runs at the heap ceiling once the hot tables are
+    # cached, and ~15% of r11 series children died with heap OOM
+    # (surfacing as temp_shuffle ENOENT from the shutdown cascade —
+    # ISOLATE_r11.json `q18_shape_paired_series` note). An explicit
+    # PYCAIM_DRIVER_MEM still wins.
+    if "PYCAIM_DRIVER_MEM" not in os.environ:
+        total = sum(
+            os.path.getsize(os.path.join(SF_DIR, f))
+            for f in os.listdir(SF_DIR)
+            if f.endswith(".parquet")
+        )
+        if total > (1 << 30):
+            os.environ["PYCAIM_DRIVER_MEM"] = "16g"
     spark = get_spark(app_name="pycaim-bench")
     _tune_partitions(spark)
     # PYCAIM_BENCH_NO_CACHE=1 keeps queries on the direct parquet scan
