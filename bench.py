@@ -84,6 +84,42 @@ HOT_TABLES = (
 )
 
 
+def _parquet_bytes(sf_dir: str) -> int:
+    """Total parquet bytes under ``sf_dir``, recursing into directory-style
+    datasets (Spark-written tables are directories of part files; a
+    top-level getsize on the dirent reports ~4 KB and silently defeats the
+    size-scaled heap/split heuristics — ADVICE r11)."""
+    total = 0
+    for entry in os.listdir(sf_dir):
+        path = os.path.join(sf_dir, entry)
+        if entry.endswith(".parquet") and os.path.isfile(path):
+            total += os.path.getsize(path)
+        elif os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files if f.endswith(".parquet")
+                )
+    return total
+
+
+def _load_guard(label: str) -> list[float]:
+    """Record the box load average; warn when the 1-min average exceeds
+    0.5 — three rounds of BENCH_r{N} comparisons started false regression
+    alarms from shared-session drift that paired series kept ruling noise
+    (VERDICT r11). Decision-grade series should refuse to start hot
+    (tools/tpch_series.py settle()); the headline bench just records."""
+    load = [round(x, 3) for x in os.getloadavg()]
+    if load[0] > 0.5:
+        print(
+            f"bench: WARNING {label} starting with 1-min load {load[0]}"
+            " > 0.5 — timings are not decision evidence (CLAUDE.md"
+            " measurement rules)",
+            file=sys.stderr,
+        )
+    return load
+
+
 def _tune_partitions(spark) -> None:
     """Size input splits for ≥8 fat tasks over this sf dir (4 MiB floor for
     the ~10 MiB fixture files; 128 MiB cap = the real-cluster default).
@@ -97,11 +133,7 @@ def _tune_partitions(spark) -> None:
     if explicit:
         spark.conf.set("spark.sql.files.maxPartitionBytes", explicit)
         return
-    total = sum(
-        os.path.getsize(os.path.join(SF_DIR, f))
-        for f in os.listdir(SF_DIR)
-        if f.endswith(".parquet")
-    )
+    total = _parquet_bytes(SF_DIR)
     target = max(4 << 20, min(128 << 20, total // 8))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
@@ -142,12 +174,7 @@ def _fresh_session():
     # ISOLATE_r11.json `q18_shape_paired_series` note). An explicit
     # PYCAIM_DRIVER_MEM still wins.
     if "PYCAIM_DRIVER_MEM" not in os.environ:
-        total = sum(
-            os.path.getsize(os.path.join(SF_DIR, f))
-            for f in os.listdir(SF_DIR)
-            if f.endswith(".parquet")
-        )
-        if total > (1 << 30):
+        if _parquet_bytes(SF_DIR) > (1 << 30):
             os.environ["PYCAIM_DRIVER_MEM"] = "16g"
     spark = get_spark(app_name="pycaim-bench")
     _tune_partitions(spark)
@@ -179,6 +206,7 @@ def _isolate(names: list[str], n: int) -> None:
     """
     import subprocess
 
+    load = _load_guard("--isolate")
     timings: dict[str, float] = {}
     for name in names:
         try:
@@ -211,6 +239,7 @@ def _isolate(names: list[str], n: int) -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "protocol": "isolate",
                 "n": n,
+                "load": load,
             }
         )
     )
@@ -219,6 +248,7 @@ def _isolate(names: list[str], n: int) -> None:
 def main() -> None:
     from pycaim_spark.registry import queries as all_queries
 
+    load = _load_guard("headline bench")
     spark = _fresh_session()
     registry = all_queries()
     timings: dict[str, float] = {}
@@ -260,6 +290,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load": load,
             }
         )
     )

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -643,6 +644,17 @@ def _incremental_matches(
     for the 50 k-doc sf10 delta, ISOLATE_r9.json ``incremental_probe_shape``
     — while the bucket-array form carries the same information in
     |delta| × bands rows and ranks candidates with in-row array ops."""
+    if max_candidates_per_doc > BUCKET_STORE_CAP:
+        # The layered-probe merge (extra_buckets path below) is only
+        # equivalent to a compacted-store probe when the probe cap fits
+        # inside the store cap: a wider probe would see ids the stored
+        # per-bucket prefix already dropped, so its verdicts silently
+        # diverge from the post-compaction ones (ADVICE r11). Fail loud.
+        raise ValueError(
+            f"max_candidates_per_doc={max_candidates_per_doc} exceeds "
+            f"BUCKET_STORE_CAP={BUCKET_STORE_CAP}: probe verdicts would "
+            "diverge between layered and compacted store states"
+        )
     d_sets = _shingle_sets(
         delta_docs, text_col, id_col, shingle_n, repartition=False
     )
@@ -955,15 +967,26 @@ def incremental_minhash_dedup_stored(
     )
 
 
-def _store_manifest(store_dir: str) -> set[str]:
-    """Ingest keys already folded into the base layer by compaction."""
+def _store_manifest_ordered(store_dir: str) -> list[str]:
+    """Ingest keys already folded into the base layer, in FOLD ORDER
+    (oldest first) — the order the compactor wrote them, which is layer
+    append-time order, NOT lexicographic key order. Recency decisions
+    (``minhash_store_manifest_gc``) must use this order: arbitrary ingest
+    keys don't sort chronologically ('day10' < 'day2' lexicographically),
+    and GC'ing the wrong end shrinks the replay-idempotency window
+    (ADVICE r11)."""
     import json as _json
 
     path = os.path.join(store_dir, "folded_keys.json")
     if os.path.exists(path):
         with open(path) as f:
-            return set(_json.load(f))
-    return set()
+            return list(_json.load(f))
+    return []
+
+
+def _store_manifest(store_dir: str) -> set[str]:
+    """Ingest keys already folded into the base layer by compaction."""
+    return set(_store_manifest_ordered(store_dir))
 
 
 def minhash_signature_store_append(
@@ -1065,8 +1088,12 @@ class _store_write_lock:
     second blocks, then finds nothing to fold and no-ops — and keeps a
     concurrent append from racing the swap renames. Read paths (the
     probes) take no lock: they never mutate the store (recovery runs
-    only under this lock) and resolve a consistent view of a mid-swap
-    store via ``_store_read_view``. flock is per-open-file, so this also
+    only under this lock) and resolve a consistent view of a QUIESCED
+    mid-swap store via ``_store_read_view`` — a compaction committing
+    between a probe's view resolution and its lazy materialization can
+    still unlink the resolved paths; see the documented window (and the
+    re-plan remedy) in ``_store_read_view`` (ADVICE r11). flock is
+    per-open-file, so this also
     serializes threads inside one driver process. Cross-HOST writers are
     NOT serialized (flock is host-local) — on an object store the swap
     below is a table-format commit and the catalog provides the lock."""
@@ -1158,7 +1185,7 @@ def _recover_store_swap(store_dir: str) -> None:
             if os.path.exists(old):
                 shutil.rmtree(old)
         _write_json_atomic(
-            os.path.join(store_dir, "folded_keys.json"), sorted(folded)
+            os.path.join(store_dir, "folded_keys.json"), list(folded)
         )
         append_dir = os.path.join(store_dir, "append")
         if os.path.isdir(append_dir):
@@ -1183,14 +1210,42 @@ def _store_read_view(store_dir: str) -> tuple[str, str, set[str]]:
     already contains it — reading both would double-count its rows).
     Journal absent → the old base + all layers are the truth, and stray
     ``*_next`` dirs are ignored. Either way the view equals the same
-    logical corpus, so probe verdicts are swap-state-independent
-    (asserted in tests/test_llm_ops.py)."""
-    folded = _load_journal(store_dir)
-    paths = []
-    for d in ("sets", "buckets"):
-        cur = os.path.join(store_dir, d)
-        nxt = cur + "_next"
-        paths.append(nxt if folded is not None and os.path.exists(nxt) else cur)
+    logical corpus, so probe verdicts are swap-state-independent for a
+    QUIESCED mid-swap store (asserted in tests/test_llm_ops.py).
+
+    Concurrency window (ADVICE r11 — documented, deliberately not locked
+    away): resolution itself is made atomic-in-effect by the stability
+    loop below (re-resolve until the journal state and resolved dirs
+    agree before and after), but Spark scans lazily — a compactor (or a
+    write path running crash recovery) that COMMITS between this
+    resolution and the probe's materialization can rename/rmtree the
+    resolved paths, and the scan then fails with FileNotFoundException.
+    A reader that hits that error should re-plan the probe (re-call the
+    probe entry point — it resolves the post-commit view; verdicts are
+    equivalent either way). Holding a shared flock from resolution to
+    materialization would close the window but makes probe latency bound
+    compaction latency, and is a local-FS-only mechanism anyway: in
+    deployment the swap is a table-format snapshot commit and concurrent
+    readers are retention-protected by the table format, so the window
+    is an artifact of the local stand-in, not the design."""
+    for attempt in range(20):
+        folded = _load_journal(store_dir)
+        paths = []
+        for d in ("sets", "buckets"):
+            cur = os.path.join(store_dir, d)
+            nxt = cur + "_next"
+            paths.append(
+                nxt if folded is not None and os.path.exists(nxt) else cur
+            )
+        # Stability check: a swap that landed mid-resolution could pair
+        # one pre-swap path with one post-swap path (old sets + new
+        # buckets double-counts folded layers through skip_keys=∅).
+        # Accept only a resolution whose journal state is unchanged and
+        # whose dirs all exist after resolving.
+        if all(os.path.exists(p) for p in paths) and \
+                _load_journal(store_dir) == folded:
+            break
+        time.sleep(0.05)
     return paths[0], paths[1], set(folded or ())
 
 
@@ -1233,27 +1288,46 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         )
         merged_sets.write.mode("overwrite").parquet(sets_dir + "_next")
         merged_buckets.write.mode("overwrite").parquet(buckets_dir + "_next")
-        folded = _store_manifest(store_dir) | {
-            os.path.basename(l) for l in layers
-        }
+        # The manifest is kept in FOLD order (oldest first): prior order,
+        # then this compaction's layers ordered by append time (layer dir
+        # mtime, name tiebreak). GC recency must not depend on key
+        # spelling — 'day10' sorts before 'day2' lexicographically
+        # (ADVICE r11).
+        new_keys = [
+            os.path.basename(l)
+            for l in sorted(layers, key=lambda p: (os.path.getmtime(p), p))
+        ]
+        prior = _store_manifest_ordered(store_dir)
+        folded = prior + [k for k in new_keys if k not in prior]
         _write_json_atomic(
-            os.path.join(store_dir, "compact_journal.json"), sorted(folded)
+            os.path.join(store_dir, "compact_journal.json"), folded
         )
         for cur in (sets_dir, buckets_dir):
             os.rename(cur, cur + "_old")
             os.rename(cur + "_next", cur)
             shutil.rmtree(cur + "_old")
         _write_json_atomic(
-            os.path.join(store_dir, "folded_keys.json"), sorted(folded)
+            os.path.join(store_dir, "folded_keys.json"), folded
         )
         shutil.rmtree(os.path.join(store_dir, "append"))
         os.remove(os.path.join(store_dir, "compact_journal.json"))
+        # Housekeeping on the compaction cadence (VERDICT r11 #5): trim
+        # the manifest to the newest $PYCAIM_STORE_GC_KEEP folded keys
+        # (default 128 — generous vs. any sane upstream redelivery
+        # horizon; 0 disables). Still under this compaction's write lock.
+        keep = int(os.environ.get("PYCAIM_STORE_GC_KEEP", "128"))
+        if keep > 0:
+            _manifest_gc_locked(store_dir, keep)
 
 
 def minhash_store_manifest_gc(store_dir: str, keep_last: int = 32) -> int:
-    """Trim the folded-keys manifest to its ``keep_last`` most recent
-    ingest keys (keys sort lexicographically — date-stamped keys like
-    ``2026-08-14`` order correctly) and return how many were dropped.
+    """Trim the folded-keys manifest to its ``keep_last`` most recently
+    FOLDED ingest keys and return how many were dropped. Recency is fold
+    order (the order the compactor appended them — layer append-time
+    order, ``_store_manifest_ordered``), never lexicographic key order:
+    arbitrary keys don't sort chronologically ('day10' < 'day2'), and
+    dropping the wrong end would shrink the replay-idempotency window
+    for the keys most likely to be redelivered (ADVICE r11).
     The manifest's only job is replay idempotency (a re-delivered,
     already-folded ingest key no-ops in ``minhash_signature_store_append``),
     so GC trades manifest size for replay window: a key older than the
@@ -1261,15 +1335,24 @@ def minhash_store_manifest_gc(store_dir: str, keep_last: int = 32) -> int:
     as duplicates — run GC with ``keep_last`` ≥ the upstream redelivery
     horizon (e.g. a few times the ingest pipeline's max retry age). At
     one key per daily ingest the un-GC'd manifest grows ~4 KB/decade, so
-    this is housekeeping, not a scale requirement."""
+    this is housekeeping, not a scale requirement. Runs automatically at
+    the end of every compaction with ``$PYCAIM_STORE_GC_KEEP`` (default
+    128, generous vs. any sane redelivery horizon); this standalone entry
+    point exists for explicit housekeeping with a tighter window."""
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
-        keys = sorted(_store_manifest(store_dir))
-        if len(keys) <= keep_last:
-            return 0
-        kept = keys[-keep_last:] if keep_last > 0 else []
-        _write_json_atomic(os.path.join(store_dir, "folded_keys.json"), kept)
-        return len(keys) - len(kept)
+        return _manifest_gc_locked(store_dir, keep_last)
+
+
+def _manifest_gc_locked(store_dir: str, keep_last: int) -> int:
+    """GC body, caller holds the write lock (compaction tail-calls this
+    inside its own lock — flock on the same fd is not reentrant)."""
+    keys = _store_manifest_ordered(store_dir)
+    if len(keys) <= keep_last:
+        return 0
+    kept = keys[-keep_last:] if keep_last > 0 else []
+    _write_json_atomic(os.path.join(store_dir, "folded_keys.json"), kept)
+    return len(keys) - len(kept)
 
 
 def incremental_minhash_dedup_layered(

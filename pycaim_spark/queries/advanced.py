@@ -187,6 +187,103 @@ def tpch_q5(spark, sf_dir):
     )
 
 
+def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
+    """PERSISTED lineitem/orders layout bucketed (and per-bucket sorted)
+    on orderkey — the standard 100 TB answer to a recurring fact-fact
+    join: pay one shuffle at ingest, then every orderkey join is a
+    co-located merge with ZERO Exchange on either fact. Built once per
+    sf_dir under the scratch root (NOT the per-call ``_scratch`` wiper);
+    later sessions — including fresh-JVM bench children — re-attach via
+    external-table DDL over the existing bucketed files, so steady-state
+    timings measure the query path, same convention as the persisted ANN
+    index (sim_ivf_pq_stored). ``repartition(buckets, key)`` before the
+    write yields exactly one file per bucket, which lets Spark trust the
+    per-bucket sort order and skip the SMJ sort."""
+    import hashlib
+
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = {}
+    for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"tpch_b_{table}_{slug}"
+        path = os.path.join(_SCRATCH, "bucketed_tpch", slug, table)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            df = load_table(spark, sf_dir, table)
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {buckets} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            (
+                load_table(spark, sf_dir, table)
+                .repartition(buckets, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(name)
+            )
+        out[table] = spark.table(name)
+    return out["lineitem"], out["orders"]
+
+
+@register(
+    "tpch_q5_bucketed",
+    tags=("composite", "storage"),
+    oracle=_Q5_SQL,
+)
+def tpch_q5_bucketed(spark, sf_dir):
+    """TPC-H Q5 over the orderkey-bucketed lineitem/orders layout — the
+    scale lever the q5 decomposition pointed at (ISOLATE_r11.json
+    `q5_decomposition`: the 60 M-row lineitem shuffle join IS the query;
+    dims+orders 1.47 s, +lineitem join 5.49 s, group-agg free). Shape:
+    region⋈nation⋈customer collapse into one broadcast that enriches the
+    bucketed orders scan in place (broadcast joins preserve the probe
+    side's bucketing), then orders⋈lineitem runs as a co-located SMJ —
+    the only shuffle left in the plan is the 5-row final aggregate.
+    Verdicts/rows identical to tpch_q5 (same DuckDB oracle)."""
+    register_temp_views(spark, sf_dir)
+    lib, ob = _bucketed_orderkey_layout(spark, sf_dir)
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    dims = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    cust = c.join(
+        F.broadcast(dims), c.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    o = ob.filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    o_enriched = o.join(
+        F.broadcast(cust), o.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "n_name")
+    disc_price = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    return (
+        lib.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            o_enriched.hint("MERGE"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("n_name")
+        .agg(fsum(disc_price, 4, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 @register(
     "agg_stats",
     tags=("agg",),

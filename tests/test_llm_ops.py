@@ -1126,6 +1126,70 @@ def test_store_truncated_journal_and_manifest_gc(spark, tmp_path):
     assert os.path.isdir(os.path.join(store, "append", "day1"))
 
 
+def test_store_gc_fold_order_and_probe_cap(spark, tmp_path, monkeypatch):
+    """ADVICE r11: (a) manifest GC recency is FOLD order, not
+    lexicographic key order — with keys 'day2' (older) and 'day10'
+    (newer), lexicographic sorting would GC 'day10' and shrink the
+    replay window for the key most likely to be redelivered; (b) a probe
+    cap wider than BUCKET_STORE_CAP must fail loudly (layered-probe
+    verdicts would silently diverge from compacted-store verdicts);
+    (c) compaction auto-GCs on its own cadence ($PYCAIM_STORE_GC_KEEP)."""
+    import os
+
+    from pycaim_spark.operators.dedup import (
+        BUCKET_STORE_CAP,
+        _store_manifest_ordered,
+        incremental_minhash_dedup_stored,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+        minhash_store_manifest_gc,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "first fresh slice with its very own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [(20, "second slice also completely novel words throughout here")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+
+    # (b) loud cap failure, before any store I/O
+    with pytest.raises(ValueError, match="BUCKET_STORE_CAP"):
+        incremental_minhash_dedup_stored(
+            spark, store, s1, max_candidates_per_doc=BUCKET_STORE_CAP + 1
+        )
+
+    # (a) 'day2' appended BEFORE 'day10' (enforced via layer mtimes so
+    # the fold order is deterministic regardless of fs timestamp grain)
+    minhash_signature_store_append(spark, store, s1, "day2")
+    minhash_signature_store_append(spark, store, s2, "day10")
+    os.utime(os.path.join(store, "append", "day2"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(store, "append", "day10"), (2_000_000, 2_000_000))
+    minhash_signature_store_compact(spark, store)
+    assert _store_manifest_ordered(store) == ["day2", "day10"]
+    assert minhash_store_manifest_gc(store, keep_last=1) == 1
+    # fold-order recency keeps day10 (the newest fold), drops day2 —
+    # lexicographic recency would have kept day2
+    assert _store_manifest_ordered(store) == ["day10"]
+    minhash_signature_store_append(spark, store, s2, "day10")  # no-op
+    assert not os.path.isdir(os.path.join(store, "append"))
+    minhash_signature_store_append(spark, store, s1, "day2")  # re-appends
+    assert os.path.isdir(os.path.join(store, "append", "day2"))
+
+    # (c) compaction runs GC itself under its write lock
+    monkeypatch.setenv("PYCAIM_STORE_GC_KEEP", "1")
+    minhash_signature_store_compact(spark, store)
+    assert _store_manifest_ordered(store) == ["day2"]
+
+
 def test_ivf_pq_index_refuses_paramless_sidecar(spark, tmp_path):
     """ADVICE r10: an index.npz with no persisted 'params' entry cannot
     be validated against the requested hyperparameters — it must be

@@ -23,7 +23,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "SCALING_r11.json")
+OUT = os.path.join(
+    REPO, os.environ.get("PYCAIM_SCALING_OUT", "SCALING_r12.json")
+)
 
 TOPK_QUERIES = ["sim_ivf", "sim_pq", "sim_ivf_pq", "sim_ivf_pq_stored"]
 

@@ -8,8 +8,20 @@ users, not session length; documents get a per-replica text prefix so
 distinct-text workloads scale; embeddings keep their vectors (ANN load
 scales in corpus size).
 
+Round 12: ``--perturb-embeddings SIGMA`` replaces the verbatim embedding
+replication with seeded Gaussian jitter of relative norm SIGMA on every
+replica r > 0 (r = 0 stays verbatim). Verbatim replicas make ANN recall
+trivially 1.0 at sf1/sf10 — every query vector has an exact cos≈1 twin
+in each replica, so the approximate top-k can't miss (SCALING_r11.json
+`ann_recall` caveat). Jittered replicas preserve the neighborhood
+structure (3% of norm barely moves cosines) while killing exact twins,
+making recall@5 a real measurement at 20 k/200 k vectors.
+``--only-embeddings`` rewrites just embeddings.parquet in an existing
+scaled dir (the other tables stay byte-identical for the timing sweeps).
+
 Usage: python tools/make_scaled_sf.py [--base /root/testdata/sf0.1]
-       [--out .scratch/sf1] [--factor 10]
+       [--out .scratch/sf1] [--factor 10] [--perturb-embeddings 0.03]
+       [--only-embeddings]
 """
 
 from __future__ import annotations
@@ -20,7 +32,59 @@ import os
 import duckdb
 
 
-def scale_dir(base: str, out: str, factor: int) -> None:
+def perturbed_embeddings(base: str, out: str, factor: int, sigma: float,
+                         offset: int) -> None:
+    """Replicate embeddings with seeded Gaussian jitter. Each copy i of a
+    vector draws its own relative-norm scale s_i ~ U(sigma, 10·sigma)
+    (per-element std = s_i·‖v‖/√d, so E‖noise‖ ≈ s_i·‖v‖). The SPREAD is
+    the point: a single shared sigma would put every copy of a vector in
+    a cosine near-tie (all at cos ≈ 1 − s²/2 ± 1e-4), making exact top-5
+    a coin flip among ~factor twins that no quantized index could rank —
+    trivially-zero recall is as useless a measurement as the verbatim
+    replicas' trivially-one. With the spread, the exact top-5 are the
+    least-perturbed copies separated by real cosine gaps (≈1e-3..1e-2 at
+    sigma=0.03), which a good index finds and a bad one misses. Replica 0
+    is verbatim — the corpus still CONTAINS the original vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(base, "embeddings.parquet"))
+    vec_id = tbl["vec_id"].to_numpy()
+    emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
+    label = tbl["label"].to_numpy()
+    n, d = emb.shape
+    rng = np.random.default_rng(20260815)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True).astype(np.float32)
+    ids_parts, emb_parts, label_parts = [], [], []
+    for r in range(factor):
+        ids_parts.append(vec_id + r * offset)
+        label_parts.append(label)
+        if r == 0:
+            emb_parts.append(emb)
+        else:
+            s = rng.uniform(sigma, 10 * sigma, size=(n, 1)).astype(np.float32)
+            noise = rng.standard_normal((n, d)).astype(np.float32)
+            emb_parts.append(emb + noise * (s * norms / np.sqrt(d)))
+    all_emb = np.concatenate(emb_parts)
+    offsets = np.arange(0, (len(all_emb) + 1) * d, d, dtype=np.int64)
+    emb_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+        pa.array(all_emb.reshape(-1), type=pa.float32()),
+    )
+    result = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids_parts), type=pa.int64()),
+            "embedding": emb_arr,
+            "label": pa.array(np.concatenate(label_parts), type=pa.int32()),
+        }
+    )
+    pq.write_table(result, os.path.join(out, "embeddings.parquet"))
+    print(f"  embeddings: {len(result)} rows (perturb sigma={sigma})")
+
+
+def scale_dir(base: str, out: str, factor: int, perturb: float = 0.0,
+              only_embeddings: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -46,6 +110,20 @@ def scale_dir(base: str, out: str, factor: int) -> None:
         f"SELECT max(user_id) + 1 FROM {src('events')}"
     ).fetchone()[0]
     rep = f"(SELECT unnest(range({factor})) AS r)"
+
+    if only_embeddings:
+        if perturb > 0:
+            perturbed_embeddings(base, out, factor, perturb,
+                                 off["embeddings"])
+        else:
+            copy(
+                "embeddings",
+                f"""SELECT vec_id + r * {off['embeddings']} AS vec_id,
+                           embedding, label
+                    FROM {src('embeddings')}, {rep}""",
+            )
+        con.close()
+        return
 
     copy("region", f"SELECT * FROM {src('region')}")
     copy("nation", f"SELECT * FROM {src('nation')}")
@@ -101,12 +179,15 @@ def scale_dir(base: str, out: str, factor: int) -> None:
                         ELSE n_chars + len('rep' || r || ' ') END AS n_chars
             FROM {src('documents')}, {rep}""",
     )
-    copy(
-        "embeddings",
-        f"""SELECT vec_id + r * {off['embeddings']} AS vec_id,
-                   embedding, label
-            FROM {src('embeddings')}, {rep}""",
-    )
+    if perturb > 0:
+        perturbed_embeddings(base, out, factor, perturb, off["embeddings"])
+    else:
+        copy(
+            "embeddings",
+            f"""SELECT vec_id + r * {off['embeddings']} AS vec_id,
+                       embedding, label
+                FROM {src('embeddings')}, {rep}""",
+        )
     con.close()
 
 
@@ -117,6 +198,15 @@ if __name__ == "__main__":
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"
     ))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--perturb-embeddings", type=float, default=0.0,
+                    metavar="SIGMA",
+                    help="Gaussian jitter of relative norm SIGMA on "
+                         "embedding replicas r>0 (0 = verbatim copies)")
+    ap.add_argument("--only-embeddings", action="store_true",
+                    help="rewrite only embeddings.parquet in an existing "
+                         "scaled dir")
     args = ap.parse_args()
     print(f"scaling {args.base} x{args.factor} -> {args.out}")
-    scale_dir(args.base, args.out, args.factor)
+    scale_dir(args.base, args.out, args.factor,
+              perturb=args.perturb_embeddings,
+              only_embeddings=args.only_embeddings)

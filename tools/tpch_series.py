@@ -1,13 +1,23 @@
-"""TPC-H composite fixed-point A/B (round 11): 4 alternating paired
-rounds of the SQL-decimal form (PYCAIM_TPCH_FORM=sql — the spelling the
-r11 sweep measured) vs the shipped fixed-point DataFrame form, fresh JVM
-per query via bench.py --isolate --n 3 at sf10. The decimal revenue
-product is DECIMAL(25,4) — precision >18 leaves Spark's long-backed
-Decimal representation for per-row BigDecimal (the agg_hash lesson) —
-and Q18's SUM(DECIMAL(12,2)) subquery pays a precision-22 accumulator on
-every lineitem row. Merges into /root/repo/ISOLATE_r11.json.
+"""TPC-H composite fixed-point A/B: alternating paired rounds of the
+SQL-decimal form (PYCAIM_TPCH_FORM=sql) vs the shipped fixed-point
+DataFrame form, fresh JVM per query via bench.py --isolate --n 3.
 
-Usage: python tools/tpch_series.py [sf_dir] [rounds]
+Round-12 protocol upgrade: the ARM ORDER alternates per round (round 0
+runs sql first, round 1 runs fixedpoint first, ...) — the r11
+reversed-order control measured a ~10-20% penalty on whichever arm runs
+second in a round (ISOLATE_r11.json `tpch_fixedpoint_reversed_order`),
+so a fixed order is protocol bias, not evidence. CLAUDE.md measurement
+rules now require alternation.
+
+The decimal revenue product is DECIMAL(25,4) — precision >18 leaves
+Spark's long-backed Decimal representation for per-row BigDecimal (the
+agg_hash lesson) — and Q18's SUM(DECIMAL(12,2)) subquery pays a
+precision-22 accumulator on every lineitem row; the fixed-point gain
+tracks ROWS AGGREGATED, so sf0.1 (600 k lineitem) and sf10 (60 M) can
+legitimately disagree.
+
+Usage: python tools/tpch_series.py [sf_dir] [rounds] [out_json] [key]
+       [--queries q1,q2,...]
 """
 import json
 import os
@@ -16,13 +26,10 @@ import sys
 import time
 
 REPO = "/root/repo"
-QUERIES = ["tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18"]
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".scratch", "sf10")
-ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-OUT = os.path.join(REPO, "ISOLATE_r11.json")
+DEFAULT_QUERIES = ["tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18"]
 
 
-def settle(limit=1.0, max_wait=900):
+def settle(limit=0.5, max_wait=900):
     waited = 0
     while os.getloadavg()[0] > limit and waited < max_wait:
         time.sleep(30)
@@ -30,10 +37,10 @@ def settle(limit=1.0, max_wait=900):
     print("load at start:", os.getloadavg(), flush=True)
 
 
-def run_bench(form: str) -> dict:
+def run_bench(form: str, sf_dir: str, queries: list) -> dict:
     env = {
         **os.environ,
-        "SPARK_GRAFT_SF_DIR": SF_DIR,
+        "SPARK_GRAFT_SF_DIR": sf_dir,
         "PYCAIM_ISOLATE_TIMEOUT": "1800",
     }
     if form == "sql":
@@ -42,12 +49,12 @@ def run_bench(form: str) -> dict:
         env.pop("PYCAIM_TPCH_FORM", None)
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
-         "--isolate", *QUERIES, "--n", "3"],
+         "--isolate", *queries, "--n", "3"],
         capture_output=True, text=True, timeout=7200, env=env,
     )
     line = p.stdout.strip().rsplit("\n", 1)[-1]
     out = json.loads(line)["queries"]
-    missing = [q for q in QUERIES if q not in out]
+    missing = [q for q in queries if q not in out]
     if missing:
         print(f"MISSING {missing} (form={form}); bench stderr tail:\n"
               f"{p.stderr[-4000:]}", flush=True)
@@ -55,32 +62,47 @@ def run_bench(form: str) -> dict:
 
 
 def main():
+    argv = list(sys.argv[1:])
+    queries = DEFAULT_QUERIES
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        queries = argv[i + 1].split(",")
+        del argv[i:i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else os.path.join(REPO, ".scratch", "sf10")
+    rounds = int(argv[1]) if len(argv) > 1 else 4
+    out_path = argv[2] if len(argv) > 2 else os.path.join(REPO, "ISOLATE_r12.json")
+    key = argv[3] if len(argv) > 3 else "tpch_fixedpoint_paired_series"
+
     series = []
-    for i in range(ROUNDS):
-        settle()
-        a = run_bench("sql")
-        settle()
-        b = run_bench("fixedpoint")
-        series.append({"round": i, "sql_decimal": a, "fixedpoint": b})
+    for i in range(rounds):
+        arms = ["sql", "fixedpoint"] if i % 2 == 0 else ["fixedpoint", "sql"]
+        result = {"round": i, "order": arms}
+        for form in arms:
+            settle()
+            result["sql_decimal" if form == "sql" else "fixedpoint"] = \
+                run_bench(form, sf_dir, queries)
+        series.append(result)
         print(series[-1], flush=True)
     merged = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
             merged = json.load(f)
-    merged["tpch_fixedpoint_paired_series"] = {
+    merged[key] = {
         "note": (
-            "Round-11 TPC-H composite A/B at sf10: SQL-decimal form "
-            "(PYCAIM_TPCH_FORM=sql) vs the shipped fixed-point DataFrame "
-            "form, 4 alternating paired rounds, fresh JVM per query "
-            "(bench.py --isolate --n 3). Both forms are hash-identical "
-            "to the DuckDB oracle at sf0.01/sf0.001 (parity gate)."
+            "TPC-H composite A/B: SQL-decimal form (PYCAIM_TPCH_FORM=sql) "
+            "vs the shipped fixed-point DataFrame form, order-ALTERNATING "
+            "paired rounds (each round's `order` records which arm ran "
+            "first), fresh JVM per query (bench.py --isolate --n 3). Both "
+            "forms are hash-identical to the DuckDB oracle at "
+            "sf0.01/sf0.001 (parity gate)."
         ),
-        "sf_dir": SF_DIR,
+        "sf_dir": sf_dir,
+        "queries": queries,
         "series": series,
     }
-    with open(OUT, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(merged, f, indent=2)
-    print("wrote", OUT)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
