@@ -335,15 +335,35 @@ def bucketed_cosine_neighbors(
     )
 
 
+def _kmeanspp_init(x: np.ndarray, n_cells: int, rng) -> np.ndarray:
+    """k-means++ seeding on the unit sphere: each next seed is drawn with
+    probability ∝ its squared Euclidean distance to the nearest chosen
+    seed (for unit vectors, ‖a−b‖² = 2(1−cos), so ∝ 1−cos). Spreads the
+    initial centroids across the data's actual modes instead of uniform
+    draws that can land several seeds in one dense region — the classic
+    fix for k-means landing in a poor local optimum (VERDICT r11 #6:
+    improve cell ASSIGNMENT at unchanged nprobe). Deterministic under the
+    caller's seeded rng."""
+    centroids = np.empty((n_cells, x.shape[1]))
+    centroids[0] = x[rng.integers(len(x))]
+    d = np.maximum(1.0 - x @ centroids[0], 0.0)
+    for i in range(1, n_cells):
+        total = d.sum()
+        idx = rng.choice(len(x), p=d / total) if total > 0 else rng.integers(len(x))
+        centroids[i] = x[idx]
+        d = np.minimum(d, np.maximum(1.0 - x @ centroids[i], 0.0))
+    return centroids
+
+
 def _spherical_kmeans(
     sample: np.ndarray, n_cells: int, iters: int, seed: int
 ) -> np.ndarray:
     """Seeded spherical k-means over a driver-side sample — the IVF coarse
-    quantizer. Deterministic: seeded init, fixed iteration count, empty
-    cells keep their previous centroid."""
+    quantizer. Deterministic: seeded k-means++ init, fixed iteration
+    count, empty cells keep their previous centroid."""
     rng = np.random.default_rng(seed)
     x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    centroids = x[rng.choice(len(x), size=n_cells, replace=False)].copy()
+    centroids = _kmeanspp_init(x, n_cells, rng)
     for _ in range(iters):
         assign = np.argmax(x @ centroids.T, axis=1)
         for c in range(n_cells):
@@ -823,7 +843,20 @@ def _ivf_pq_query(
 
 
 # Order of the persisted hyperparameter vector in index.npz["params"].
-_INDEX_PARAM_KEYS = ("n_cells", "m", "k_centroids", "sample_size", "iters", "seed")
+_INDEX_PARAM_KEYS = (
+    "n_cells", "m", "k_centroids", "sample_size", "iters", "seed",
+    "algo_version",
+)
+
+#: Training-algorithm version persisted with every index. Bump when the
+#: TRAINING code changes in a result-affecting way, so a persisted index
+#: built by older code is detected instead of silently served (r12: the
+#: k-means++ seeding change made every pre-r12 store's centroids stale —
+#: caught only because a test compared stored vs inline). A version-only
+#: mismatch triggers a deterministic retrain with the same
+#: hyperparameters; a genuine hyperparameter mismatch still raises.
+#: v2 = k-means++ coarse-centroid seeding (VERDICT r11 #6).
+_INDEX_ALGO_VERSION = 2
 
 
 def ivf_pq_index_build(
@@ -862,6 +895,7 @@ def ivf_pq_index_build(
         "sample_size": sample_size,
         "iters": iters,
         "seed": seed,
+        "algo_version": _INDEX_ALGO_VERSION,
     }
     npz = os.path.join(store_dir, "index.npz")
     codes_dir = os.path.join(store_dir, "codes")
@@ -878,18 +912,22 @@ def ivf_pq_index_build(
                     "be validated against it; delete the store and rebuild"
                 )
             stored = dict(zip(_INDEX_PARAM_KEYS, idx["params"].tolist()))
-            if stored != params:
-                diff = {
-                    key: (stored[key], params[key])
-                    for key in _INDEX_PARAM_KEYS
-                    if stored[key] != params[key]
-                }
+            if stored == params:
+                return idx["centroids"], idx["codebooks"]
+            diff = {
+                key: (stored.get(key, "absent"), params[key])
+                for key in _INDEX_PARAM_KEYS
+                if key != "algo_version" and stored.get(key) != params[key]
+            }
+            if diff:
                 raise ValueError(
                     f"IVF-PQ index at {store_dir} was built with different "
                     f"hyperparameters (stored vs requested): {diff}; "
                     "delete the store or match the stored build"
                 )
-            return idx["centroids"], idx["codebooks"]
+            # Only algo_version differs: the training CODE changed, the
+            # request didn't — fall through to a deterministic retrain
+            # with the same hyperparameters, replacing the stale index.
     sample = np.stack(
         emb.orderBy("vec_id")
         .limit(sample_size)
@@ -901,6 +939,14 @@ def ivf_pq_index_build(
     s_normed = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     s_cells = np.argmax(s_normed @ centroids.T, axis=1)
     codebooks = _pq_train(sample - centroids[s_cells], m, k_centroids, iters, seed)
+    # A (re)build resets the store to exactly the passed corpus: the codes
+    # overwrite below drops any previously appended slices, so the append
+    # manifest must be cleared too — a surviving manifest would make
+    # ivf_pq_index_append skip a re-delivered key whose rows the rebuild
+    # just discarded (r12, found with the algo_version retrain path).
+    manifest = os.path.join(store_dir, "append_keys.json")
+    if os.path.exists(manifest):
+        os.remove(manifest)
     _ivf_pq_encode(emb, centroids, codebooks).write.mode("overwrite").parquet(
         codes_dir
     )

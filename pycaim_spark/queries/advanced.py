@@ -100,17 +100,24 @@ def tpch_q3(spark, sf_dir):
 
     Plan at scale: customer filter broadcast into orders, SMJ/SHJ to
     lineitem on the shuffled orderkey, partial agg before the final
-    TakeOrdered. The revenue sum runs on the fixed-point fast path
-    (functions/exact.py): the oracle's DECIMAL(12,2)×DECIMAL(12,2)
-    product is DECIMAL(25,4) — precision >18 leaves Spark's long-backed
-    Decimal representation for per-row BigDecimal, the same slow path
-    that cost agg_hash ~8 s at sf10. Bit-identical recombination on the
-    output rows; A/B vs the SQL-decimal form in ISOLATE_r11.json
-    `tpch_fixedpoint_paired_series` (PYCAIM_TPCH_FORM=sql keeps the
-    measured SQL spelling runnable)."""
+    TakeOrdered. Ships the SQL-decimal form: the r11 fixed-point
+    conversion was a wash at sf10 (ISOLATE_r11.json
+    `tpch_fixedpoint_paired_series` — the join, not the aggregate,
+    dominates this shape) and a measured REGRESSION at sf0.1, the
+    driver's bench scale (ISOLATE_r12.json
+    `tpch_fixedpoint_sf01_paired_series`: SQL wins 4/4 order-alternating
+    paired rounds, ~1.21 vs ~1.62 s). PYCAIM_TPCH_FORM=fixedpoint keeps
+    the losing arm runnable for the A/B harness (tools/tpch_series.py);
+    both forms are bit-identical (tests/test_aggregates.py)."""
     register_temp_views(spark, sf_dir)
-    if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
-        return spark.sql(_Q3_SQL)
+    if os.environ.get("PYCAIM_TPCH_FORM") == "fixedpoint":
+        return _tpch_q3_fixedpoint(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+def _tpch_q3_fixedpoint(spark, sf_dir):
+    """The r11 fixed-point DataFrame arm, demoted from the production
+    body by the r12 sf0.1 adjudication (see tpch_q3's docstring)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -157,12 +164,21 @@ _Q5_SQL = """
 @register("tpch_q5", tags=("composite",), oracle=_Q5_SQL)
 def tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape: local-supplier volume — 5-way star join with a
-    region filter cascading through broadcast dims. Revenue on the
-    fixed-point fast path (see tpch_q3's rationale — the decimal product
-    is precision 25, off the long-backed representation)."""
+    region filter cascading through broadcast dims. Ships the SQL-decimal
+    form (see tpch_q3's docstring: fixed-point was a wash at sf10 and a
+    4/4 paired regression at sf0.1 — ISOLATE_r12.json
+    `tpch_fixedpoint_sf01_paired_series`). For the orderkey-bucketed
+    layout that removes this query's dominant 60 M-row shuffle join, see
+    tpch_q5_bucketed."""
     register_temp_views(spark, sf_dir)
-    if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
-        return spark.sql(_Q5_SQL)
+    if os.environ.get("PYCAIM_TPCH_FORM") == "fixedpoint":
+        return _tpch_q5_fixedpoint(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
+def _tpch_q5_fixedpoint(spark, sf_dir):
+    """The r11 fixed-point DataFrame arm, demoted from the production
+    body by the r12 sf0.1 adjudication (see tpch_q3's docstring)."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")

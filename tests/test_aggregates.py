@@ -89,11 +89,14 @@ def test_agg_hash_fixedpoint_bit_identical_to_decimal_spelling(spark):
 
 
 def test_tpch_composites_fixedpoint_matches_sql_decimal_form(spark, monkeypatch):
-    """The five measured TPC-H composites (q3/q5/q6/q10/q18) ship a
-    fixed-point DataFrame form; PYCAIM_TPCH_FORM=sql keeps the original
-    SQL-decimal spelling runnable (the A/B control in ISOLATE_r11.json
-    `tpch_fixedpoint_paired_series`). The two forms must agree
-    BIT-FOR-BIT — same rows, same float bits — on every fixture."""
+    """The five measured TPC-H composites keep BOTH forms runnable for
+    the A/B harness (tools/tpch_series.py): PYCAIM_TPCH_FORM selects
+    'sql' (decimal spelling) or 'fixedpoint' (DataFrame long-backed
+    arm), and each query's default is its adjudicated winner — q3/q5/q10
+    ship SQL-decimal (ISOLATE_r12.json
+    `tpch_fixedpoint_sf01_paired_series`), q6/q18 ship fixed-point. The
+    two forms must agree BIT-FOR-BIT — same rows, same float bits — on
+    every fixture, and the default must equal one of them."""
     import struct
 
     def bits(rows):
@@ -109,6 +112,9 @@ def test_tpch_composites_fixedpoint_matches_sql_decimal_form(spark, monkeypatch)
         for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
             monkeypatch.setenv("PYCAIM_TPCH_FORM", "sql")
             sql_form = bits(REGISTRY[q].fn(spark, d).collect())
+            monkeypatch.setenv("PYCAIM_TPCH_FORM", "fixedpoint")
+            fixed = bits(REGISTRY[q].fn(spark, d).collect())
             monkeypatch.delenv("PYCAIM_TPCH_FORM")
             shipped = bits(REGISTRY[q].fn(spark, d).collect())
+            assert fixed == sql_form, (q, d)
             assert shipped == sql_form, (q, d)

@@ -43,10 +43,10 @@ def run_bench(form: str, sf_dir: str, queries: list) -> dict:
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "PYCAIM_ISOLATE_TIMEOUT": "1800",
     }
-    if form == "sql":
-        env["PYCAIM_TPCH_FORM"] = "sql"
-    else:
-        env.pop("PYCAIM_TPCH_FORM", None)
+    # Explicit per-arm form, independent of each query's adjudicated
+    # default (r12 flipped q3/q5/q10 to SQL-decimal; q6/q18 ship
+    # fixed-point) — every form function honors both values.
+    env["PYCAIM_TPCH_FORM"] = form
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--isolate", *queries, "--n", "3"],
