@@ -13,6 +13,7 @@ the pair space never materializes.
 
 from __future__ import annotations
 
+import os
 import sys as _sys
 
 import numpy as np
@@ -342,8 +343,11 @@ def _kmeanspp_init(x: np.ndarray, n_cells: int, rng) -> np.ndarray:
     initial centroids across the data's actual modes instead of uniform
     draws that can land several seeds in one dense region — the classic
     fix for k-means landing in a poor local optimum (VERDICT r11 #6:
-    improve cell ASSIGNMENT at unchanged nprobe). Deterministic under the
-    caller's seeded rng."""
+    improve cell ASSIGNMENT at unchanged nprobe). Measured and DECLINED
+    as the default — it lowers fixed-nprobe recall on this corpus (see
+    _spherical_kmeans's docstring; SCALING_r12.json `ivf_init_grid`);
+    kept selectable via PYCAIM_IVF_INIT=kmeanspp. Deterministic under
+    the caller's seeded rng."""
     centroids = np.empty((n_cells, x.shape[1]))
     centroids[0] = x[rng.integers(len(x))]
     d = np.maximum(1.0 - x @ centroids[0], 0.0)
@@ -356,14 +360,29 @@ def _kmeanspp_init(x: np.ndarray, n_cells: int, rng) -> np.ndarray:
 
 
 def _spherical_kmeans(
-    sample: np.ndarray, n_cells: int, iters: int, seed: int
+    sample: np.ndarray, n_cells: int, iters: int, seed: int,
+    init: str | None = None,
 ) -> np.ndarray:
     """Seeded spherical k-means over a driver-side sample — the IVF coarse
-    quantizer. Deterministic: seeded k-means++ init, fixed iteration
-    count, empty cells keep their previous centroid."""
+    quantizer. Deterministic: seeded init, fixed iteration count, empty
+    cells keep their previous centroid. ``init`` is 'uniform' (default)
+    or 'kmeanspp' ($PYCAIM_IVF_INIT overrides for the A/B harness).
+
+    Uniform seeding is the MEASURED winner for recall at fixed nprobe
+    (VERDICT r11 #6 tried k-means++ and more Lloyd iterations;
+    SCALING_r12.json `ivf_init_grid`): k-means++ spreads seeds toward
+    outliers, fragmenting the dense regions where the true neighbors
+    live across more cells than nprobe covers — sf0.1 recall@5 dropped
+    0.72→0.60 (sim_ivf) and 0.80→0.74 (sim_ivf_pq registry settings);
+    iters 10→25 moved nothing. Good k-means objective ≠ good
+    fixed-nprobe recall."""
+    init = init or os.environ.get("PYCAIM_IVF_INIT", "uniform")
     rng = np.random.default_rng(seed)
     x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    centroids = _kmeanspp_init(x, n_cells, rng)
+    if init == "uniform":
+        centroids = x[rng.choice(len(x), size=n_cells, replace=False)].copy()
+    else:
+        centroids = _kmeanspp_init(x, n_cells, rng)
     for _ in range(iters):
         assign = np.argmax(x @ centroids.T, axis=1)
         for c in range(n_cells):
@@ -855,8 +874,11 @@ _INDEX_PARAM_KEYS = (
 #: caught only because a test compared stored vs inline). A version-only
 #: mismatch triggers a deterministic retrain with the same
 #: hyperparameters; a genuine hyperparameter mismatch still raises.
-#: v2 = k-means++ coarse-centroid seeding (VERDICT r11 #6).
-_INDEX_ALGO_VERSION = 2
+#: v2 = k-means++ coarse-centroid seeding (VERDICT r11 #6); v3 = back to
+#: uniform seeding after the measured recall decline (SCALING_r12.json
+#: `ivf_init_grid`) — distinct from the unversioned v1 stores so that any
+#: store built by the short-lived v2 code retrains.
+_INDEX_ALGO_VERSION = 3
 
 
 def ivf_pq_index_build(

@@ -821,11 +821,22 @@ def sim_pq(spark, sf_dir):
     per vector, queries scan codes not vectors via asymmetric distance;
     operators/similarity.py pq_topk_neighbors). Third ANN design point
     beside sign-LSH (bucketing) and IVF (partition pruning); at 100 TB
-    the three compose (IVF-PQ with LSH dedup upstream)."""
+    the three compose (IVF-PQ with LSH dedup upstream).
+
+    r12 retune on the perturbed (non-replica) scale corpora:
+    k_centroids 16→32 and n_candidates 256→512 lift recall@5 from
+    0.82/0.78/0.92 to 1.0/0.9/1.0 at sf0.1/sf1/sf10 (SCALING_r12.json
+    `pq_retune_grid`) at unchanged scan cost — ADC reads every code
+    either way; the finer codebooks double only the per-query LUT
+    (m×k_centroids floats) and the wider shortlist doubles only the
+    exact re-rank breadth (n_candidates×|Q| rows, trivial at any
+    scale)."""
     from pycaim_spark.operators.similarity import pq_topk_neighbors
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk_neighbors(emb, m=8, k_centroids=16, k=5, n_queries=10)
+    return pq_topk_neighbors(
+        emb, m=8, k_centroids=32, n_candidates=512, k=5, n_queries=10
+    )
 
 
 @register(

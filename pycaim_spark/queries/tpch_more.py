@@ -180,31 +180,10 @@ def tpch_q18(spark, sf_dir):
     register_temp_views(spark, sf_dir)
     if os.environ.get("PYCAIM_TPCH_FORM") == "sql":
         return spark.sql(_Q18_SQL)
+    if os.environ.get("PYCAIM_Q18_SHAPE") == "twophase":
+        return _tpch_q18_twophase(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     qty_c = cents("l_quantity")
-    if os.environ.get("PYCAIM_Q18_SHAPE") == "twophase":
-        big_orders = (
-            li.groupBy("l_orderkey")
-            .agg(F.sum(qty_c).alias("qty_cents"))
-            .filter(F.col("qty_cents") > 18000)
-            .select("l_orderkey")
-        )
-        c = load_table(spark, sf_dir, "customer")
-        o = load_table(spark, sf_dir, "orders").join(
-            big_orders, F.col("o_orderkey") == big_orders.l_orderkey,
-            "left_semi",
-        )
-        return (
-            c.join(o, c.c_custkey == o.o_custkey)
-            .join(li, F.col("o_orderkey") == li.l_orderkey)
-            .groupBy(
-                "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                "o_totalprice",
-            )
-            .agg(fsum(qty_c, 2, "sum_qty"))
-            .orderBy(F.desc("o_totalprice"), "o_orderkey")
-            .limit(100)
-        )
     # Catalyst collapses the two sum expressions into one buffer: the
     # filter runs on the exact long, sum_qty is its decimal recombination.
     big_orders = (
@@ -225,6 +204,37 @@ def tpch_q18(spark, sf_dir):
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
         )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def _tpch_q18_twophase(spark, sf_dir):
+    """The literal two-aggregation Q18 shape, demoted from the production
+    body — kept runnable (PYCAIM_Q18_SHAPE=twophase) as the A/B control
+    behind ISOLATE_r11.json `q18_shape_paired_series` (11.94 → 7.94 s
+    median at sf10 for the shipped aggregate-reuse form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = cents("l_quantity")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 18000)
+        .select("l_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").join(
+        big_orders, F.col("o_orderkey") == big_orders.l_orderkey,
+        "left_semi",
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+        )
+        .agg(fsum(qty_c, 2, "sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )

@@ -8,20 +8,21 @@ users, not session length; documents get a per-replica text prefix so
 distinct-text workloads scale; embeddings keep their vectors (ANN load
 scales in corpus size).
 
-Round 12: ``--perturb-embeddings SIGMA`` replaces the verbatim embedding
-replication with seeded Gaussian jitter of relative norm SIGMA on every
-replica r > 0 (r = 0 stays verbatim). Verbatim replicas make ANN recall
-trivially 1.0 at sf1/sf10 — every query vector has an exact cos≈1 twin
-in each replica, so the approximate top-k can't miss (SCALING_r11.json
-`ann_recall` caveat). Jittered replicas preserve the neighborhood
-structure (3% of norm barely moves cosines) while killing exact twins,
-making recall@5 a real measurement at 20 k/200 k vectors.
-``--only-embeddings`` rewrites just embeddings.parquet in an existing
-scaled dir (the other tables stay byte-identical for the timing sweeps).
+Round 12: ``--perturb-embeddings LO --perturb-max HI`` replaces the
+verbatim embedding replication with seeded Gaussian jitter of per-copy
+relative norm s ~ U(LO, HI) on every replica r > 0 (r = 0 stays
+verbatim). Verbatim replicas make ANN recall trivially 1.0 at sf1/sf10
+— every query has an exact cos≈1 twin per replica (SCALING_r11.json
+`ann_recall` caveat) — and SMALL jitter is still trivial (the exact
+re-rank recovers near-twins; see perturbed_embeddings's docstring for
+why the spread must overlap the natural similarity range — the shipped
+scale corpora use LO=1 HI=3). ``--only-embeddings`` rewrites just
+embeddings.parquet in an existing scaled dir (the other tables stay
+byte-identical for the timing sweeps).
 
 Usage: python tools/make_scaled_sf.py [--base /root/testdata/sf0.1]
-       [--out .scratch/sf1] [--factor 10] [--perturb-embeddings 0.03]
-       [--only-embeddings]
+       [--out .scratch/sf1] [--factor 10]
+       [--perturb-embeddings 1.0 --perturb-max 3.0] [--only-embeddings]
 """
 
 from __future__ import annotations
@@ -33,18 +34,26 @@ import duckdb
 
 
 def perturbed_embeddings(base: str, out: str, factor: int, sigma: float,
-                         offset: int) -> None:
+                         offset: int, sigma_max: float | None = None) -> None:
     """Replicate embeddings with seeded Gaussian jitter. Each copy i of a
-    vector draws its own relative-norm scale s_i ~ U(sigma, 10·sigma)
-    (per-element std = s_i·‖v‖/√d, so E‖noise‖ ≈ s_i·‖v‖). The SPREAD is
-    the point: a single shared sigma would put every copy of a vector in
-    a cosine near-tie (all at cos ≈ 1 − s²/2 ± 1e-4), making exact top-5
-    a coin flip among ~factor twins that no quantized index could rank —
-    trivially-zero recall is as useless a measurement as the verbatim
-    replicas' trivially-one. With the spread, the exact top-5 are the
-    least-perturbed copies separated by real cosine gaps (≈1e-3..1e-2 at
-    sigma=0.03), which a good index finds and a bad one misses. Replica 0
-    is verbatim — the corpus still CONTAINS the original vectors."""
+    vector draws its own relative-norm scale s_i ~ U(sigma, sigma_max)
+    (per-element std = s_i·‖v‖/√d, so E‖noise‖ ≈ s_i·‖v‖; cos to the
+    original ≈ 1/√(1+s_i²)). Replica 0 is verbatim — the corpus still
+    CONTAINS the original vectors.
+
+    Choosing the range is what makes scale recall a REAL measurement
+    (r12, learned twice): verbatim replicas give every query an exact
+    twin per replica → recall trivially 1.0; SMALL jitter (s ≤ 0.3,
+    cos ≥ 0.95) still leaves every copy in the query's own IVF cell and
+    far above the natural similarity range, so the 256-candidate ADC
+    shortlist + exact re-rank recover the top-5 perfectly → still 1.0
+    (SCALING_r12.json `ann_recall` history). The jitter must OVERLAP the
+    corpus's natural neighbor similarities (here cos ≈ 0.3–0.6):
+    s ~ U(1, 3) puts copies at cos ≈ 0.32–0.71, so a query's exact top-5
+    mixes low-jitter copies with natural neighbors spread across cells —
+    which a good index finds and a bad one misses. That is also the
+    honest model of a 100× corpus: new draws from the same distribution,
+    not photocopies."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -55,6 +64,7 @@ def perturbed_embeddings(base: str, out: str, factor: int, sigma: float,
     label = tbl["label"].to_numpy()
     n, d = emb.shape
     rng = np.random.default_rng(20260815)
+    hi = sigma_max if sigma_max is not None else 10 * sigma
     norms = np.linalg.norm(emb, axis=1, keepdims=True).astype(np.float32)
     ids_parts, emb_parts, label_parts = [], [], []
     for r in range(factor):
@@ -63,7 +73,7 @@ def perturbed_embeddings(base: str, out: str, factor: int, sigma: float,
         if r == 0:
             emb_parts.append(emb)
         else:
-            s = rng.uniform(sigma, 10 * sigma, size=(n, 1)).astype(np.float32)
+            s = rng.uniform(sigma, hi, size=(n, 1)).astype(np.float32)
             noise = rng.standard_normal((n, d)).astype(np.float32)
             emb_parts.append(emb + noise * (s * norms / np.sqrt(d)))
     all_emb = np.concatenate(emb_parts)
@@ -84,6 +94,7 @@ def perturbed_embeddings(base: str, out: str, factor: int, sigma: float,
 
 
 def scale_dir(base: str, out: str, factor: int, perturb: float = 0.0,
+              perturb_max: float | None = None,
               only_embeddings: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -114,7 +125,7 @@ def scale_dir(base: str, out: str, factor: int, perturb: float = 0.0,
     if only_embeddings:
         if perturb > 0:
             perturbed_embeddings(base, out, factor, perturb,
-                                 off["embeddings"])
+                                 off["embeddings"], perturb_max)
         else:
             copy(
                 "embeddings",
@@ -180,7 +191,8 @@ def scale_dir(base: str, out: str, factor: int, perturb: float = 0.0,
             FROM {src('documents')}, {rep}""",
     )
     if perturb > 0:
-        perturbed_embeddings(base, out, factor, perturb, off["embeddings"])
+        perturbed_embeddings(base, out, factor, perturb, off["embeddings"],
+                             perturb_max)
     else:
         copy(
             "embeddings",
@@ -202,6 +214,12 @@ if __name__ == "__main__":
                     metavar="SIGMA",
                     help="Gaussian jitter of relative norm SIGMA on "
                          "embedding replicas r>0 (0 = verbatim copies)")
+    ap.add_argument("--perturb-max", type=float, default=None,
+                    metavar="SIGMA_MAX",
+                    help="upper end of the per-copy jitter spread "
+                         "(default 10x --perturb-embeddings; use ~1..3 "
+                         "to overlap natural similarities and make scale "
+                         "recall discriminative)")
     ap.add_argument("--only-embeddings", action="store_true",
                     help="rewrite only embeddings.parquet in an existing "
                          "scaled dir")
@@ -209,4 +227,5 @@ if __name__ == "__main__":
     print(f"scaling {args.base} x{args.factor} -> {args.out}")
     scale_dir(args.base, args.out, args.factor,
               perturb=args.perturb_embeddings,
+              perturb_max=args.perturb_max,
               only_embeddings=args.only_embeddings)
