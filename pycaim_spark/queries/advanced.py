@@ -301,6 +301,53 @@ def tpch_q5_bucketed(spark, sf_dir):
 
 
 @register(
+    "tpch_q3_bucketed",
+    tags=("composite", "storage"),
+    oracle=_Q3_SQL,
+)
+def tpch_q3_bucketed(spark, sf_dir):
+    """TPC-H Q3 over the orderkey-bucketed lineitem/orders layout — the
+    ZERO-shuffle form of the shipped tpch_q3's plan: the filtered-segment
+    customer keys broadcast into the bucketed orders scan, orders⋈lineitem
+    runs as a co-located SMJ on the bucket key, and the group-agg needs no
+    Exchange either because its grouping set (l_orderkey, o_orderdate)
+    CONTAINS the bucket key — HashPartitioning(l_orderkey) satisfies the
+    aggregate's clustered distribution — so the only data movement in the
+    whole plan is the customer broadcast and the final TakeOrdered top-10.
+    Fixed-point money arithmetic (this is a DataFrame form; the sf0.1
+    SQL-vs-fixed-point adjudication in tpch_q3's docstring compared forms
+    of the SHUFFLED plan — here the join dominates nothing, so the
+    aggregate spelling is on the fast path by construction). Same DuckDB
+    oracle as tpch_q3."""
+    register_temp_views(spark, sf_dir)
+    lib, ob = _bucketed_orderkey_layout(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = ob.filter(
+        F.col("o_orderdate")
+        < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    ).join(F.broadcast(c), F.col("o_custkey") == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lib.filter(
+        F.col("l_shipdate")
+        > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_price = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    return (
+        li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(fsum(disc_price, 4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
     "agg_stats",
     tags=("agg",),
     oracle="""

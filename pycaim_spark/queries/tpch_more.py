@@ -281,3 +281,135 @@ def tpch_q18_bucketed(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "tpch_q10_bucketed",
+    tags=("composite", "storage"),
+    oracle=_Q10_SQL,
+)
+def tpch_q10_bucketed(spark, sf_dir):
+    """TPC-H Q10 over the orderkey-bucketed lineitem/orders layout, with
+    the aggregate PUSHED BELOW the customer join. The heavy stage —
+    returned lineitems ⋈ one quarter of orders — runs as a co-located SMJ
+    on the bucket key (zero Exchange on either fact), and revenue is
+    summed per o_custkey BEFORE touching customer: every Q10 output column
+    (c_name, c_acctbal, n_name) is functionally determined by c_custkey
+    (customer's key), so pre-aggregating by custkey then joining 1:1 is
+    exactly the oracle's grouped sum — but the custkey shuffle now moves
+    one row per custkey partial instead of every joined lineitem row, and
+    the second "aggregate" disappears entirely. nation broadcasts; the
+    final top-20 is a TakeOrdered. Same DuckDB oracle as tpch_q10."""
+    from pycaim_spark.queries.advanced import _bucketed_orderkey_layout
+
+    register_temp_views(spark, sf_dir)
+    lib, ob = _bucketed_orderkey_layout(spark, sf_dir)
+    o = ob.filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = lib.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    rev = (
+        li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(fsum(disc_price, 4, "revenue"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# Reuse tpch_full's Q21 SQL verbatim: same query, alternate physical form.
+from pycaim_spark.queries.tpch_full import _Q21_SQL  # noqa: E402
+
+
+@register(
+    "tpch_q21_bucketed",
+    tags=("composite", "storage"),
+    oracle=_Q21_SQL,
+)
+def tpch_q21_bucketed(spark, sf_dir):
+    """TPC-H Q21 over the orderkey-bucketed layout: the EXISTS / NOT
+    EXISTS pair collapses into ONE co-located pass. The shipped tpch_q21
+    plans three lineitem instances (l1, the EXISTS semi-join, the NOT
+    EXISTS anti-join through its o2 bridge) — at sf10 that is three
+    60 M-row scans with orderkey shuffles between them. But every
+    correlation in the query is on l_orderkey, the bucket key, and both
+    subqueries are per-order EXISTENCE facts, i.e. two order-level
+    aggregates:
+
+      EXISTS l2 (another supplier on the order)    ⇔  n_supp ≥ 2
+      NOT EXISTS late l3 from another supplier     ⇔  n_late = 1
+                                                      (l1 itself is late)
+
+    lineitem⋈orders('F') runs as the co-located SMJ, and the distinct
+    counts STACK as two bucket-local aggregates — groupBy(orderkey,
+    suppkey) then groupBy(orderkey), each satisfied by the orderkey hash
+    distribution (no Exchange). A direct countDistinct pair would NOT
+    stay local: Spark plans multi-distinct aggregates through Expand and
+    re-clusters on (key, distinct-expr, gid) — two extra full-width
+    shuffles, observed on this very query before the stacked form. The
+    per-(order,supplier) late-row counts then carry numwait's row
+    multiplicity, so nothing joins back to raw lineitem at all. supplier
+    broadcasts; the only shuffles left are the final per-s_name count and
+    its output sort. Equivalence with the EXISTS form: l2 demands another
+    row on the order with a different suppkey (⇔ ≥2 distinct suppliers);
+    l3⋈o2 demands a late row from a different supplier, and o2 carries
+    the same o_orderdate (orders is unique per orderkey), so its absence
+    ⇔ the order's late suppliers are exactly {l1.l_suppkey}. Same oracle
+    SQL as tpch_q21."""
+    from pycaim_spark.queries.advanced import _bucketed_orderkey_layout
+
+    register_temp_views(spark, sf_dir)
+    lib, ob = _bucketed_orderkey_layout(spark, sf_dir)
+    o = ob.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = (
+        lib.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.hint("MERGE"), F.col("l_orderkey") == o.o_orderkey)
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"),
+        )
+    )
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows"),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    qualifying = (
+        per_supp.filter(F.col("supp_late"))
+        .select(
+            F.col("l_orderkey").alias("q_orderkey"),
+            "l_suppkey", "n_late_rows",
+        )
+        .join(
+            per_order.hint("MERGE"),
+            F.col("q_orderkey") == per_order.l_orderkey,
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        qualifying.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
