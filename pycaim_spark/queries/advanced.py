@@ -214,14 +214,34 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
     timings measure the query path, same convention as the persisted ANN
     index (sim_ivf_pq_stored). ``repartition(buckets, key)`` before the
     write yields exactly one file per bucket, which lets Spark trust the
-    per-bucket sort order and skip the SMJ sort."""
+    per-bucket sort order and skip the SMJ sort.
+
+    The cache key covers a FINGERPRINT of the source parquet (total bytes
+    + newest mtime), not just the sf_dir path: scratch corpora
+    (tools/make_scaled_sf.py) get regenerated in place, and a layout keyed
+    by path alone would silently keep serving the previous corpus."""
     import hashlib
 
     from pycaim_spark.queries.relational import _SCRATCH
 
-    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    def _fingerprint(path: str) -> str:
+        if os.path.isdir(path):
+            sizes, mtimes = [0], [0.0]
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    sizes.append(st.st_size)
+                    mtimes.append(st.st_mtime)
+            return f"{sum(sizes)}:{max(mtimes):.0f}"
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime:.0f}"
+
     out = {}
     for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        slug = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{_fingerprint(src)}".encode()
+        ).hexdigest()[:8]
         name = f"tpch_b_{table}_{slug}"
         path = os.path.join(_SCRATCH, "bucketed_tpch", slug, table)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
