@@ -203,6 +203,34 @@ def _tpch_q5_fixedpoint(spark, sf_dir):
     )
 
 
+def _layout_fingerprint(path: str) -> str:
+    """Digest of the sorted (relative-name, size, mtime_ns) tuples of every
+    file under ``path`` (or of the single file). Round 13 (ADVICE r12): the
+    previous total-bytes + whole-second-newest-mtime pair collides when a
+    deterministic corpus is regenerated in place within the same second at
+    an identical byte size — exactly the stale-layout serve the fingerprint
+    exists to prevent. st_mtime_ns plus per-file identity makes that
+    collision require a byte-for-byte-indistinguishable rewrite."""
+    import hashlib
+
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                entries.append(
+                    (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+                )
+        for e in sorted(entries):
+            h.update(repr(e).encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
     """PERSISTED lineitem/orders layout bucketed (and per-bucket sorted)
     on orderkey — the standard 100 TB answer to a recurring fact-fact
@@ -216,56 +244,104 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
     write yields exactly one file per bucket, which lets Spark trust the
     per-bucket sort order and skip the SMJ sort.
 
-    The cache key covers a FINGERPRINT of the source parquet (total bytes
-    + newest mtime), not just the sf_dir path: scratch corpora
-    (tools/make_scaled_sf.py) get regenerated in place, and a layout keyed
-    by path alone would silently keep serving the previous corpus."""
-    import hashlib
+    Cache key = (sf_dir, buckets, per-file fingerprint of the source
+    parquet). ``buckets`` is in the key (ADVICE r12): attaching DDL with a
+    bucket count different from the one the files were written with would
+    make Spark trust a false hash distribution and silently return wrong
+    co-located joins. The fingerprint makes in-place corpus regeneration
+    (tools/make_scaled_sf.py) produce a fresh slug instead of serving the
+    previous corpus.
 
+    Concurrency + GC (round 13, reusing the signature store's pattern —
+    operators/dedup.py `_store_write_lock`): the cold build runs under an
+    exclusive flock on the layout root with a double-checked ``_SUCCESS``
+    re-test after acquiring, so two fresh-JVM bench children hitting a
+    cold layout concurrently produce ONE valid build (the loser re-attaches
+    to the winner's files). While holding the lock, superseded sibling
+    slugs for the same (sf_dir, table) — identified by a per-slug
+    ``source.json`` marker — are dropped from the catalog and deleted, so
+    regenerating a scratch corpus leaves exactly one slug per table
+    instead of accumulating multi-GB orphans. flock is host-local; on an
+    object store the build is a table-format snapshot commit and the
+    catalog provides the lock (same caveat as the signature store)."""
+    import hashlib
+    import json
+    import shutil
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
     from pycaim_spark.queries.relational import _SCRATCH
 
-    def _fingerprint(path: str) -> str:
-        if os.path.isdir(path):
-            sizes, mtimes = [0], [0.0]
-            for root, _dirs, files in os.walk(path):
-                for f in files:
-                    st = os.stat(os.path.join(root, f))
-                    sizes.append(st.st_size)
-                    mtimes.append(st.st_mtime)
-            return f"{sum(sizes)}:{max(mtimes):.0f}"
-        st = os.stat(path)
-        return f"{st.st_size}:{st.st_mtime:.0f}"
-
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
     out = {}
     for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         src = os.path.join(sf_dir, f"{table}.parquet")
         slug = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}:{_fingerprint(src)}".encode()
+            f"{abs_sf}:{buckets}:{_layout_fingerprint(src)}".encode()
         ).hexdigest()[:8]
         name = f"tpch_b_{table}_{slug}"
-        path = os.path.join(_SCRATCH, "bucketed_tpch", slug, table)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            df = load_table(spark, sf_dir, table)
-            ddl = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in df.schema.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {buckets} BUCKETS LOCATION '{path}'"
-            )
-        else:
-            (
-                load_table(spark, sf_dir, table)
-                .repartition(buckets, F.col(key))
-                .write.mode("overwrite")
-                .bucketBy(buckets, key)
-                .sortBy(key)
-                .option("path", path)
-                .saveAsTable(name)
-            )
+        slug_dir = os.path.join(layout_root, slug)
+        path = os.path.join(slug_dir, table)
+        # The whole build-or-attach section runs under the lock: the slug
+        # encodes (sf_dir, buckets, fingerprint), so a catalog entry with
+        # this name can only ever point at these files — no per-call
+        # DROP/CREATE churn, and no window where a concurrent caller sees
+        # the table mid-replacement.
+        with _store_write_lock(layout_root):
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                # Cold build. A concurrent builder that lost the lock race
+                # lands in the re-attach branch below instead (the
+                # _SUCCESS re-test above IS the double-check).
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    load_table(spark, sf_dir, table)
+                    .repartition(buckets, F.col(key))
+                    .write.mode("overwrite")
+                    .bucketBy(buckets, key)
+                    .sortBy(key)
+                    .option("path", path)
+                    .saveAsTable(name)
+                )
+                _write_json_atomic(
+                    os.path.join(slug_dir, "source.json"),
+                    {"sf_dir": abs_sf, "table": table, "buckets": buckets},
+                )
+                # GC superseded slugs for the same (sf_dir, table): their
+                # source corpus was rewritten, so any reader still
+                # attached is already serving stale data.
+                for sib in os.listdir(layout_root):
+                    marker = os.path.join(layout_root, sib, "source.json")
+                    if sib == slug or not os.path.exists(marker):
+                        continue
+                    try:
+                        with open(marker) as f:
+                            meta = json.load(f)
+                    except (OSError, ValueError):
+                        continue
+                    if (meta.get("sf_dir"), meta.get("table")) == (
+                        abs_sf, table,
+                    ):
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS tpch_b_{table}_{sib}"
+                        )
+                        shutil.rmtree(
+                            os.path.join(layout_root, sib),
+                            ignore_errors=True,
+                        )
+            if not spark.catalog.tableExists(name):
+                df = load_table(spark, sf_dir, table)
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {buckets} BUCKETS LOCATION '{path}'"
+                )
         out[table] = spark.table(name)
     return out["lineitem"], out["orders"]
 

@@ -192,3 +192,96 @@ def test_tpch_bucketed_plans_shuffle_nothing_on_orderkey(spark, sf_dir):
     q21_hash = [l for l in plans["tpch_q21_bucketed"].splitlines()
                 if "Exchange hashpartitioning" in l]
     assert len(q21_hash) == 1 and "s_name" in q21_hash[0], q21_hash
+
+
+def test_bucketed_layout_concurrent_build_regen_gc(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3 + ADVICE r12): the bucketed-layout builder
+    is (a) race-safe — two concurrent cold builds, serialized by the
+    layout-root flock with a double-checked ``_SUCCESS`` re-test, produce
+    ONE valid layout that both callers can query (before the lock, two
+    fresh-JVM bench children sharing a cold ``.scratch`` would race the
+    ``saveAsTable(mode="overwrite")`` and could corrupt it silently);
+    (b) bucket-count-keyed — a different ``buckets`` yields a distinct
+    slug and a rebuild (attaching old files under a new count would make
+    Spark trust a false hash distribution); (c) GC'd — regenerating the
+    source corpus in place leaves exactly ONE slug per table, with the
+    superseded slug's directory deleted and its catalog table dropped."""
+    import json
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pycaim_spark.queries.advanced import (
+        _bucketed_orderkey_layout,
+        _layout_fingerprint,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    for t in ("lineitem", "orders"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    os.path.join(corpus, f"{t}.parquet"))
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+
+    def slugs_for(table: str) -> list[str]:
+        out = []
+        for sib in sorted(os.listdir(layout_root)):
+            marker = os.path.join(layout_root, sib, "source.json")
+            if not os.path.exists(marker):
+                continue
+            with open(marker) as f:
+                meta = json.load(f)
+            if (meta["sf_dir"], meta["table"]) == (
+                os.path.abspath(corpus), table,
+            ):
+                out.append(sib)
+        return out
+
+    try:
+        src_rows = load_table(spark, corpus, "lineitem").count()
+
+        # (a) concurrent cold builds -> one valid layout, both usable.
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(_bucketed_orderkey_layout, spark, corpus)
+                    for _ in range(2)]
+            results = [f.result() for f in futs]
+        assert results[0][0].count() == src_rows
+        assert results[1][0].count() == src_rows
+        assert len(slugs_for("lineitem")) == 1
+        assert len(slugs_for("orders")) == 1
+        slug32 = slugs_for("lineitem")[0]
+
+        # (b) bucket count is part of the key: buckets=8 is a new slug
+        # (and the GC retires the 32-bucket one — one live layout per
+        # (sf_dir, table) is the contract).
+        lib8, _ = _bucketed_orderkey_layout(spark, corpus, buckets=8)
+        assert lib8.count() == src_rows
+        assert slugs_for("lineitem") != [slug32]
+        assert len(slugs_for("lineitem")) == 1
+        assert not spark.catalog.tableExists(f"tpch_b_lineitem_{slug32}")
+
+        # (c) in-place regeneration: same bytes, new mtime_ns -> new
+        # fingerprint (the r12 two-scalar fingerprint collided here),
+        # rebuild, and exactly one slug per table survives the GC.
+        slug8 = slugs_for("lineitem")[0]
+        fp_before = _layout_fingerprint(
+            os.path.join(corpus, "lineitem.parquet"))
+        shutil.copy(f"/root/testdata/sf0.001/lineitem.parquet",
+                    os.path.join(corpus, "lineitem.parquet"))
+        assert _layout_fingerprint(
+            os.path.join(corpus, "lineitem.parquet")) != fp_before
+        lib_new, _ = _bucketed_orderkey_layout(spark, corpus)
+        assert lib_new.count() == src_rows
+        assert len(slugs_for("lineitem")) == 1
+        assert slugs_for("lineitem") != [slug8]
+        assert not os.path.exists(os.path.join(layout_root, slug8))
+        assert not spark.catalog.tableExists(f"tpch_b_lineitem_{slug8}")
+    finally:
+        # tmp_path is unique per run: drop this corpus's tables and slug
+        # dirs so repeated pytest runs don't accumulate dead layouts.
+        for t in ("lineitem", "orders"):
+            for sib in slugs_for(t):
+                spark.sql(f"DROP TABLE IF EXISTS tpch_b_{t}_{sib}")
+                shutil.rmtree(os.path.join(layout_root, sib),
+                              ignore_errors=True)
