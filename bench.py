@@ -287,6 +287,18 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
+    # Per-query regime notes: the bucketed-layout twins read EXTERNAL
+    # bucketed tables, which bypass the shared session's in-memory table
+    # cache every other headline query enjoys — at sf0.1 that known
+    # penalty (~1 s across the two) is not a regression signal; their
+    # representative regime is the parquet-resident fresh-JVM isolate at
+    # sf10, where they win 20/20 paired rounds (SCALING_r12.json
+    # `bucketed_layout_sweep` note; VERDICT r12 item 4).
+    regimes = {
+        q: "external-bucketed-layout: bypasses the session cache at this "
+           "sf; representative regime is parquet-resident sf10 isolates"
+        for q in timings if q.endswith("_bucketed")
+    }
     print(
         json.dumps(
             {
@@ -296,6 +308,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load": load,
+                **({"regimes": regimes} if regimes else {}),
             }
         )
     )

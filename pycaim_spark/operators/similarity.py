@@ -691,7 +691,7 @@ def ivf_pq_topk_neighbors(
     k_centroids: int = 32,
     k: int = 5,
     n_queries: int = 10,
-    n_candidates: int = 256,
+    n_candidates: int = 512,
     sample_size: int = 1024,
     iters: int = 10,
     seed: int = 42,
@@ -725,6 +725,15 @@ def ivf_pq_topk_neighbors(
     gap exactly to 0.80 at unchanged scan and re-rank volume
     (SCALING_r11.json ``ivfpq_kc_retune``). Codes stay ≤ 1 byte per
     subquantizer, so the 8-byte-codes storage contract is unchanged.
+
+    ``n_candidates`` defaults to 512 (raised from 256 in r13, matching
+    sim_pq's r12 retune): on the perturbed scale corpora the wider ADC
+    shortlist lifts recall@5 0.80→0.86 at sf1 and 0.90→0.96 at sf10 at
+    ≤5% wall cost — the shortlist only widens the exact re-rank
+    (n_candidates×|Q| rows), not the code scan. nc=1024 buys sf1 0.92
+    but at +36% wall; declined (SCALING_r13.json ``ivfpq_nc_grid``).
+    n_candidates is a QUERY-time knob: stored indexes' codes are
+    unchanged, so persisted stores stay valid across this retune.
     """
     sample = np.stack(
         emb.orderBy("vec_id")
@@ -1025,7 +1034,7 @@ def ivf_pq_topk_stored(
     k_centroids: int = 32,
     k: int = 5,
     n_queries: int = 10,
-    n_candidates: int = 256,
+    n_candidates: int = 512,
     sample_size: int = 1024,
     iters: int = 10,
     seed: int = 42,

@@ -316,6 +316,22 @@ def tpch_q10_bucketed(spark, sf_dir):
     disc_price = cents("l_extendedprice") * (
         F.lit(100).cast("long") - cents("l_discount")
     )
+    if os.environ.get("PYCAIM_Q10_FORM") == "semi":
+        # A/B arm (VERDICT r12 #1, the untried selective-side filter):
+        # broadcast left-semi of the ~3-4% quarter-surviving orderkeys
+        # into the lineitem side before the merge. Broadcast joins
+        # preserve the probe side's bucketing+sort, so the SMJ stays
+        # co-located. Spark's runtime bloom filter is NOT an option here:
+        # InjectRuntimeFilter requires a shuffle on the application side,
+        # which the zero-exchange bucketed plan doesn't have —
+        # ISOLATE_r13.json q10_bucketed_decomposition_sf10
+        # `bloom_injected: false`.
+        keys = o.select(F.col("o_orderkey").alias("k_orderkey"))
+        li = li.join(
+            F.broadcast(keys),
+            li.l_orderkey == F.col("k_orderkey"),
+            "left_semi",
+        )
     rev = (
         li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")

@@ -285,3 +285,20 @@ def test_bucketed_layout_concurrent_build_regen_gc(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS tpch_b_{t}_{sib}")
                 shutil.rmtree(os.path.join(layout_root, sib),
                               ignore_errors=True)
+
+
+def test_tpch_q10_bucketed_semi_arm_matches(spark):
+    """PYCAIM_Q10_FORM=semi (the broadcast left-semi selective-side
+    filter arm, round 13) is an alternate physical form of
+    tpch_q10_bucketed: rows and float bits must match the shipped form
+    exactly at both gate scales."""
+    import os
+
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        shipped = _bits(REGISTRY["tpch_q10_bucketed"].fn(spark, d).collect())
+        os.environ["PYCAIM_Q10_FORM"] = "semi"
+        try:
+            semi = _bits(REGISTRY["tpch_q10_bucketed"].fn(spark, d).collect())
+        finally:
+            del os.environ["PYCAIM_Q10_FORM"]
+        assert semi == shipped and shipped, d
