@@ -377,8 +377,28 @@ def tpch_q21_bucketed(spark, sf_dir):
     distribution (no Exchange). A direct countDistinct pair would NOT
     stay local: Spark plans multi-distinct aggregates through Expand and
     re-clusters on (key, distinct-expr, gid) — two extra full-width
-    shuffles, observed on this very query before the stacked form. The
-    per-(order,supplier) late-row counts then carry numwait's row
+    shuffles, observed on this very query before the stacked form.
+
+    Round-13 shape adjudication (ISOLATE_r13.json): this two-aggregate
+    body is a self-join DIAMOND off per_supp with no Exchange below it,
+    so Spark has no ReusedExchange point and the 60 M-row
+    scan+SMJ+aggregate subtree executes TWICE. A window-aggregate
+    spelling (``count()/sum() over (partition by l_orderkey)`` on
+    per_supp — clustering already satisfied, local sort only) removes
+    the recompute and wins decisively in-process
+    (`q21_bucketed_decomposition_sf10`: 2.59 vs 4.40 s single-process) —
+    but in the governing fresh-JVM isolate regime it is BIMODAL
+    (3.9–15.3 s across 8 order-alternating paired rounds, slow mode
+    persisting for a child JVM's lifetime) while this shape holds a
+    tight 5.8–8.8 s; medians are a wash (≈7.0 vs ≈7.3) and the
+    predictable form ships (`q21_window_shape_paired_series`,
+    `q21_window_shape_nocache_paired_series` — the no-cache control
+    ruled out hot-table heap pressure as the bimodality's cause;
+    diagnosing the slow mode is an open r14 item).
+    PYCAIM_Q21_SHAPE=window keeps the one-pass arm runnable; both are
+    bit-identical (tests/test_storage.py).
+
+    The per-(order,supplier) late-row counts carry numwait's row
     multiplicity, so nothing joins back to raw lineitem at all. supplier
     broadcasts; the only shuffles left are the final per-s_name count and
     its output sort. Equivalence with the EXISTS form: l2 demands another
@@ -387,6 +407,8 @@ def tpch_q21_bucketed(spark, sf_dir):
     the same o_orderdate (orders is unique per orderkey), so its absence
     ⇔ the order's late suppliers are exactly {l1.l_suppkey}. Same oracle
     SQL as tpch_q21."""
+    from pyspark.sql import Window
+
     from pycaim_spark.queries.advanced import _bucketed_orderkey_layout
 
     register_temp_views(spark, sf_dir)
@@ -406,11 +428,41 @@ def tpch_q21_bucketed(spark, sf_dir):
         F.max("late").alias("supp_late"),
         F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows"),
     )
+    s = load_table(spark, sf_dir, "supplier")
+    if os.environ.get("PYCAIM_Q21_SHAPE") == "window":
+        w = Window.partitionBy("l_orderkey")
+        qualifying = (
+            per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "n_late",
+                F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).over(w),
+            )
+            .filter(
+                F.col("supp_late")
+                & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            )
+        )
+    else:
+        qualifying = _q21_two_aggregate_qualifying(per_supp)
+    return (
+        qualifying.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+def _q21_two_aggregate_qualifying(per_supp):
+    """The shipped two-aggregate + self-join qualifying shape. The
+    diamond recomputes per_supp's 60 M-row subtree twice (no Exchange
+    below it → no ReusedExchange), but it beat the one-pass window
+    spelling on STABILITY in the fresh-JVM regime — see
+    tpch_q21_bucketed's docstring for the r13 adjudication."""
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
     )
-    qualifying = (
+    return (
         per_supp.filter(F.col("supp_late"))
         .select(
             F.col("l_orderkey").alias("q_orderkey"),
@@ -421,11 +473,4 @@ def tpch_q21_bucketed(spark, sf_dir):
             F.col("q_orderkey") == per_order.l_orderkey,
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-    )
-    s = load_table(spark, sf_dir, "supplier")
-    return (
-        qualifying.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.sum("n_late_rows").alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
     )

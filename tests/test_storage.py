@@ -302,3 +302,20 @@ def test_tpch_q10_bucketed_semi_arm_matches(spark):
         finally:
             del os.environ["PYCAIM_Q10_FORM"]
         assert semi == shipped and shipped, d
+
+
+def test_tpch_q21_bucketed_window_arm_matches(spark):
+    """PYCAIM_Q21_SHAPE=window (the r13 one-pass window-aggregate arm:
+    beats the shipped diamond in-process but is bimodal in fresh JVMs —
+    see tpch_q21_bucketed's docstring) stays bit-identical to the
+    shipped two-aggregate form at both gate scales."""
+    import os
+
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        shipped = _bits(REGISTRY["tpch_q21_bucketed"].fn(spark, d).collect())
+        os.environ["PYCAIM_Q21_SHAPE"] = "window"
+        try:
+            win = _bits(REGISTRY["tpch_q21_bucketed"].fn(spark, d).collect())
+        finally:
+            del os.environ["PYCAIM_Q21_SHAPE"]
+        assert win == shipped and shipped, d

@@ -55,7 +55,12 @@ def _stages(spark, lib, ob, sf_dir):
                < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         ).select("o_orderkey", "o_custkey")
         smj = li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
+        # shj arm: co-located ShuffledHashJoin — both sides bucketed, so
+        # no Exchange either way; builds a per-bucket hash map of the
+        # filtered orders instead of merging sorted runs.
+        shj = li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
         agg = smj.groupBy("o_custkey").agg(fsum(disc_price, 4, "revenue"))
+        agg_shj = shj.groupBy("o_custkey").agg(fsum(disc_price, 4, "revenue"))
 
         # semi arm: broadcast the ~3-4% surviving orderkeys into the
         # lineitem side as a left-semi BEFORE the merge (broadcast joins
@@ -83,7 +88,9 @@ def _stages(spark, lib, ob, sf_dir):
             "scan_li": li,
             "scan_o": o,
             "smj": smj,
+            "shj": shj,
             "agg_custkey": agg,
+            "agg_custkey_shj": agg_shj,
             "full": REGISTRY["tpch_q10_bucketed"].fn(spark, sf_dir),
             "semi_smj": smj_semi,
             "semi_full": full_semi,
@@ -103,11 +110,13 @@ def _stages(spark, lib, ob, sf_dir):
             > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
         ).select("l_orderkey", "l_extendedprice", "l_discount")
         smj = li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
+        shj = li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
         from pycaim_spark.registry import REGISTRY as R
         return {
             "scan_li": li,
             "scan_o": o,
             "smj": smj,
+            "shj": shj,
             "full": R["tpch_q3_bucketed"].fn(spark, sf_dir),
         }
     if QUERY == "q5":
@@ -134,12 +143,75 @@ def _stages(spark, lib, ob, sf_dir):
             o_enriched.hint("MERGE"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        shj = li.join(
+            o_enriched.hint("SHUFFLE_HASH"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         from pycaim_spark.registry import REGISTRY as R
         return {
             "scan_li": li,
             "scan_o": o_enriched,
             "smj": smj,
+            "shj": shj,
             "full": R["tpch_q5_bucketed"].fn(spark, sf_dir),
+        }
+    if QUERY == "q21":
+        o = ob.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        )
+        j = (
+            lib.select("l_orderkey", "l_suppkey", "l_shipdate")
+            .join(o.hint("MERGE"), F.col("l_orderkey") == o.o_orderkey)
+            .withColumn(
+                "late",
+                F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"),
+            )
+        )
+        per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("late").alias("supp_late"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows"),
+        )
+        per_order = per_supp.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+        )
+        # window form: the shipped two-aggregate shape recomputes the
+        # per_supp subtree TWICE (per_order and qualifying both hang off
+        # it with no exchange below -> no ReusedExchange). Computing the
+        # per-order facts as window aggregates over per_supp is one pass:
+        # partitionBy(l_orderkey) is satisfied by the bucketed scan's
+        # hash distribution (local sort only, zero new exchanges).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_orderkey")
+        qualifying_w = (
+            per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "n_late",
+                F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).over(w),
+            )
+            .filter(
+                F.col("supp_late")
+                & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            )
+        )
+        s = load_table(spark, sf_dir, "supplier")
+        window_full = (
+            qualifying_w.join(
+                F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum("n_late_rows").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+        )
+        from pycaim_spark.registry import REGISTRY as R
+        return {
+            "scan_li": lib.select("l_orderkey", "l_suppkey", "l_shipdate"),
+            "scan_o": o,
+            "smj": j,
+            "per_supp": per_supp,
+            "per_order": per_order,
+            "full": R["tpch_q21_bucketed"].fn(spark, sf_dir),
+            "window_full": window_full,
         }
     raise SystemExit(f"unknown query {QUERY}")
 
