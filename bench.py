@@ -297,7 +297,8 @@ def main() -> None:
     regimes = {
         q: "external-bucketed-layout: bypasses the session cache at this "
            "sf; representative regime is parquet-resident sf10 isolates"
-        for q in timings if q.endswith("_bucketed")
+        for q in timings
+        if q.startswith("tpch_") and q.endswith("_bucketed")
     }
     print(
         json.dumps(
