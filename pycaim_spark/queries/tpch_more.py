@@ -392,9 +392,13 @@ def tpch_q21_bucketed(spark, sf_dir):
     persisting for a child JVM's lifetime) while this shape holds a
     tight 5.8–8.8 s; medians are a wash (≈7.0 vs ≈7.3) and the
     predictable form ships (`q21_window_shape_paired_series`,
-    `q21_window_shape_nocache_paired_series` — the no-cache control
-    ruled out hot-table heap pressure as the bimodality's cause;
-    diagnosing the slow mode is an open r14 item).
+    `q21_window_shape_nocache_paired_series`). The slow mode was
+    diagnosed as far as this box allows: it hits 16g and 28g heaps
+    alike and degrades monotonically across successive same-config
+    fresh JVMs (3.96→21.57 s, `q21_window_slowmode_heap_ab`) — child-
+    to-child machine-state decay, to which the window's 29 M-row sort
+    is more exposed than the diamond's re-scan; not heap, not the
+    table cache, not the plan.
     PYCAIM_Q21_SHAPE=window keeps the one-pass arm runnable; both are
     bit-identical (tests/test_storage.py).
 
