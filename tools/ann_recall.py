@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(
-    REPO, os.environ.get("PYCAIM_SCALING_OUT", "SCALING_r12.json")
+    REPO, os.environ.get("PYCAIM_SCALING_OUT", "SCALING_r13.json")
 )
 
 TOPK_QUERIES = ["sim_ivf", "sim_pq", "sim_ivf_pq", "sim_ivf_pq_stored"]
