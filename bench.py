@@ -202,18 +202,89 @@ def _single(name: str, n: int) -> None:
     spark.stop()
 
 
-def _isolate(names: list[str], n: int) -> None:
+def _canary_child() -> float | None:
+    """Machine-state canary: one fresh-JVM ``tpch_q6`` isolate (pure
+    lineitem filter+agg) with PYCAIM_BENCH_NO_CACHE=1 so the child skips
+    the 10-table cache warmup — it measures the same JVM-start + parquet
+    scan + codegen path the real measurement children take, in ~¼ their
+    wall. Round 13 diagnosed child-to-child machine-state decay (same-
+    config fresh JVMs degrading 3.96 → 21.57 s, ISOLATE_r13.json
+    `q21_window_slowmode_heap_ab`) as the binding noise source for shape
+    adjudications on this box; the canary makes that state observable
+    per-child instead of inferred post-hoc (VERDICT r13 #2)."""
+    import subprocess
+
+    env = {**os.environ, "PYCAIM_BENCH_NO_CACHE": "1"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--single", "tpch_q6", "--n", "3"],
+            capture_output=True, text=True, env=env,
+            timeout=int(os.environ.get("PYCAIM_ISOLATE_TIMEOUT", "600")),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    line = proc.stdout.strip().rsplit("\n", 1)[-1] if proc.stdout else ""
+    try:
+        return json.loads(line)["sec"]
+    except (ValueError, KeyError):
+        return None
+
+
+#: Canary gate: retry threshold as a multiple of the session's best
+#: (minimum) canary. Min, not median: the r13 decay mode is monotonic
+#: degradation, so a median over a decaying session drifts up with the
+#: decay and masks exactly the state it should flag.
+_CANARY_DRIFT = 1.2
+
+
+def _isolate(names: list[str], n: int, canary: bool = False) -> None:
     """Fresh-session-per-query protocol: each query runs in its own
     subprocess (own JVM, own page-cache warmup), immune to shared-session
     pressure (GC debt, codegen cache, block-manager residue). Round 5
     measured the shared protocol's noise floor at ~±10% (uniform +8% on
     byte-identical code); use this mode to bisect per-query regressions.
+
+    ``--canary`` (decision-series protocol, VERDICT r13 #2): before each
+    measurement child, run `_canary_child` and gate — when it reads
+    >20% above the session minimum, sleep 60 s and re-probe (≤3 probes),
+    then record every probe in the output JSON (``canary`` map) plus a
+    ``canary_drift`` list naming the measurements whose final probe was
+    still hot. A measurement taken under a flagged canary is weather,
+    not evidence, and the flag travels with the artifact.
     """
     import subprocess
 
     load = _load_guard("--isolate")
     timings: dict[str, float] = {}
+    canaries: dict[str, list[float]] = {}
+    # $PYCAIM_CANARY_REF carries the best canary seen EARLIER in a series
+    # that spans multiple bench.py invocations (tools/form_ab_series.py
+    # runs one invocation per (round, arm)); without it each invocation's
+    # first probe would define its own reference and the gate could never
+    # fire on a box that decayed between invocations.
+    ref_env = os.environ.get("PYCAIM_CANARY_REF")
+    series_ref = [float(ref_env)] if ref_env else []
+
+    def _session_min() -> float | None:
+        vals = [v for probe_list in canaries.values() for v in probe_list]
+        vals += series_ref
+        return min(vals) if vals else None
+
     for name in names:
+        if canary:
+            probes = canaries.setdefault(name, [])
+            for _attempt in range(3):
+                c = _canary_child()
+                if c is None:
+                    break
+                probes.append(round(c, 4))
+                # _session_min includes the probe just taken, so the
+                # gate reads: hot relative to the best state this series
+                # has ever observed → settle and re-probe.
+                if c <= _CANARY_DRIFT * _session_min():
+                    break
+                time.sleep(60)
         try:
             # Per-child wall-clock cap: --isolate gets pointed at
             # pathological queries by design (guard-off clique shapes);
@@ -234,6 +305,14 @@ def _isolate(names: list[str], n: int) -> None:
             print(f"bench --isolate: {name} failed:\n{proc.stderr[-2000:]}",
                   file=sys.stderr)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    extra = {}
+    if canary:
+        session_min = _session_min()
+        extra["canary"] = canaries
+        extra["canary_drift"] = sorted(
+            q for q, vals in canaries.items()
+            if vals and session_min and vals[-1] > _CANARY_DRIFT * session_min
+        )
     print(
         json.dumps(
             {
@@ -245,6 +324,7 @@ def _isolate(names: list[str], n: int) -> None:
                 "protocol": "isolate",
                 "n": n,
                 "load": load,
+                **extra,
             }
         )
     )
@@ -327,10 +407,13 @@ if __name__ == "__main__":
                       help="fresh-JVM-per-query protocol (default: HEADLINE)")
     parser.add_argument("--n", type=int, default=3,
                         help="steady-state runs per query (median reported)")
+    parser.add_argument("--canary", action="store_true",
+                        help="decision-series protocol: fresh-JVM q6 canary "
+                             "+ drift gate before each isolate child")
     args = parser.parse_args()
     if args.single is not None:
         _single(args.single, args.n)
     elif args.isolate is not None:
-        _isolate(args.isolate or HEADLINE, args.n)
+        _isolate(args.isolate or HEADLINE, args.n, canary=args.canary)
     else:
         main()

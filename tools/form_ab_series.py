@@ -29,28 +29,47 @@ def settle(limit=0.5, max_wait=900):
     print("load at start:", os.getloadavg(), flush=True)
 
 
-def run_one(query: str, sf_dir: str, envvar: str, arm: str) -> float | None:
+#: Best (minimum) canary observed across the whole series — passed to
+#: each bench.py invocation as $PYCAIM_CANARY_REF so the drift gate
+#: compares against the series' best box state, not each invocation's own
+#: first probe.
+_CANARY_MIN: list[float] = []
+
+
+def run_one(query: str, sf_dir: str, envvar: str, arm: str):
+    """Returns (median_sec, canary_probes) — canary per VERDICT r13 #2:
+    bench.py --canary runs a fresh-JVM q6 probe before the measurement
+    child and retries when it reads >20% above the series' best canary;
+    the probes travel with the series so a decayed-box round is visibly
+    flagged instead of silently adjudicating a plan shape."""
     env = {
         **os.environ,
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "PYCAIM_ISOLATE_TIMEOUT": "1800",
     }
+    if _CANARY_MIN:
+        env["PYCAIM_CANARY_REF"] = str(_CANARY_MIN[0])
     if arm == "-":
         env.pop(envvar, None)
     else:
         env[envvar] = arm
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
-         "--isolate", query, "--n", "3"],
+         "--isolate", query, "--n", "3", "--canary"],
         capture_output=True, text=True, timeout=3600, env=env,
     )
     line = p.stdout.strip().rsplit("\n", 1)[-1]
-    out = json.loads(line)["queries"]
+    payload = json.loads(line)
+    out = payload["queries"]
+    canary = (payload.get("canary") or {}).get(query)
+    if canary:
+        best = min(canary + _CANARY_MIN)
+        _CANARY_MIN[:] = [best]
     if query not in out:
         print(f"MISSING {query} (arm={arm}); bench stderr tail:\n"
               f"{p.stderr[-4000:]}", flush=True)
-        return None
-    return out[query]
+        return None, canary
+    return out[query], canary
 
 
 def main():
@@ -67,7 +86,9 @@ def main():
         result = {"round": i, "order": arms}
         for arm in arms:
             settle()
-            result[arm] = run_one(query, sf_dir, envvar, arm)
+            sec, canary = run_one(query, sf_dir, envvar, arm)
+            result[arm] = sec
+            result[f"{arm}_canary"] = canary
         series.append(result)
         print(series[-1], flush=True)
     merged = {}
@@ -78,9 +99,14 @@ def main():
         "note": (
             f"Form A/B on {query}: {envvar}={arm_a} vs {arm_b} ('-' = "
             "unset/shipped default), order-alternating paired rounds, "
-            "fresh JVM per run (bench.py --isolate --n 3)."
+            "fresh JVM per run (bench.py --isolate --n 3 --canary). "
+            "Per-run `*_canary` lists the fresh-JVM q6 probes taken "
+            "before that measurement; a last probe >20% above the "
+            "series minimum marks the run decay-suspect (VERDICT r13 "
+            "#2 protocol)."
         ),
         "sf_dir": sf_dir,
+        "canary_min": (_CANARY_MIN[0] if _CANARY_MIN else None),
         "series": series,
     }
     with open(out_path, "w") as f:
