@@ -728,10 +728,13 @@ def ivf_pq_topk_neighbors(
 
     ``n_candidates`` defaults to 512 (raised from 256 in r13, matching
     sim_pq's r12 retune): on the perturbed scale corpora the wider ADC
-    shortlist lifts recall@5 0.80→0.86 at sf1 and 0.90→0.96 at sf10 at
-    ≤5% wall cost — the shortlist only widens the exact re-rank
+    shortlist lifts recall@5 0.80→0.86 at sf1 and 0.90→0.96 at sf10 with
+    no wall regression observed (single-run grid, so the recall lift is
+    the supported claim, not a quantified wall bound — ADVICE r13);
+    structurally the shortlist only widens the exact re-rank
     (n_candidates×|Q| rows), not the code scan. nc=1024 buys sf1 0.92
-    but at +36% wall; declined (SCALING_r13.json ``ivfpq_nc_grid``).
+    but at +36% wall on the same grid; declined (SCALING_r13.json
+    ``ivfpq_nc_grid``).
     n_candidates is a QUERY-time knob: stored indexes' codes are
     unchanged, so persisted stores stay valid across this retune.
     """

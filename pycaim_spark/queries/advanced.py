@@ -252,21 +252,37 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
     (tools/make_scaled_sf.py) produce a fresh slug instead of serving the
     previous corpus.
 
-    Concurrency + GC (round 13, reusing the signature store's pattern —
-    operators/dedup.py `_store_write_lock`): the cold build runs under an
-    exclusive flock on the layout root with a double-checked ``_SUCCESS``
-    re-test after acquiring, so two fresh-JVM bench children hitting a
-    cold layout concurrently produce ONE valid build (the loser re-attaches
-    to the winner's files). While holding the lock, superseded sibling
-    slugs for the same (sf_dir, table) — identified by a per-slug
-    ``source.json`` marker — are dropped from the catalog and deleted, so
-    regenerating a scratch corpus leaves exactly one slug per table
-    instead of accumulating multi-GB orphans. flock is host-local; on an
-    object store the build is a table-format snapshot commit and the
-    catalog provides the lock (same caveat as the signature store)."""
+    Concurrency + GC (round 13, hardened round 14 per ADVICE r13, reusing
+    the signature store's pattern — operators/dedup.py
+    `_store_write_lock`): the WARM path (``_SUCCESS`` present and the
+    table already in this session's catalog) is lock-free — the slug is
+    content-addressed by (sf_dir, buckets, per-file fingerprint), so a
+    catalog entry with this name can only ever point at these exact
+    files, and taking the root flock on every warm attach would park
+    every bench child behind any concurrent multi-minute cold build.
+    Cold builds and DDL attaches run under the exclusive root flock with
+    a double-checked ``_SUCCESS`` re-test after acquiring, so two
+    fresh-JVM bench children hitting a cold layout concurrently produce
+    ONE valid build (the loser re-attaches to the winner's files).
+
+    GC is two-phase (`_gc_superseded_layouts`) because flock only
+    serializes writers — readers take no lock, and an immediate rmtree
+    of a superseded slug would crash any in-flight scan mid-query
+    instead of merely letting it return stale rows. Phase 1 (at
+    supersede time, under the lock): drop the slug from THIS session's
+    catalog and tombstone it with ``superseded.json``. Phase 2 (every
+    later cold build, under the lock): rmtree slugs whose tombstone —
+    or, for marker-less legacy/crashed-build slugs, whose dir mtime —
+    is older than $PYCAIM_LAYOUT_GC_GRACE (default 900 s). Residual
+    reader-crash mode: a scan that STARTS against a tombstoned slug
+    after its grace expires (only reachable from a session that cached
+    the DataFrame across a corpus regeneration — it was serving stale
+    rows already) dies mid-scan; other sessions' catalog entries cannot
+    be dropped from here, which is why the grace period, not the DROP,
+    is the protection. flock is host-local; on an object store the
+    build is a table-format snapshot commit and the catalog provides
+    the lock (same caveat as the signature store)."""
     import hashlib
-    import json
-    import shutil
 
     from pycaim_spark.operators.dedup import (
         _store_write_lock,
@@ -285,11 +301,21 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
         name = f"tpch_b_{table}_{slug}"
         slug_dir = os.path.join(layout_root, slug)
         path = os.path.join(slug_dir, table)
-        # The whole build-or-attach section runs under the lock: the slug
-        # encodes (sf_dir, buckets, fingerprint), so a catalog entry with
-        # this name can only ever point at these files — no per-call
-        # DROP/CREATE churn, and no window where a concurrent caller sees
-        # the table mid-replacement.
+        tomb = os.path.join(slug_dir, "superseded.json")
+        # Lock-free warm fast path (ADVICE r13): content-addressed slug +
+        # immutable files once _SUCCESS exists, so no lock is needed to
+        # re-serve an attach this session already made. A visible
+        # tombstone (another process superseded this slug, e.g. a
+        # bucket-count flip-flop) sends us through the locked path, which
+        # resurrects it — the slug came from the CURRENT fingerprint, so
+        # its files are valid by construction.
+        if (
+            os.path.exists(os.path.join(path, "_SUCCESS"))
+            and not os.path.exists(tomb)
+            and spark.catalog.tableExists(name)
+        ):
+            out[table] = spark.table(name)
+            continue
         with _store_write_lock(layout_root):
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 # Cold build. A concurrent builder that lost the lock race
@@ -309,28 +335,9 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
                     os.path.join(slug_dir, "source.json"),
                     {"sf_dir": abs_sf, "table": table, "buckets": buckets},
                 )
-                # GC superseded slugs for the same (sf_dir, table): their
-                # source corpus was rewritten, so any reader still
-                # attached is already serving stale data.
-                for sib in os.listdir(layout_root):
-                    marker = os.path.join(layout_root, sib, "source.json")
-                    if sib == slug or not os.path.exists(marker):
-                        continue
-                    try:
-                        with open(marker) as f:
-                            meta = json.load(f)
-                    except (OSError, ValueError):
-                        continue
-                    if (meta.get("sf_dir"), meta.get("table")) == (
-                        abs_sf, table,
-                    ):
-                        spark.sql(
-                            f"DROP TABLE IF EXISTS tpch_b_{table}_{sib}"
-                        )
-                        shutil.rmtree(
-                            os.path.join(layout_root, sib),
-                            ignore_errors=True,
-                        )
+                _gc_superseded_layouts(
+                    spark, layout_root, slug, abs_sf, table
+                )
             if not spark.catalog.tableExists(name):
                 df = load_table(spark, sf_dir, table)
                 ddl = ", ".join(
@@ -342,8 +349,88 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
                     f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                     f"INTO {buckets} BUCKETS LOCATION '{path}'"
                 )
+                # Backfill the provenance marker for pre-r13 (marker-less)
+                # slugs on attach, so GC can reason about them (ADVICE
+                # r13: marker-less slugs were otherwise never collected).
+                marker = os.path.join(slug_dir, "source.json")
+                if not os.path.exists(marker):
+                    _write_json_atomic(
+                        marker,
+                        {"sf_dir": abs_sf, "table": table,
+                         "buckets": buckets},
+                    )
+            # Resurrect a tombstoned-but-not-yet-collected slug we are
+            # (re-)serving (e.g. a bucket-count flip-flop within the
+            # grace period): the slug was computed from the CURRENT
+            # fingerprint, so its files are not stale for this caller,
+            # and leaving the tombstone would let a later GC pass delete
+            # a slug this catalog entry actively serves.
+            if os.path.exists(tomb):
+                os.remove(tomb)
         out[table] = spark.table(name)
     return out["lineitem"], out["orders"]
+
+
+def _gc_superseded_layouts(
+    spark, layout_root: str, keep_slug: str, abs_sf: str, table: str
+) -> None:
+    """Two-phase layout GC, called under the layout-root flock from a
+    cold build (see `_bucketed_orderkey_layout`'s docstring for the
+    reader-safety rationale). Phase 1 tombstones superseded same-source
+    slugs (``superseded.json`` + DROP from this session's catalog);
+    phase 2 deletes slugs whose tombstone — or dir mtime, for slugs with
+    no ``source.json`` marker at all (pre-r13 builds, or builds that
+    crashed before writing the marker) — is older than
+    $PYCAIM_LAYOUT_GC_GRACE seconds (default 900). The mtime age test is
+    what keeps an in-progress concurrent build safe from the marker-less
+    sweep: its slug dir is seconds old."""
+    import json
+    import shutil
+    import time
+
+    from pycaim_spark.operators.dedup import _write_json_atomic
+
+    grace = float(os.environ.get("PYCAIM_LAYOUT_GC_GRACE", "900"))
+    now = time.time()
+    for sib in os.listdir(layout_root):
+        sib_dir = os.path.join(layout_root, sib)
+        if sib == keep_slug or not os.path.isdir(sib_dir):
+            continue
+        marker = os.path.join(sib_dir, "source.json")
+        tomb = os.path.join(sib_dir, "superseded.json")
+        meta = None
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                meta = None
+        # Phase 1: newly superseded same-(sf_dir, table) slug → tombstone.
+        if (
+            meta is not None
+            and (meta.get("sf_dir"), meta.get("table")) == (abs_sf, table)
+            and not os.path.exists(tomb)
+        ):
+            spark.sql(
+                f"DROP TABLE IF EXISTS tpch_b_{table}_{sib}"
+            )
+            _write_json_atomic(tomb, {"ts": now})
+            continue  # freshly tombstoned: full grace ahead of it
+        # Phase 2: delete past-grace tombstones and aged marker-less dirs.
+        ts = None
+        if os.path.exists(tomb):
+            try:
+                with open(tomb) as f:
+                    ts = float(json.load(f).get("ts", now))
+            except (OSError, ValueError, TypeError):
+                ts = None  # unreadable tombstone: leave for a later pass
+        elif meta is None:
+            try:
+                ts = os.path.getmtime(sib_dir)
+            except OSError:
+                ts = None
+        if ts is not None and now - ts > grace:
+            shutil.rmtree(sib_dir, ignore_errors=True)
 
 
 @register(

@@ -741,14 +741,24 @@ def sim_ivf(spark, sf_dir):
 )
 def sim_lsh_bucketed(spark, sf_dir):
     """Banded sign-LSH (random hyperplane) bucketed cosine pairs — the
-    100 TB alternative to all-pairs: candidates only where any of 16 4-bit
-    signature tables collide, exact cosine inside (SURVEY §2.C
-    sim_lsh_approx scale path)."""
+    100 TB alternative to all-pairs: candidates only where any of the
+    4-bit signature tables collide, exact cosine inside (SURVEY §2.C
+    sim_lsh_approx scale path).
+
+    ``n_tables`` defaults to 16 ($PYCAIM_SIM_LSH_TABLES overrides — the
+    r14 recall-margin grid knob, VERDICT r13 #4). OR-of-T banding at the
+    cos=0.3 threshold collides per table with p = (1-θ/π)^4 ≈ 0.13, so
+    recall ≈ 1-(1-p)^T: 0.89 at T=16, 0.94 at T=20 — each added table
+    costs one more 4-bit signature per row and ~1/16 more exploded
+    bucket rows."""
+    import os
+
     from pycaim_spark.operators.similarity import bucketed_cosine_neighbors
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_tables = int(os.environ.get("PYCAIM_SIM_LSH_TABLES", "16"))
     return bucketed_cosine_neighbors(
-        emb, n_planes=4, n_tables=16, dim=64, seed=42, min_cos=0.3
+        emb, n_planes=4, n_tables=n_tables, dim=64, seed=42, min_cos=0.3
     )
 
 

@@ -42,14 +42,17 @@ _VOL = (
 
 
 def _sql_query(name: str, sql: str, doc: str):
-    @register(name, tags=("composite",), oracle=sql)
+    # __doc__ must be set BEFORE register() runs: the registry snapshots
+    # fn.__doc__ into spec.doc at decoration time, and OPERATORS.md's
+    # generator harvests summaries from spec.doc — assigning after left
+    # 16 empty summary cells (VERDICT r13 What's-missing #4).
     def fn(spark, sf_dir):
         register_temp_views(spark, sf_dir)
         return spark.sql(sql)
 
     fn.__name__ = name
     fn.__doc__ = doc
-    return fn
+    return register(name, tags=("composite",), oracle=sql)(fn)
 
 
 _Q2_SQL = """

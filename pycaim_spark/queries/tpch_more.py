@@ -379,28 +379,28 @@ def tpch_q21_bucketed(spark, sf_dir):
     re-clusters on (key, distinct-expr, gid) — two extra full-width
     shuffles, observed on this very query before the stacked form.
 
-    Round-13 shape adjudication (ISOLATE_r13.json): this two-aggregate
-    body is a self-join DIAMOND off per_supp with no Exchange below it,
-    so Spark has no ReusedExchange point and the 60 M-row
-    scan+SMJ+aggregate subtree executes TWICE. A window-aggregate
-    spelling (``count()/sum() over (partition by l_orderkey)`` on
-    per_supp — clustering already satisfied, local sort only) removes
-    the recompute and wins decisively in-process
-    (`q21_bucketed_decomposition_sf10`: 2.59 vs 4.40 s single-process) —
-    but in the governing fresh-JVM isolate regime it is BIMODAL
-    (3.9–15.3 s across 8 order-alternating paired rounds, slow mode
-    persisting for a child JVM's lifetime) while this shape holds a
-    tight 5.8–8.8 s; medians are a wash (≈7.0 vs ≈7.3) and the
-    predictable form ships (`q21_window_shape_paired_series`,
-    `q21_window_shape_nocache_paired_series`). The slow mode was
-    diagnosed as far as this box allows: it hits 16g and 28g heaps
-    alike and degrades monotonically across successive same-config
-    fresh JVMs (3.96→21.57 s, `q21_window_slowmode_heap_ab`) — child-
-    to-child machine-state decay, to which the window's 29 M-row sort
-    is more exposed than the diamond's re-scan; not heap, not the
-    table cache, not the plan.
-    PYCAIM_Q21_SHAPE=window keeps the one-pass arm runnable; both are
-    bit-identical (tests/test_storage.py).
+    Shape adjudication (r13 → r14): the r13 two-aggregate body was a
+    self-join DIAMOND off per_supp with no Exchange below it, so Spark
+    had no ReusedExchange point and the 60 M-row scan+SMJ+aggregate
+    subtree executed TWICE — at 100 TB, reading the fact table twice is
+    the single worst property a plan can have. The one-pass
+    window-aggregate spelling shipped here (``count()/sum() over
+    (partition by l_orderkey)`` on per_supp — clustering already
+    satisfied by the bucketed scan, one local sort, zero new exchanges)
+    removes the recompute. r13 kept the diamond because the window arm
+    looked bimodal in fresh-JVM isolates (3.9–15.3 s); r13 itself
+    diagnosed the bimodality as child-to-child machine-state decay, not
+    the plan (`q21_window_slowmode_heap_ab`). Round 14 re-adjudicated
+    under the canary-gated decay-controlled protocol (VERDICT r13 #1/#2)
+    on rebooted hardware (ISOLATE_r14.json `q21_shape_canary_series`,
+    5 order-alternating paired rounds, all canaries healthy): window
+    median 4.52 s vs diamond 5.95 s (3/5 round wins), and — decisively —
+    the window arm's range collapsed to a tight 3.2–5.7 s band (vs
+    r13's 3.9–15.3 s): the slow mode was the box, not the sort. With
+    the bimodality gone, the structural argument governs: never scan
+    the fact subtree twice. PYCAIM_Q21_SHAPE=diamond keeps the
+    two-aggregate arm runnable; both are bit-identical
+    (tests/test_storage.py).
 
     The per-(order,supplier) late-row counts carry numwait's row
     multiplicity, so nothing joins back to raw lineitem at all. supplier
@@ -433,7 +433,9 @@ def tpch_q21_bucketed(spark, sf_dir):
         F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows"),
     )
     s = load_table(spark, sf_dir, "supplier")
-    if os.environ.get("PYCAIM_Q21_SHAPE") == "window":
+    if os.environ.get("PYCAIM_Q21_SHAPE") == "diamond":
+        qualifying = _q21_two_aggregate_qualifying(per_supp)
+    else:
         w = Window.partitionBy("l_orderkey")
         qualifying = (
             per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
@@ -446,8 +448,6 @@ def tpch_q21_bucketed(spark, sf_dir):
                 & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
             )
         )
-    else:
-        qualifying = _q21_two_aggregate_qualifying(per_supp)
     return (
         qualifying.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
@@ -457,11 +457,13 @@ def tpch_q21_bucketed(spark, sf_dir):
 
 
 def _q21_two_aggregate_qualifying(per_supp):
-    """The shipped two-aggregate + self-join qualifying shape. The
-    diamond recomputes per_supp's 60 M-row subtree twice (no Exchange
-    below it → no ReusedExchange), but it beat the one-pass window
-    spelling on STABILITY in the fresh-JVM regime — see
-    tpch_q21_bucketed's docstring for the r13 adjudication."""
+    """The r13 two-aggregate + self-join qualifying shape, demoted to the
+    PYCAIM_Q21_SHAPE=diamond arm in r14: the diamond recomputes
+    per_supp's 60 M-row subtree twice (no Exchange below it → no
+    ReusedExchange). It shipped in r13 on fresh-JVM stability grounds,
+    but the canary-gated r14 re-adjudication showed the instability was
+    machine-state decay, not the window plan — see tpch_q21_bucketed's
+    docstring (ISOLATE_r14.json `q21_shape_canary_series`)."""
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),

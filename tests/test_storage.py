@@ -194,29 +194,43 @@ def test_tpch_bucketed_plans_shuffle_nothing_on_orderkey(spark, sf_dir):
     assert len(q21_hash) == 1 and "s_name" in q21_hash[0], q21_hash
 
 
-def test_bucketed_layout_concurrent_build_regen_gc(spark, tmp_path):
-    """Round 13 (VERDICT r12 #3 + ADVICE r12): the bucketed-layout builder
-    is (a) race-safe — two concurrent cold builds, serialized by the
-    layout-root flock with a double-checked ``_SUCCESS`` re-test, produce
-    ONE valid layout that both callers can query (before the lock, two
-    fresh-JVM bench children sharing a cold ``.scratch`` would race the
-    ``saveAsTable(mode="overwrite")`` and could corrupt it silently);
-    (b) bucket-count-keyed — a different ``buckets`` yields a distinct
-    slug and a rebuild (attaching old files under a new count would make
-    Spark trust a false hash distribution); (c) GC'd — regenerating the
-    source corpus in place leaves exactly ONE slug per table, with the
-    superseded slug's directory deleted and its catalog table dropped."""
+def test_bucketed_layout_concurrent_build_regen_gc(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13 (VERDICT r12 #3 + ADVICE r12), GC semantics hardened
+    round 14 (ADVICE r13): the bucketed-layout builder is (a) race-safe —
+    two concurrent cold builds, serialized by the layout-root flock with
+    a double-checked ``_SUCCESS`` re-test, produce ONE valid layout that
+    both callers can query; (b) bucket-count-keyed — a different
+    ``buckets`` yields a distinct slug and a rebuild, and the superseded
+    slug is TOMBSTONED (catalog dropped, ``superseded.json`` written) but
+    its files survive the grace period so in-flight readers don't crash
+    mid-scan; (c) fingerprint-keyed — in-place regeneration (same bytes,
+    new mtime_ns) rebuilds, and a past-grace tombstone is deleted by the
+    NEXT cold build's GC pass; (d) marker-less legacy/crashed-build dirs
+    are age-collected, while fresh marker-less dirs (a build in progress)
+    are kept; (e) the warm attach path is lock-free — it completes while
+    another process holds the layout-root flock (ADVICE r13: the locked
+    warm path parked every bench child behind any concurrent cold
+    build); (f) re-attaching to a tombstoned slug resurrects it."""
     import json
     import os
     import shutil
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
+    from pycaim_spark.operators.dedup import _store_write_lock
     from pycaim_spark.queries.advanced import (
         _bucketed_orderkey_layout,
         _layout_fingerprint,
     )
     from pycaim_spark.queries.relational import _SCRATCH
 
+    # Fixed long grace; phase-2 deletion is exercised by AGING one
+    # specific tombstone's recorded ts below (grace=0 instead cascades:
+    # every pass collects every tombstone laid seconds earlier, including
+    # the other table's — which forces rebuilds mid-test).
+    monkeypatch.setenv("PYCAIM_LAYOUT_GC_GRACE", "3600")
     corpus = str(tmp_path / "corpus")
     os.makedirs(corpus)
     for t in ("lineitem", "orders"):
@@ -224,7 +238,7 @@ def test_bucketed_layout_concurrent_build_regen_gc(spark, tmp_path):
                     os.path.join(corpus, f"{t}.parquet"))
     layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
 
-    def slugs_for(table: str) -> list[str]:
+    def slugs_for(table: str, live_only: bool = True) -> list[str]:
         out = []
         for sib in sorted(os.listdir(layout_root)):
             marker = os.path.join(layout_root, sib, "source.json")
@@ -234,10 +248,16 @@ def test_bucketed_layout_concurrent_build_regen_gc(spark, tmp_path):
                 meta = json.load(f)
             if (meta["sf_dir"], meta["table"]) == (
                 os.path.abspath(corpus), table,
+            ) and not (
+                live_only
+                and os.path.exists(
+                    os.path.join(layout_root, sib, "superseded.json"))
             ):
                 out.append(sib)
         return out
 
+    fake_aged = os.path.join(layout_root, "zz_aged_markerless")
+    fake_fresh = os.path.join(layout_root, "zz_fresh_markerless")
     try:
         src_rows = load_table(spark, corpus, "lineitem").count()
 
@@ -251,19 +271,35 @@ def test_bucketed_layout_concurrent_build_regen_gc(spark, tmp_path):
         assert len(slugs_for("lineitem")) == 1
         assert len(slugs_for("orders")) == 1
         slug32 = slugs_for("lineitem")[0]
+        orders32 = slugs_for("orders")[0]
 
-        # (b) bucket count is part of the key: buckets=8 is a new slug
-        # (and the GC retires the 32-bucket one — one live layout per
-        # (sf_dir, table) is the contract).
+        # (b) bucket count is part of the key: buckets=8 is a new slug;
+        # the 32-bucket slug is tombstoned (catalog dropped) but its
+        # files survive the grace period for in-flight readers.
         lib8, _ = _bucketed_orderkey_layout(spark, corpus, buckets=8)
         assert lib8.count() == src_rows
         assert slugs_for("lineitem") != [slug32]
         assert len(slugs_for("lineitem")) == 1
         assert not spark.catalog.tableExists(f"tpch_b_lineitem_{slug32}")
+        assert os.path.exists(
+            os.path.join(layout_root, slug32, "superseded.json"))
+        assert os.path.exists(os.path.join(layout_root, slug32))
+
+        # (d-setup) marker-less dirs: one aged (legacy/crashed build),
+        # one fresh (a concurrent build in progress looks like this).
+        os.makedirs(fake_aged)
+        os.utime(fake_aged, (time.time() - 7200, time.time() - 7200))
+        os.makedirs(fake_fresh)
+        # Age the (b) tombstone past the grace so (c)'s GC pass collects
+        # exactly this slug and nothing else.
+        tomb32 = os.path.join(layout_root, slug32, "superseded.json")
+        with open(tomb32, "w") as f:
+            json.dump({"ts": time.time() - 7200}, f)
 
         # (c) in-place regeneration: same bytes, new mtime_ns -> new
         # fingerprint (the r12 two-scalar fingerprint collided here),
-        # rebuild, and exactly one slug per table survives the GC.
+        # rebuild; this pass's GC collects the (b) tombstone (aged past
+        # grace above) and freshly tombstones the 8-bucket slug.
         slug8 = slugs_for("lineitem")[0]
         fp_before = _layout_fingerprint(
             os.path.join(corpus, "lineitem.parquet"))
@@ -275,16 +311,38 @@ def test_bucketed_layout_concurrent_build_regen_gc(spark, tmp_path):
         assert lib_new.count() == src_rows
         assert len(slugs_for("lineitem")) == 1
         assert slugs_for("lineitem") != [slug8]
-        assert not os.path.exists(os.path.join(layout_root, slug8))
+        assert not os.path.exists(os.path.join(layout_root, slug32))
+        assert os.path.exists(
+            os.path.join(layout_root, slug8, "superseded.json"))
         assert not spark.catalog.tableExists(f"tpch_b_lineitem_{slug8}")
+        # (d) the lineitem cold build's GC pass also swept marker-less
+        # dirs: aged collected, fresh kept.
+        assert not os.path.exists(fake_aged)
+        assert os.path.exists(fake_fresh)
+        # (f) the orders pass re-attached to its (b)-tombstoned 32-bucket
+        # slug (orders' fingerprint didn't change) and resurrected it:
+        # the tombstone is gone and the slug is live again.
+        assert orders32 in slugs_for("orders")
+        assert spark.catalog.tableExists(f"tpch_b_orders_{orders32}")
+
+        # (e) warm attach is lock-free: with the layout-root flock held
+        # by "another process", the already-attached layout still serves.
+        with _store_write_lock(layout_root):
+            with ThreadPoolExecutor(1) as ex:
+                fut = ex.submit(_bucketed_orderkey_layout, spark, corpus)
+                lib_warm, _ = fut.result(timeout=60)
+        assert lib_warm.count() == src_rows
     finally:
         # tmp_path is unique per run: drop this corpus's tables and slug
-        # dirs so repeated pytest runs don't accumulate dead layouts.
+        # dirs (tombstoned included) so repeated pytest runs don't
+        # accumulate dead layouts.
         for t in ("lineitem", "orders"):
-            for sib in slugs_for(t):
+            for sib in slugs_for(t, live_only=False):
                 spark.sql(f"DROP TABLE IF EXISTS tpch_b_{t}_{sib}")
                 shutil.rmtree(os.path.join(layout_root, sib),
                               ignore_errors=True)
+        for fake in (fake_aged, fake_fresh):
+            shutil.rmtree(fake, ignore_errors=True)
 
 
 def test_tpch_q10_bucketed_semi_arm_matches(spark):
@@ -304,18 +362,18 @@ def test_tpch_q10_bucketed_semi_arm_matches(spark):
         assert semi == shipped and shipped, d
 
 
-def test_tpch_q21_bucketed_window_arm_matches(spark):
-    """PYCAIM_Q21_SHAPE=window (the r13 one-pass window-aggregate arm:
-    beats the shipped diamond in-process but is bimodal in fresh JVMs —
-    see tpch_q21_bucketed's docstring) stays bit-identical to the
-    shipped two-aggregate form at both gate scales."""
+def test_tpch_q21_bucketed_diamond_arm_matches(spark):
+    """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
+    the arm when r14's canary-gated series flipped the default to the
+    one-pass window form — see tpch_q21_bucketed's docstring) stays
+    bit-identical to the shipped window form at both gate scales."""
     import os
 
     for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         shipped = _bits(REGISTRY["tpch_q21_bucketed"].fn(spark, d).collect())
-        os.environ["PYCAIM_Q21_SHAPE"] = "window"
+        os.environ["PYCAIM_Q21_SHAPE"] = "diamond"
         try:
-            win = _bits(REGISTRY["tpch_q21_bucketed"].fn(spark, d).collect())
+            dia = _bits(REGISTRY["tpch_q21_bucketed"].fn(spark, d).collect())
         finally:
             del os.environ["PYCAIM_Q21_SHAPE"]
-        assert win == shipped and shipped, d
+        assert dia == shipped and shipped, d

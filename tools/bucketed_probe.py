@@ -84,6 +84,18 @@ def _stages(spark, lib, ob, sf_dir):
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20)
         )
+        # r14 (VERDICT r13 #3): the two probes between agg_custkey and
+        # full that r13 left unattributed — +customer/nation join, then
+        # +the top-20 ordering — so the residual is stage-accounted the
+        # way q3/q5's was.
+        agg_cust_join = (
+            agg.join(c, agg.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        )
+        agg_cust_top20 = agg_cust_join.orderBy(
+            F.desc("revenue"), "c_custkey"
+        ).limit(20)
         return {
             "scan_li": li,
             "scan_o": o,
@@ -91,6 +103,8 @@ def _stages(spark, lib, ob, sf_dir):
             "shj": shj,
             "agg_custkey": agg,
             "agg_custkey_shj": agg_shj,
+            "agg_cust_join": agg_cust_join,
+            "agg_cust_top20": agg_cust_top20,
             "full": REGISTRY["tpch_q10_bucketed"].fn(spark, sf_dir),
             "semi_smj": smj_semi,
             "semi_full": full_semi,
@@ -216,6 +230,23 @@ def _stages(spark, lib, ob, sf_dir):
     raise SystemExit(f"unknown query {QUERY}")
 
 
+def settle(limit: float = 0.5, max_wait: int = 900) -> list[float]:
+    """Wait for the 1-min load to drop below ``limit`` (ADVICE r13: the
+    r13 q10/q21 decompositions probed seconds after their own in-process
+    layout build at load 13-22 and produced structurally impossible
+    stage orderings — build first, settle, THEN probe). Proceeds after
+    ``max_wait`` regardless (flagged by the recorded load)."""
+    import time as _t
+
+    waited = 0
+    while os.getloadavg()[0] > limit and waited < max_wait:
+        _t.sleep(30)
+        waited += 30
+    load = [round(x, 3) for x in os.getloadavg()]
+    print("load after settle:", load, flush=True)
+    return load
+
+
 def main():
     from pycaim_spark.catalog import load_table
     from pycaim_spark.queries.advanced import _bucketed_orderkey_layout
@@ -231,11 +262,29 @@ def main():
                 for f in os.listdir(SF) if f.endswith(".parquet"))
     spark.conf.set("spark.sql.files.maxPartitionBytes",
                    str(max(4 << 20, min(128 << 20, total // 8))))
+    # Flag when this process cold-builds the layout (ADVICE r13): a probe
+    # taken right after an in-process multi-minute build measures the
+    # build's machine-state wake, not the stages. Detected precisely by
+    # re-deriving the slug and testing _SUCCESS before the call.
+    import hashlib
+
+    from pycaim_spark.queries.advanced import _layout_fingerprint
+    from pycaim_spark.queries.relational import _SCRATCH
+    cold_built = False
+    for table in ("lineitem", "orders"):
+        src = os.path.join(SF, f"{table}.parquet")
+        slug = hashlib.md5(
+            f"{os.path.abspath(SF)}:32:{_layout_fingerprint(src)}".encode()
+        ).hexdigest()[:8]
+        if not os.path.exists(os.path.join(
+                _SCRATCH, "bucketed_tpch", slug, table, "_SUCCESS")):
+            cold_built = True
     lib, ob = _bucketed_orderkey_layout(spark, SF)
     # Match the bench isolate regime: dimension sources cached, the
     # bucketed external facts parquet-resident (they bypass the cache).
     for t in ("customer", "nation", "region"):
         load_table(spark, SF, t).cache().count()
+    load_start = settle()
 
     stages = _stages(spark, lib, ob, SF)
     out, plans = {}, {}
@@ -279,9 +328,13 @@ def main():
         "note": ("Single-process stage decomposition over the persisted "
                  "orderkey-bucketed layout (warm + median-of-3, noop "
                  "sink): stage-relative evidence, not an A/B decision "
-                 "series."),
+                 "series. load_start is recorded AFTER the settle guard "
+                 "and BEFORE the first probe (ADVICE r13); cold_built "
+                 "flags a layout built in this same process."),
         "sf_dir": SF,
-        "load": [round(x, 3) for x in os.getloadavg()],
+        "load_start": load_start,
+        "load_end": [round(x, 3) for x in os.getloadavg()],
+        "cold_built_in_process": cold_built,
         "stages": out,
         **plans,
     }

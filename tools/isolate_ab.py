@@ -114,12 +114,19 @@ def main() -> None:
     if only and os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f).get("configs", {})
+    # PYCAIM_ISOLATE_CANARY=1 turns on bench.py's fresh-JVM q6 canary +
+    # drift gate per measurement child (VERDICT r13 #2); the probes are
+    # stored per config so decay-suspect runs are flagged in the artifact.
+    canary_args = (
+        ["--canary"] if os.environ.get("PYCAIM_ISOLATE_CANARY") else []
+    )
     for label, (env_extra, queries) in CONFIGS.items():
         if only and label not in only:
             continue
         env = {**os.environ, **env_extra}
         proc = subprocess.run(
-            [sys.executable, BENCH, "--isolate", *queries, "--n", "3"],
+            [sys.executable, BENCH, "--isolate", *queries, "--n", "3",
+             *canary_args],
             capture_output=True, text=True, env=env, timeout=3600,
         )
         line = proc.stdout.strip().rsplit("\n", 1)[-1] if proc.stdout else ""
@@ -129,6 +136,9 @@ def main() -> None:
             print(f"{label}: FAILED\n{proc.stderr[-2000:]}", file=sys.stderr)
             continue
         results[label] = {"env": env_extra, "queries": payload["queries"]}
+        for k in ("canary", "canary_drift"):
+            if k in payload:
+                results[label][k] = payload[k]
         print(f"{label}: {payload['queries']}", flush=True)
     meta = {
         "protocol": "bench.py --isolate --n 3 (fresh JVM + fresh warmup per "
