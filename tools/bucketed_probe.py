@@ -217,6 +217,20 @@ def _stages(spark, lib, ob, sf_dir):
             .agg(F.sum("n_late_rows").alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name")
         )
+        # r14: the registry default flipped to the window form, so "full"
+        # IS window_full (kept as a sanity pair); diamond_full probes the
+        # demoted two-aggregate arm for the recompute comparison.
+        from pycaim_spark.queries.tpch_more import (
+            _q21_two_aggregate_qualifying,
+        )
+        qualifying_d = _q21_two_aggregate_qualifying(per_supp)
+        diamond_full = (
+            qualifying_d.join(
+                F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum("n_late_rows").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+        )
         from pycaim_spark.registry import REGISTRY as R
         return {
             "scan_li": lib.select("l_orderkey", "l_suppkey", "l_shipdate"),
@@ -226,6 +240,7 @@ def _stages(spark, lib, ob, sf_dir):
             "per_order": per_order,
             "full": R["tpch_q21_bucketed"].fn(spark, sf_dir),
             "window_full": window_full,
+            "diamond_full": diamond_full,
         }
     raise SystemExit(f"unknown query {QUERY}")
 
