@@ -271,10 +271,16 @@ def _isolate(names: list[str], n: int, canary: bool = False) -> None:
         vals += series_ref
         return min(vals) if vals else None
 
+    # Probe budget: decay recovers over minutes, not seconds — the r14
+    # flag-recheck saw probes improve 2.22 → 1.61 → 1.45 against a 1.13
+    # reference and run out of attempts (ISOLATE_r14.json
+    # `q10_bucketed_flag_recheck`). Default 3 keeps a series bounded;
+    # raise for a measurement that must not run flagged.
+    max_probes = int(os.environ.get("PYCAIM_CANARY_PROBES", "3"))
     for name in names:
         if canary:
             probes = canaries.setdefault(name, [])
-            for _attempt in range(3):
+            for _attempt in range(max_probes):
                 c = _canary_child()
                 if c is None:
                     break
