@@ -362,6 +362,74 @@ def test_tpch_q10_bucketed_semi_arm_matches(spark):
         assert semi == shipped and shipped, d
 
 
+def test_incremental_layout_plan_states_and_files(spark, sf_dir):
+    """The incremental layout lifecycle's three claims (round 14):
+
+    (a) APPEND preserves co-location — the post-append Q3 plan still has
+        zero Exchange on the order key — but forfeits the trusted
+        per-bucket sort order (two files per bucket), so Spark
+        re-inserts per-task SMJ sorts;
+    (b) COMPACTION (one file per bucket, rewritten from the parquet
+        files, not the bucketed scan) restores the sort-free merge:
+        zero Sort nodes with the outputOrdering conf the layout sets;
+    (c) both states return bit-identical Q3 results to the one-shot
+        layout (the oracle gate checks them against DuckDB separately).
+    File-count invariant: appended dir has exactly 2 files per bucket,
+    compacted dir exactly 1."""
+    import os
+    import re
+
+    from pycaim_spark.queries.advanced import _incremental_orderkey_layout
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    ref = _bits(REGISTRY["tpch_q3_bucketed"].fn(spark, sf_dir).collect())
+    append_df = REGISTRY["tpch_q3_layout_append"].fn(spark, sf_dir)
+    compact_df = REGISTRY["tpch_q3_layout_compacted"].fn(spark, sf_dir)
+    assert _bits(append_df.collect()) == ref and ref
+    assert _bits(compact_df.collect()) == ref
+
+    sorts = re.compile(r"Sort \[")
+    for df, state in ((append_df, "append"), (compact_df, "compact")):
+        plan = _plan_simple(df)
+        assert "SortMergeJoin" in plan, state
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "l_orderkey" not in line, (state, line)
+                assert "o_orderkey" not in line, (state, line)
+        n_sorts = len(sorts.findall(plan))
+        if state == "append":
+            assert n_sorts >= 1, plan
+        else:
+            assert n_sorts == 0, plan
+
+    # File-count invariant per state (lineitem table of this corpus).
+    lib_a, _ = _incremental_orderkey_layout(spark, sf_dir)
+    lib_c, _ = _incremental_orderkey_layout(spark, sf_dir, compacted=True)
+    import hashlib
+
+    from pycaim_spark.queries.advanced import _layout_fingerprint
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:incr:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    n_app = len([f for f in os.listdir(os.path.join(slug_dir, "lineitem"))
+                 if f.endswith(".parquet")])
+    n_cmp = len([f for f in os.listdir(os.path.join(slug_dir, "lineitem_c"))
+                 if f.endswith(".parquet")])
+    assert n_app == 64, n_app  # 32 buckets × (base + appended delta)
+    assert n_cmp == 32, n_cmp
+    # Idempotency: repeated calls attach (marker-guarded), never
+    # double-insert the delta — row counts stay at the full corpus.
+    full_rows = load_table(spark, sf_dir, "lineitem").count()
+    assert lib_a.count() == full_rows
+    assert lib_c.count() == full_rows
+    lib_a2, _ = _incremental_orderkey_layout(spark, sf_dir)
+    assert lib_a2.count() == full_rows
+
+
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
     """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
     the arm when r14's canary-gated series flipped the default to the
