@@ -211,10 +211,20 @@ def _canary_child() -> float | None:
     config fresh JVMs degrading 3.96 → 21.57 s, ISOLATE_r13.json
     `q21_window_slowmode_heap_ab`) as the binding noise source for shape
     adjudications on this box; the canary makes that state observable
-    per-child instead of inferred post-hoc (VERDICT r13 #2)."""
+    per-child instead of inferred post-hoc (VERDICT r13 #2).
+
+    The probe runs under a PINNED env: every ``PYCAIM_*`` knob from the
+    parent (conf arms, shape arms, partition-bytes overrides) is stripped
+    so the canary measures BOX state, not the arm under test — an arm
+    whose conf slows q6 itself would otherwise read as decay, burn the
+    probe budget, and land in ``canary_drift`` as a false positive
+    (r14 ADVICE). Non-PYCAIM env (SPARK_GRAFT_SF_DIR, JAVA_HOME…)
+    passes through."""
     import subprocess
 
-    env = {**os.environ, "PYCAIM_BENCH_NO_CACHE": "1"}
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("PYCAIM_")}
+    env["PYCAIM_BENCH_NO_CACHE"] = "1"
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),

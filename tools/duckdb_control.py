@@ -53,6 +53,13 @@ def main():
 
     _ensure_loaded()
     results = {}
+    # Post-settle load, recorded BEFORE any measurement (VERDICT r14 #4:
+    # the old artifact carried only an at-END load reading, which for a
+    # CPU-saturating sweep is dominated by the sweep's own work — e.g.
+    # `duckdb_clean_sf10` read load 5.355 next to a "settled < 0.5" note,
+    # inviting a future reader to misjudge the controls as contaminated).
+    settle()
+    load_start = [round(x, 3) for x in os.getloadavg()]
     for name in names:
         spec = REGISTRY[name]
         if spec.oracle is None:
@@ -81,10 +88,14 @@ def main():
             merged = json.load(f)
     merged[key] = {
         "note": ("Standalone DuckDB controls: no Spark JVM alive, 1-min "
-                 "load settled < 0.5, fresh connection per query, warm + "
-                 "median of 3 (CLAUDE.md r12 contamination rule)."),
+                 "load settled < 0.5 before measuring (load_start; "
+                 "load_end is AFTER the sweep and includes the sweep's "
+                 "own CPU — judge box health by load_start), fresh "
+                 "connection per query, warm + median of 3 (CLAUDE.md "
+                 "r12 contamination rule)."),
         "sf_dir": sf_dir,
-        "load": [round(x, 3) for x in os.getloadavg()],
+        "load_start": load_start,
+        "load_end": [round(x, 3) for x in os.getloadavg()],
         "results": results,
     }
     with open(out_path, "w") as f:
