@@ -918,6 +918,7 @@ def minhash_signature_store_build(
     """
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
+        _store_gc_superseded(store_dir)
         sets_dir = os.path.join(store_dir, "sets")
         buckets_dir = os.path.join(store_dir, "buckets")
         if os.path.exists(os.path.join(sets_dir, "_SUCCESS")) and os.path.exists(
@@ -1013,6 +1014,7 @@ def minhash_signature_store_append(
     bucket-aggregated base."""
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
+        _store_gc_superseded(store_dir)
         if ingest_key in _store_manifest(store_dir):
             return
         layer = os.path.join(store_dir, "append", ingest_key)
@@ -1027,9 +1029,25 @@ def minhash_signature_store_append(
             .write.mode("overwrite")
             .parquet(os.path.join(layer, "bands"))
         )
+        # Resurrect a tombstoned-but-uncollected layer we just rewrote
+        # (mirrors the layout's warm-path resurrection): the key was
+        # folded, then trimmed from the manifest by manifest GC, then
+        # re-delivered — the fresh layer content must be LIVE, and a
+        # surviving tombstone would both hide it from probes and let a
+        # later GC pass delete the rewrite.
+        tomb = os.path.join(layer, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
 
 
 def _store_layer_dirs(store_dir: str) -> list[str]:
+    """Live append layers: complete (``bands/_SUCCESS``) and not
+    tombstoned. The tombstone check is load-bearing independently of the
+    folded-keys manifest: a folded layer awaits grace-period deletion on
+    disk (two-phase GC, r15) and its key can be TRIMMED from the manifest
+    by ``minhash_store_manifest_gc`` before the dir is collected — without
+    this check the trimmed-but-undeleted layer would re-enter probes and
+    compactions as a live layer and double-count its rows."""
     append_dir = os.path.join(store_dir, "append")
     if not os.path.isdir(append_dir):
         return []
@@ -1037,7 +1055,68 @@ def _store_layer_dirs(store_dir: str) -> list[str]:
         os.path.join(append_dir, k)
         for k in os.listdir(append_dir)
         if os.path.exists(os.path.join(append_dir, k, "bands", "_SUCCESS"))
+        and not os.path.exists(
+            os.path.join(append_dir, k, "superseded.json")
+        )
     )
+
+
+def _tombstone_folded_layers(store_dir: str) -> None:
+    """Phase 1 of the store's two-phase layer GC (r15 — ports the
+    bucketed layout's reader-grace pattern, advanced.py
+    `_gc_superseded_layouts`, after a live cross-process crash: a
+    lockless reader that resolved its view pre-compaction took
+    PATH_NOT_FOUND mid-scan when the old compaction ``rmtree``'d the
+    append layers it was still reading). Folded layers are tombstoned IN
+    PLACE (``superseded.json`` with a timestamp) so every file path a
+    stale reader already resolved stays valid; enumeration
+    (`_store_layer_dirs`) hides tombstoned layers from new readers and
+    compactions. Caller holds the store write lock."""
+    append_dir = os.path.join(store_dir, "append")
+    if not os.path.isdir(append_dir):
+        return
+    now = time.time()
+    for k in os.listdir(append_dir):
+        layer = os.path.join(append_dir, k)
+        tomb = os.path.join(layer, "superseded.json")
+        if os.path.isdir(layer) and not os.path.exists(tomb):
+            _write_json_atomic(tomb, {"ts": now})
+
+
+def _store_gc_superseded(store_dir: str) -> None:
+    """Phase 2: delete tombstoned layers older than
+    ``$PYCAIM_STORE_GC_GRACE`` seconds (default 900 — same default as the
+    layout's ``$PYCAIM_LAYOUT_GC_GRACE``; any reader that resolved its
+    view more than a grace period ago has either finished or hits the
+    documented re-plan remedy in `_store_read_view`). Runs from every
+    write path under the store write lock; an unreadable tombstone is
+    left for a later pass rather than guessed at."""
+    import json as _json
+    import shutil
+
+    append_dir = os.path.join(store_dir, "append")
+    if not os.path.isdir(append_dir):
+        return
+    grace = float(os.environ.get("PYCAIM_STORE_GC_GRACE", "900"))
+    now = time.time()
+    for k in os.listdir(append_dir):
+        tomb = os.path.join(append_dir, k, "superseded.json")
+        if not os.path.exists(tomb):
+            continue
+        try:
+            with open(tomb) as f:
+                ts = float(_json.load(f).get("ts", now))
+        except (OSError, ValueError, TypeError):
+            continue
+        if now - ts > grace:
+            shutil.rmtree(os.path.join(append_dir, k), ignore_errors=True)
+    # Drop the append/ parent once everything under it is collected, so
+    # "no append dir at all" stays the fully-quiesced steady state.
+    try:
+        if not os.listdir(append_dir):
+            os.rmdir(append_dir)
+    except OSError:
+        pass
 
 
 def _merge_bucket_layers(
@@ -1162,8 +1241,10 @@ def _recover_store_swap(store_dir: str) -> None:
     The compactor writes a journal (atomically) only after both
     ``*_next`` dirs are complete, so recovery is deterministic: journal
     present → the new base is authoritative, roll the swap FORWARD
-    (finish renames, replay the manifest update, drop the folded append
-    layers); journal absent or unparseable → any ``*_next``/``*_old``
+    (finish renames, replay the manifest update, tombstone the folded
+    append layers for grace-period collection — never delete them under
+    a possible stale reader, r15); journal absent or unparseable → any
+    ``*_next``/``*_old``
     leftovers are incomplete writes, roll BACK by deleting them (old
     base and layers are still intact). Runs ONLY from write paths
     (build/append/compact) under ``_store_write_lock`` — probes stay
@@ -1187,9 +1268,10 @@ def _recover_store_swap(store_dir: str) -> None:
         _write_json_atomic(
             os.path.join(store_dir, "folded_keys.json"), list(folded)
         )
-        append_dir = os.path.join(store_dir, "append")
-        if os.path.isdir(append_dir):
-            shutil.rmtree(append_dir)
+        # Two-phase GC (r15): tombstone the folded layers in place —
+        # never delete under a stale reader — grace deletion happens on
+        # later write paths (`_store_gc_superseded`).
+        _tombstone_folded_layers(store_dir)
         os.remove(journal)
     else:
         if os.path.exists(journal):
@@ -1219,7 +1301,18 @@ def _store_read_view(store_dir: str) -> tuple[str, str, set[str]]:
     agree before and after), but Spark scans lazily — a compactor (or a
     write path running crash recovery) that COMMITS between this
     resolution and the probe's materialization can rename/rmtree the
-    resolved paths, and the scan then fails with FileNotFoundException.
+    resolved BASE paths, and the scan then fails with
+    FileNotFoundException. As of r15 the window covers only the base
+    ``sets``/``buckets`` swap: append LAYERS are tombstoned in place and
+    collected after ``$PYCAIM_STORE_GC_GRACE`` (two-phase GC,
+    `_tombstone_folded_layers`/`_store_gc_superseded`), so a stale
+    reader's resolved layer files stay on disk for the whole grace
+    period — this was the one window reproduced as a real crash
+    (concurrent pytest + verify_sweep, r14 VERDICT #1); the base-swap
+    residual is unavoidable with rename semantics (the old part-file
+    NAMES cease to exist the moment the swap lands, wherever the bytes
+    live) and is exactly what a table-format snapshot commit solves in
+    deployment.
     A reader that hits that error should re-plan the probe (re-call the
     probe entry point — it resolves the post-commit view; verdicts are
     equivalent either way). Holding a shared flock from resolution to
@@ -1265,11 +1358,17 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
     one table-format metadata commit) contract, not this function's.
     Concurrency: the whole fold-write-swap runs under the store's
     exclusive write lock, so a second concurrent compaction blocks and
-    then no-ops (no layers left to fold)."""
+    then no-ops (no layers left to fold). Folded append layers are NOT
+    deleted here — they are tombstoned in place and collected by
+    `_store_gc_superseded` after ``$PYCAIM_STORE_GC_GRACE`` seconds
+    (r15: immediate deletion crashed a concurrent lockless reader
+    mid-scan; same two-phase pattern as the bucketed layout's
+    `_gc_superseded_layouts`)."""
     import shutil
 
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
+        _store_gc_superseded(store_dir)
         layers = _store_layer_dirs(store_dir)
         if not layers:
             return
@@ -1309,8 +1408,14 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         _write_json_atomic(
             os.path.join(store_dir, "folded_keys.json"), folded
         )
-        shutil.rmtree(os.path.join(store_dir, "append"))
+        # Two-phase GC (r15): the old immediate `rmtree(append)` here
+        # crashed a concurrent lockless reader mid-scan (reproduced:
+        # pytest's dedup_stream_ingest PATH_NOT_FOUND while verify_sweep
+        # compacted the shared store). Tombstone in place; collect past
+        # grace on later write passes.
+        _tombstone_folded_layers(store_dir)
         os.remove(os.path.join(store_dir, "compact_journal.json"))
+        _store_gc_superseded(store_dir)
         # Housekeeping on the compaction cadence (VERDICT r11 #5): trim
         # the manifest to the newest $PYCAIM_STORE_GC_KEEP folded keys
         # (default 128 — generous vs. any sane upstream redelivery
@@ -1341,6 +1446,7 @@ def minhash_store_manifest_gc(store_dir: str, keep_last: int = 32) -> int:
     point exists for explicit housekeeping with a tighter window."""
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
+        _store_gc_superseded(store_dir)
         return _manifest_gc_locked(store_dir, keep_last)
 
 

@@ -958,10 +958,18 @@ def test_store_append_compact_equals_fresh_rebuild(spark, tmp_path):
     compacted = {(r.doc_id, r.dup_of, r.is_new)
                  for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
     assert compacted == layered
-    # replaying the folded key is a no-op: no layer dir reappears
+    # two-phase GC (r15): the folded layer is TOMBSTONED in place — its
+    # files must survive the grace period for stale readers — and it is
+    # no longer a live layer; replaying the folded key is still a no-op
     import os
+
+    from pycaim_spark.operators.dedup import _store_layer_dirs
+    assert _store_layer_dirs(store) == []
+    assert os.path.exists(
+        os.path.join(store, "append", "day1", "superseded.json")
+    )
     minhash_signature_store_append(spark, store, accepted, "day1")
-    assert not os.path.isdir(os.path.join(store, "append"))
+    assert _store_layer_dirs(store) == []
 
 
 def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
@@ -1048,11 +1056,18 @@ def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
               for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
     assert healed == expected
     for leftover in ("compact_journal.json", "sets_next", "sets_old",
-                     "buckets_next", "buckets_old", "append"):
+                     "buckets_next", "buckets_old"):
         assert not os.path.exists(os.path.join(store, leftover)), leftover
+    # r15 two-phase GC: the folded layer is tombstoned (files intact for
+    # stale readers), not deleted; it is no longer a live layer
+    from pycaim_spark.operators.dedup import _store_layer_dirs
+    assert _store_layer_dirs(store) == []
+    assert os.path.exists(
+        os.path.join(store, "append", "day1", "superseded.json")
+    )
     # the manifest was replayed: the folded key is now a no-op on append
     minhash_signature_store_append(spark, store, s1, "day1")
-    assert not os.path.isdir(os.path.join(store, "append"))
+    assert _store_layer_dirs(store) == []
     # and yet another compact still finds nothing to do
     minhash_signature_store_compact(spark, store)
     assert healed == {(r.doc_id, r.dup_of, r.is_new)
@@ -1120,10 +1135,19 @@ def test_store_truncated_journal_and_manifest_gc(spark, tmp_path):
     assert minhash_store_manifest_gc(store, keep_last=5) == 0
     assert minhash_store_manifest_gc(store, keep_last=1) == 1  # drops day1
     # retained key still replay-safe; GC'd key re-appends as documented
+    from pycaim_spark.operators.dedup import _store_layer_dirs
     minhash_signature_store_append(spark, store, s2, "day2")
-    assert not os.path.isdir(os.path.join(store, "append"))
+    assert _store_layer_dirs(store) == []
     minhash_signature_store_append(spark, store, s1, "day1")
-    assert os.path.isdir(os.path.join(store, "append", "day1"))
+    # the re-appended layer is LIVE again — a tombstone surviving from
+    # its folded incarnation would both hide the rewrite from probes and
+    # let a later GC pass delete it (r15 resurrection contract)
+    assert _store_layer_dirs(store) == [
+        os.path.join(store, "append", "day1")
+    ]
+    assert not os.path.exists(
+        os.path.join(store, "append", "day1", "superseded.json")
+    )
 
 
 def test_store_gc_fold_order_and_probe_cap(spark, tmp_path, monkeypatch):
@@ -1179,15 +1203,101 @@ def test_store_gc_fold_order_and_probe_cap(spark, tmp_path, monkeypatch):
     # fold-order recency keeps day10 (the newest fold), drops day2 —
     # lexicographic recency would have kept day2
     assert _store_manifest_ordered(store) == ["day10"]
+    from pycaim_spark.operators.dedup import _store_layer_dirs
     minhash_signature_store_append(spark, store, s2, "day10")  # no-op
-    assert not os.path.isdir(os.path.join(store, "append"))
+    assert _store_layer_dirs(store) == []
     minhash_signature_store_append(spark, store, s1, "day2")  # re-appends
-    assert os.path.isdir(os.path.join(store, "append", "day2"))
+    assert _store_layer_dirs(store) == [
+        os.path.join(store, "append", "day2")
+    ]
 
     # (c) compaction runs GC itself under its write lock
     monkeypatch.setenv("PYCAIM_STORE_GC_KEEP", "1")
     minhash_signature_store_compact(spark, store)
     assert _store_manifest_ordered(store) == ["day2"]
+
+
+def test_store_two_phase_gc_protects_concurrent_readers(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (VERDICT r14 #1): compaction must never delete append layers
+    out from under a lockless reader. Reproduces the exact crash shape
+    caught live in r14 (pytest's stream-ingest probe resolved its store
+    view, then verify_sweep's compaction ``rmtree``'d the layer, and the
+    probe's ``spark.read.parquet(append/batch0/bands)`` failed with
+    PATH_NOT_FOUND): a reader that enumerated layer paths BEFORE a full
+    compaction must still be able to read them AFTER it, because the
+    folded layer is tombstoned in place (phase 1) and only deleted by a
+    later write pass once the tombstone outlives
+    ``$PYCAIM_STORE_GC_GRACE`` (phase 2)."""
+    import os
+
+    from pycaim_spark.operators.dedup import (
+        _store_layer_dirs,
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "first fresh slice with its very own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(30, "first fresh slice with its very own vocabulary entire")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    minhash_signature_store_append(spark, store, s1, "day1")
+
+    # The concurrent reader: resolves its layer paths pre-compaction...
+    reader_layers = _store_layer_dirs(store)
+    assert reader_layers == [os.path.join(store, "append", "day1")]
+
+    # ...then the compactor runs to completion in between...
+    minhash_signature_store_compact(spark, store)
+
+    # ...and the reader's resolved paths must still be readable — with
+    # the old immediate rmtree this raised PATH_NOT_FOUND right here.
+    stale_bands = spark.read.parquet(
+        os.path.join(reader_layers[0], "bands")
+    )
+    assert stale_bands.count() > 0
+    assert os.path.exists(
+        os.path.join(reader_layers[0], "bands", "_SUCCESS")
+    )
+
+    # A FRESH probe sees the compacted store only (no double count of the
+    # tombstoned layer) and still finds the day-1 duplicate.
+    verdicts = {(r.doc_id, r.dup_of, r.is_new)
+                for r in incremental_minhash_dedup_layered(
+                    spark, store, probe).collect()}
+    assert (30, 10, 0) in verdicts
+
+    # Default grace: a write pass must NOT collect the fresh tombstone.
+    minhash_signature_store_append(spark, store, s1, "day1")  # no-op
+    assert os.path.isdir(reader_layers[0])
+
+    # Past grace: the next write pass collects the layer, and the empty
+    # append/ parent goes with it.
+    monkeypatch.setenv("PYCAIM_STORE_GC_GRACE", "0")
+    import time as _time
+    _time.sleep(0.05)
+    minhash_signature_store_append(spark, store, s1, "day1")  # no-op
+    assert not os.path.isdir(reader_layers[0])
+    assert not os.path.isdir(os.path.join(store, "append"))
+    # Verdicts are unchanged after collection — the layer's rows live in
+    # the compacted base.
+    after_gc = {(r.doc_id, r.dup_of, r.is_new)
+                for r in incremental_minhash_dedup_layered(
+                    spark, store, probe).collect()}
+    assert after_gc == verdicts
 
 
 def test_ivf_pq_index_refuses_paramless_sidecar(spark, tmp_path):
