@@ -915,12 +915,24 @@ def ivf_pq_index_build(
     n_cells/m/k_centroids/sample_size/iters/seed than the stored build
     raises instead of silently serving the stale index (ADVICE r9); a
     sidecar with no persisted params at all is likewise refused (ADVICE
-    r10). Concurrency: the index store assumes a SINGLE writer (one
-    build or append at a time — the daily-batch shape); concurrent
-    readers are always safe because both artifacts are written aside
-    and only ever replaced whole, never edited in place. Returns
-    (centroids, codebooks)."""
+    r10). Concurrency (r15, ported from the minhash store after VERDICT
+    r14 #1): write paths serialize on the store's flock
+    (`_store_write_lock`, double-checked reuse after acquiring it), the
+    npz sidecar and append manifest are written atomically
+    (temp + rename), and a retrain writes the re-coded corpus ASIDE
+    (``codes_next``) and commits by rename — the old in-place
+    ``mode("overwrite")`` deleted the live codes dir for the whole
+    multi-minute encode job under any concurrent reader; now the
+    vulnerable window is the rename instant, the same residual class as
+    the minhash base swap (a table-format snapshot commit in
+    deployment). Returns (centroids, codebooks)."""
     import os
+    import shutil
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
 
     params = {
         "n_cells": n_cells,
@@ -933,9 +945,18 @@ def ivf_pq_index_build(
     }
     npz = os.path.join(store_dir, "index.npz")
     codes_dir = os.path.join(store_dir, "codes")
-    if os.path.exists(npz) and os.path.exists(
-        os.path.join(codes_dir, "_SUCCESS")
-    ):
+
+    def _try_reuse():
+        """Validate a persisted index against the requested params:
+        arrays on a match, None when a (re)build is needed, ValueError on
+        params-less or hyperparameter-mismatched stores. Read-only, so
+        the common serve path stays lock-free (np reads the whole npz
+        eagerly, and atomic replace means it is never torn)."""
+        if not (
+            os.path.exists(npz)
+            and os.path.exists(os.path.join(codes_dir, "_SUCCESS"))
+        ):
+            return None
         with np.load(npz) as idx:
             if "params" not in idx:
                 # ADVICE r10: a params-less sidecar is indistinguishable
@@ -962,35 +983,69 @@ def ivf_pq_index_build(
             # Only algo_version differs: the training CODE changed, the
             # request didn't — fall through to a deterministic retrain
             # with the same hyperparameters, replacing the stale index.
-    sample = np.stack(
-        emb.orderBy("vec_id")
-        .limit(sample_size)
-        .select("embedding")
-        .toPandas()["embedding"]
-        .to_numpy()
-    ).astype(np.float64)
-    centroids = _spherical_kmeans(sample, n_cells, iters, seed)
-    s_normed = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    s_cells = np.argmax(s_normed @ centroids.T, axis=1)
-    codebooks = _pq_train(sample - centroids[s_cells], m, k_centroids, iters, seed)
-    # A (re)build resets the store to exactly the passed corpus: the codes
-    # overwrite below drops any previously appended slices, so the append
-    # manifest must be cleared too — a surviving manifest would make
-    # ivf_pq_index_append skip a re-delivered key whose rows the rebuild
-    # just discarded (r12, found with the algo_version retrain path).
-    manifest = os.path.join(store_dir, "append_keys.json")
-    if os.path.exists(manifest):
-        os.remove(manifest)
-    _ivf_pq_encode(emb, centroids, codebooks).write.mode("overwrite").parquet(
-        codes_dir
-    )
-    os.makedirs(store_dir, exist_ok=True)
-    np.savez(
-        npz,
-        centroids=centroids,
-        codebooks=codebooks,
-        params=np.array([params[key] for key in _INDEX_PARAM_KEYS]),
-    )
+            return None
+
+    got = _try_reuse()
+    if got is not None:
+        return got
+    with _store_write_lock(store_dir):
+        # Double-checked: a concurrent build may have completed while we
+        # waited on the lock — seeded training is deterministic, so
+        # re-validating and serving its result is exact, not approximate.
+        got = _try_reuse()
+        if got is not None:
+            return got
+        # Clear strays from a build that crashed mid-swap: codes_next is
+        # an uncommitted write (this build reproduces it bit-identically);
+        # codes_old_* are already-swapped-out corpora.
+        for sib in os.listdir(store_dir) if os.path.isdir(store_dir) else []:
+            if sib == "codes_next" or sib.startswith("codes_old"):
+                shutil.rmtree(os.path.join(store_dir, sib), ignore_errors=True)
+        sample = np.stack(
+            emb.orderBy("vec_id")
+            .limit(sample_size)
+            .select("embedding")
+            .toPandas()["embedding"]
+            .to_numpy()
+        ).astype(np.float64)
+        centroids = _spherical_kmeans(sample, n_cells, iters, seed)
+        s_normed = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        s_cells = np.argmax(s_normed @ centroids.T, axis=1)
+        codebooks = _pq_train(
+            sample - centroids[s_cells], m, k_centroids, iters, seed
+        )
+        # A (re)build resets the store to exactly the passed corpus: the
+        # codes swap below drops any previously appended slices, so the
+        # append manifest must be cleared too — a surviving manifest would
+        # make ivf_pq_index_append skip a re-delivered key whose rows the
+        # rebuild just discarded (r12, found with the algo_version retrain
+        # path).
+        manifest = os.path.join(store_dir, "append_keys.json")
+        if os.path.exists(manifest):
+            os.remove(manifest)
+        _ivf_pq_encode(emb, centroids, codebooks).write.mode(
+            "overwrite"
+        ).parquet(codes_dir + "_next")
+        os.makedirs(store_dir, exist_ok=True)
+        tmp = npz + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                centroids=centroids,
+                codebooks=codebooks,
+                params=np.array([params[key] for key in _INDEX_PARAM_KEYS]),
+            )
+        # Commit: swap codes by rename, then publish the matching sidecar.
+        # A reader interleaving exactly here can pair the old npz with the
+        # new codes for one load — the rename-instant residual documented
+        # above; the skip-path _SUCCESS check keeps the build-reuse path
+        # consistent.
+        if os.path.exists(codes_dir):
+            os.rename(codes_dir, codes_dir + "_old")
+        os.rename(codes_dir + "_next", codes_dir)
+        os.replace(tmp, npz)
+        if os.path.exists(codes_dir + "_old"):
+            shutil.rmtree(codes_dir + "_old", ignore_errors=True)
     return centroids, codebooks
 
 
@@ -1006,26 +1061,42 @@ def ivf_pq_index_append(
     add their cell/code rows to the codes table. Idempotent per
     ``ingest_key`` via an ``append_keys.json`` manifest, the same
     replay-safe discipline as the minhash signature store: a re-delivered
-    slice is skipped, never double-indexed. The ANN half of the daily
-    ingest loop — new documents become searchable as soon as their slice
-    is appended, no index rebuild."""
+    slice is skipped, never double-indexed. Runs under the store write
+    lock (r15): the manifest check-then-write is a read-modify-write, and
+    two unserialized appenders of DIFFERENT keys would each persist a
+    manifest missing the other's key — a later redelivery of the lost key
+    would then double-index its rows (silent wrong-answer, worse than the
+    crash the lock also prevents). The manifest itself is written
+    atomically (temp + fsync + rename), so a reader or crash never sees a
+    torn file. The ANN half of the daily ingest loop — new documents
+    become searchable as soon as their slice is appended, no index
+    rebuild."""
     import json
     import os
 
-    manifest = os.path.join(store_dir, "append_keys.json")
-    done: list[str] = []
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            done = json.load(f)
-    if ingest_key in done:
-        return
-    with np.load(os.path.join(store_dir, "index.npz")) as idx:
-        centroids, codebooks = idx["centroids"], idx["codebooks"]
-    _ivf_pq_encode(new_emb, centroids, codebooks).write.mode("append").parquet(
-        os.path.join(store_dir, "codes")
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
     )
-    with open(manifest, "w") as f:
-        json.dump(sorted(set(done) | {ingest_key}), f)
+
+    manifest = os.path.join(store_dir, "append_keys.json")
+    with _store_write_lock(store_dir):
+        done: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                done = json.load(f)
+        if ingest_key in done:
+            return
+        with np.load(os.path.join(store_dir, "index.npz")) as idx:
+            centroids, codebooks = idx["centroids"], idx["codebooks"]
+        _ivf_pq_encode(new_emb, centroids, codebooks).write.mode(
+            "append"
+        ).parquet(os.path.join(store_dir, "codes"))
+        # Crash window: codes appended but manifest not yet updated → a
+        # redelivery re-appends the slice. Pre-existing and narrow; the
+        # deployment remedy is the same table-format transactional append
+        # as every other local-FS caveat in this family.
+        _write_json_atomic(manifest, sorted(set(done) | {ingest_key}))
 
 
 def ivf_pq_topk_stored(
