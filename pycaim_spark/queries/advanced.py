@@ -253,7 +253,12 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
     is "0" — the A/B arm. Spark itself re-checks the one-file-per-bucket
     precondition per scan and re-inserts sorts where it fails (e.g. the
     post-append multi-file state, `_incremental_orderkey_layout`), so
-    correctness never rests on the env value.
+    correctness never rests on the env value. Decision evidence (r15,
+    after the r14 series was decay-contaminated): ISOLATE_r15.json
+    `q5_sorted_scan_series_r15` — 5 order-alternating canary-gated
+    fresh-JVM paired rounds of tpch_q5_bucketed at sf10, conf-ON wins
+    3/5 with median 3.45 s vs 4.81 s OFF (−28%), consistent with the
+    structural argument (eliding a sort of sorted data).
 
     Cache key = (sf_dir, buckets, per-file fingerprint of the source
     parquet). ``buckets`` is in the key (ADVICE r12): attaching DDL with a
@@ -433,7 +438,8 @@ def _gc_superseded_layouts(
             # marker string itself is never used as a table name.
             if table.endswith("#incr"):
                 base = table.split("#", 1)[0]
-                drops = [f"tpch_ia_{base}_{sib}", f"tpch_ic_{base}_{sib}"]
+                drops = [f"tpch_ia_{base}_{sib}", f"tpch_ic_{base}_{sib}",
+                         f"tpch_iu_{base}_{sib}"]
             else:
                 drops = [f"tpch_b_{table}_{sib}"]
             for t in drops:
@@ -525,10 +531,18 @@ def _incremental_orderkey_layout(
         want_success = os.path.join(cpath if compacted else path, "_SUCCESS")
         # Lock-free warm fast path, as in _bucketed_orderkey_layout; the
         # appended state additionally requires the append marker (the
-        # base build's _SUCCESS alone is the pre-append state).
+        # base build's _SUCCESS alone is the pre-append state). The
+        # tombstone check mirrors the one-shot warm path and is
+        # load-bearing (r14 ADVICE): a session whose catalog still holds
+        # these entries would otherwise keep serving a slug another
+        # process tombstoned — never passing through the locked path
+        # that resurrects it — until GC deletes the files under the
+        # actively-served table; a visible tombstone must route through
+        # the locked path below, which clears it.
         if (
             os.path.exists(want_success)
             and os.path.exists(append_marker)
+            and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
             and spark.catalog.tableExists(want_name)
         ):
             out[table] = spark.table(want_name)
@@ -536,7 +550,19 @@ def _incremental_orderkey_layout(
         full = load_table(spark, sf_dir, table)
         with _store_write_lock(layout_root):
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                import shutil
+
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
+                # A base rebuild invalidates everything DERIVED from the
+                # old base (r14 ADVICE): a surviving append marker would
+                # make the `not exists(append_marker)` guard below skip
+                # re-inserting the delta — the layout would silently
+                # serve the ~86% base as the full corpus — and a
+                # surviving compacted rewrite would serve the old bytes.
+                if os.path.exists(append_marker):
+                    os.remove(append_marker)
+                spark.sql(f"DROP TABLE IF EXISTS {cname}")
+                shutil.rmtree(cpath, ignore_errors=True)
                 (
                     full.filter(F.col(key) % 7 != 0)
                     .repartition(buckets, F.col(key))
@@ -651,6 +677,271 @@ def tpch_q3_layout_compacted(spark, sf_dir):
     register_temp_views(spark, sf_dir)
     lib, ob = _incremental_orderkey_layout(spark, sf_dir, compacted=True)
     return _q3_over_layout(spark, sf_dir, lib, ob)
+
+
+#: CDC batch for the layout upsert, derived deterministically from the
+#: orders table so Spark and the DuckDB oracle see the identical batch:
+#: keys ≡0 (mod 83) are UPDATED (o_orderdate shifted +30 days — chosen
+#: because it moves orders across Q3's date predicate and changes the
+#: group key, so a missed or double-applied update is visible in the
+#: result at both gate scales: 2 updated keys appear in the sf0.001
+#: result, 11 at sf0.01), keys ≡0 (mod 503) are DELETED (1 and 3 result
+#: rows respectively). Deletes take precedence on the overlap.
+_UPSERT_UPD = "o_orderkey % 83 = 0 AND o_orderkey % 503 <> 0"
+_UPSERT_DEL = "o_orderkey % 503 = 0"
+
+
+def _upserted_orderkey_layout(spark, sf_dir, buckets: int = 32):
+    """CDC-style MERGE (update + delete) applied BUCKET-LOCALLY to the
+    compacted incremental layout — the remaining production lifecycle
+    motion after r14's append/compact: at 100 TB a CDC batch must rewrite
+    only the buckets its keys hash into, never the table.
+
+    Mechanics (all under the layout flock):
+
+    1. Clone the compacted ``orders`` state into an ``orders_u`` sibling
+       (file copy — the compacted table keeps serving its own queries).
+    2. Compute the touched buckets driver-side as
+       ``pmod(hash(key), buckets)`` over the CDC keys — ``F.hash`` is the
+       same Murmur3(seed 42) Spark's ``HashPartitioning`` derives bucket
+       ids from, and the staging step ASSERTS that parity (any staged
+       file landing outside the predicted set fails loudly rather than
+       mis-placing rows).
+    3. Read ONLY the touched buckets' parquet files, apply the merge in
+       DataFrame land (drop update+delete keys, union the new versions),
+       and write the result through a STAGING bucketed table with the
+       same bucket spec and sort — one sorted file per non-empty touched
+       bucket.
+    4. Swap at file level: remove the touched buckets' old files, rename
+       the staged files in (bucket identity travels in the ``_NNNNN``
+       filename suffix), refresh the table's file-listing cache. Marker-
+       guarded (``upsert_orders.json``, written LAST) so re-runs attach;
+       a crash anywhere before the marker self-heals on the next attach
+       by re-cloning from the pristine compacted state and redoing the
+       merge. The residual window is a CONCURRENT reader of ``orders_u``
+       during the remove-then-rename instants — the local stand-in for a
+       table-format MERGE commit, the same caveat as append (r14).
+
+    Untouched buckets' files are not opened, not rewritten, not renamed —
+    pinned by tests/test_storage.py. One sorted file per bucket is
+    preserved, so unlike the append state the upserted table keeps the
+    sort-free co-located merge. Returns (lineitem_df, orders_upserted_df).
+    """
+    import hashlib
+    import re
+    import shutil
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    lib, _ob = _incremental_orderkey_layout(spark, sf_dir, compacted=True)
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{abs_sf}:{buckets}:incr:{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(layout_root, slug)
+    cpath = os.path.join(slug_dir, "orders_c")
+    upath = os.path.join(slug_dir, "orders_u")
+    uname = f"tpch_iu_orders_{slug}"
+    marker = os.path.join(slug_dir, "upsert_orders.json")
+    bucket_re = re.compile(r"_(\d{5})\.c\d{3}\.")
+
+    def _files_by_bucket(d):
+        """Data files only — Hadoop's local FS writes a hidden
+        ``.<name>.crc`` sidecar per part file whose name also matches
+        the bucket pattern; the swap moves/removes each sidecar WITH its
+        data file instead of treating it as a bucket member."""
+        out = {}
+        for f in os.listdir(d):
+            m = bucket_re.search(f)
+            if m and not f.startswith("."):
+                out.setdefault(int(m.group(1)), []).append(
+                    os.path.join(d, f)
+                )
+        return out
+
+    def _rm_with_crc(f):
+        os.remove(f)
+        crc = os.path.join(
+            os.path.dirname(f), f".{os.path.basename(f)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    def _mv_with_crc(f, dst_dir):
+        base = os.path.basename(f)
+        os.rename(f, os.path.join(dst_dir, base))
+        crc = os.path.join(os.path.dirname(f), f".{base}.crc")
+        if os.path.exists(crc):
+            os.rename(crc, os.path.join(dst_dir, f".{base}.crc"))
+
+    if (
+        os.path.exists(os.path.join(upath, "_SUCCESS"))
+        and os.path.exists(marker)
+        and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+        and spark.catalog.tableExists(uname)
+    ):
+        return lib, spark.table(uname)
+
+    full = load_table(spark, sf_dir, "orders")
+    key = "o_orderkey"
+    with _store_write_lock(layout_root):
+        if not os.path.exists(marker):
+            # 1. Clone the compacted state (upsert mutates the clone).
+            if os.path.exists(upath):
+                shutil.rmtree(upath)
+            shutil.copytree(cpath, upath)
+        if not spark.catalog.tableExists(uname):
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in full.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {uname} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {buckets} BUCKETS LOCATION '{upath}'"
+            )
+        if not os.path.exists(marker):
+            updates = full.filter(F.expr(_UPSERT_UPD)).withColumn(
+                "o_orderdate",
+                F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+            )
+            cdc_keys = full.filter(
+                F.expr(f"({_UPSERT_UPD}) OR ({_UPSERT_DEL})")
+            ).select(key)
+            # 2. Touched buckets, driver-side (bounded: ≤ `buckets` ids).
+            touched = sorted(
+                r.b
+                for r in cdc_keys.select(
+                    F.pmod(F.hash(F.col(key)), F.lit(buckets)).alias("b")
+                ).distinct().collect()
+            )
+            live = _files_by_bucket(upath)
+            touched_files = [
+                f for b in touched for f in live.get(b, [])
+            ]
+            # 3. Merge the touched buckets' rows only.
+            cur = spark.read.parquet(*touched_files)
+            merged = cur.filter(
+                ~F.expr(f"({_UPSERT_UPD}) OR ({_UPSERT_DEL})")
+            ).unionByName(updates)
+            stage = os.path.join(slug_dir, "orders_u_stage")
+            sname = f"tpch_iu_stage_orders_{slug}"
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            shutil.rmtree(stage, ignore_errors=True)
+            (
+                merged.repartition(buckets, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", stage)
+                .saveAsTable(sname)
+            )
+            staged = _files_by_bucket(stage)
+            stray = sorted(set(staged) - set(touched))
+            if stray:
+                raise AssertionError(
+                    f"staged files landed in unpredicted buckets {stray}: "
+                    "F.hash/pmod no longer matches Spark's bucket "
+                    "assignment — aborting before mis-placing rows"
+                )
+            # 4. Bucket-local swap: only the touched buckets change.
+            for b in touched:
+                for f in live.get(b, []):
+                    _rm_with_crc(f)
+                for f in staged.get(b, []):
+                    _mv_with_crc(f, upath)
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            shutil.rmtree(stage, ignore_errors=True)
+            spark.catalog.refreshTable(uname)
+            _write_json_atomic(
+                marker, {"touched_buckets": touched}
+            )
+        tomb = os.path.join(slug_dir, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+    return lib, spark.table(uname)
+
+
+@register(
+    "tpch_q3_layout_upserted",
+    tags=("composite", "storage"),
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate + INTERVAL 30 DAY AS o_orderdate,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 83 = 0 AND o_orderkey % 503 <> 0
+    ), ordv AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 83 <> 0 AND o_orderkey % 503 <> 0
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(12,2)))
+                AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN ordv ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def tpch_q3_layout_upserted(spark, sf_dir):
+    """TPC-H Q3 over the UPSERTED incremental layout: a deterministic
+    CDC batch (updates shift o_orderdate +30 days on keys ≡0 mod 83,
+    deletes remove keys ≡0 mod 503) MERGEd bucket-locally into a clone
+    of the compacted orders state (`_upserted_orderkey_layout`). The
+    oracle applies the same batch in SQL over the raw table, so the hash
+    gate falsifies every failure mode of the file surgery: a dropped
+    bucket loses ~1/32 of orders, a double-applied delta duplicates
+    rows, a missed update leaves result rows on their old o_orderdate
+    (2 updated + 1 deleted key land in the sf0.001 result; 11 + 3 at
+    sf0.01). Full grouped rows, no LIMIT — top-10 would hide all of
+    that. Plan: still zero Exchange on either fact, and zero SMJ sorts —
+    the upsert preserves one sorted file per bucket, unlike the append
+    state (tests/test_storage.py pins files-untouched + plan)."""
+    register_temp_views(spark, sf_dir)
+    lib, ou = _upserted_orderkey_layout(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = ou.filter(
+        F.col("o_orderdate")
+        < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    ).join(F.broadcast(c), F.col("o_custkey") == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lib.filter(
+        F.col("l_shipdate")
+        > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_price = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    # No ORDER BY on either side: the gate's value-hash is
+    # order-insensitive, and a global sort here would hang an Exchange
+    # rangepartitioning + Sort over the otherwise sort-free co-located
+    # plan the storage test pins.
+    return (
+        li.join(o.hint("MERGE"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(fsum(disc_price, 4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
 
 
 @register(

@@ -419,7 +419,12 @@ def test_incremental_layout_plan_states_and_files(spark, sf_dir):
                  if f.endswith(".parquet")])
     n_cmp = len([f for f in os.listdir(os.path.join(slug_dir, "lineitem_c"))
                  if f.endswith(".parquet")])
-    assert n_app == 64, n_app  # 32 buckets × (base + appended delta)
+    # The real invariant is ≤2 files per bucket pre-compaction (base +
+    # at most one delta file) and exactly 1 after; the delta only lands
+    # a file in buckets its `orderkey % 7 == 0` rows hash into, so an
+    # alternate corpus with a delta-empty bucket legitimately writes
+    # fewer than 64 files (r14 ADVICE — don't pin the corpus accident).
+    assert 32 < n_app <= 64, n_app
     assert n_cmp == 32, n_cmp
     # Idempotency: repeated calls attach (marker-guarded), never
     # double-insert the delta — row counts stay at the full corpus.
@@ -428,6 +433,89 @@ def test_incremental_layout_plan_states_and_files(spark, sf_dir):
     assert lib_c.count() == full_rows
     lib_a2, _ = _incremental_orderkey_layout(spark, sf_dir)
     assert lib_a2.count() == full_rows
+
+
+def test_upserted_layout_bucket_local_rewrite(spark, sf_dir):
+    """The CDC upsert motion's three claims (round 15):
+
+    (a) BUCKET-LOCAL: only the buckets the CDC keys hash into are
+        rewritten. The clone preserves the compacted state's file NAMES,
+        and a rewrite installs fresh staged names — so name identity
+        between ``orders_c`` and ``orders_u`` is a per-bucket 'was this
+        file rewritten?' bit that needs no before/after timing.
+    (b) The upserted table keeps ONE sorted file per bucket, so the Q3
+        plan over it has zero Exchange on the order key AND zero SMJ
+        sorts (the compacted plan's shape — append is the state that
+        pays sorts).
+    (c) MERGE semantics: full rows = orders − deletes, updates replace
+        in place (count unchanged by updates); attach is idempotent.
+    Value correctness vs the upsert-CTE DuckDB oracle is the registry
+    gate's job (tpch_q3_layout_upserted)."""
+    import hashlib
+    import json
+    import os
+    import re
+
+    from pycaim_spark.queries.advanced import (
+        _layout_fingerprint,
+        _upserted_orderkey_layout,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    upserted_df = REGISTRY["tpch_q3_layout_upserted"].fn(spark, sf_dir)
+    assert upserted_df.count() > 0
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:incr:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    with open(os.path.join(slug_dir, "upsert_orders.json")) as f:
+        touched = set(json.load(f)["touched_buckets"])
+    assert touched, "CDC batch must touch at least one bucket"
+
+    bucket_re = re.compile(r"_(\d{5})\.c\d{3}\.")
+
+    def files_by_bucket(d):
+        out = {}
+        for fn in os.listdir(d):
+            m = bucket_re.search(fn)
+            if m and not fn.startswith("."):  # skip .crc sidecars
+                out.setdefault(int(m.group(1)), []).append(fn)
+        return out
+
+    c_files = files_by_bucket(os.path.join(slug_dir, "orders_c"))
+    u_files = files_by_bucket(os.path.join(slug_dir, "orders_u"))
+    untouched = set(c_files) - touched
+    # Precondition, not a pinned count (r14 ADVICE lesson): the fixture's
+    # ~21 CDC keys cannot hash into all 32 buckets for the test to mean
+    # anything, but the exact split is the corpus's business.
+    assert untouched, "fixture CDC batch unexpectedly touched every bucket"
+    for b in sorted(c_files):
+        assert len(u_files.get(b, ())) == 1, (b, u_files.get(b))
+        if b in touched:
+            assert u_files[b] != c_files[b], f"bucket {b} not rewritten"
+        else:
+            assert u_files[b] == c_files[b], \
+                f"untouched bucket {b} was rewritten"
+
+    # (b) plan shape: co-located AND sort-free.
+    plan = _plan_simple(upserted_df)
+    assert "SortMergeJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "l_orderkey" not in line, line
+            assert "o_orderkey" not in line, line
+    assert not re.search(r"Sort \[", plan), plan
+
+    # (c) MERGE row accounting + idempotent attach.
+    lib, ou = _upserted_orderkey_layout(spark, sf_dir)
+    full = load_table(spark, sf_dir, "orders")
+    n_del = full.filter("o_orderkey % 503 = 0").count()
+    assert ou.count() == full.count() - n_del
+    lib2, ou2 = _upserted_orderkey_layout(spark, sf_dir)
+    assert ou2.count() == full.count() - n_del
 
 
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
