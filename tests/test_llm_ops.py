@@ -1300,6 +1300,65 @@ def test_store_two_phase_gc_protects_concurrent_readers(
     assert after_gc == verdicts
 
 
+def test_ivf_pq_index_append_concurrent_keys_both_survive(spark, tmp_path):
+    """r15: the append manifest is a read-modify-write, so two
+    unserialized appenders of DIFFERENT keys would each persist a list
+    missing the other's key — a later redelivery of the lost key would
+    then double-index its rows. The store write lock serializes them;
+    both keys must land in the manifest and both slices in the codes
+    table, and replaying either key afterward must be a no-op."""
+    import json
+    import os
+    import threading
+
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(rng.normal(size=(40, 8)))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "ann")
+    ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
+                       sample_size=40)
+    base_n = spark.read.parquet(os.path.join(store, "codes")).count()
+
+    slices = {
+        key: spark.createDataFrame(
+            [(100 + 10 * j + i, [float(x) for x in v])
+             for i, v in enumerate(rng.normal(size=(5, 8)))],
+            "vec_id long, embedding array<float>",
+        )
+        for j, key in enumerate(("day1", "day2"))
+    }
+    errs = []
+
+    def _append(key):
+        try:
+            ivf_pq_index_append(slices[key], store, key)
+        except Exception as exc:  # surfaced after join
+            errs.append((key, exc))
+
+    threads = [threading.Thread(target=_append, args=(k,)) for k in slices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    with open(os.path.join(store, "append_keys.json")) as f:
+        assert sorted(json.load(f)) == ["day1", "day2"]
+    n = spark.read.parquet(os.path.join(store, "codes")).count()
+    assert n == base_n + 10
+    # replay: both keys now no-op (no double indexing)
+    for key in slices:
+        ivf_pq_index_append(slices[key], store, key)
+    assert spark.read.parquet(os.path.join(store, "codes")).count() == n
+
+
 def test_ivf_pq_index_refuses_paramless_sidecar(spark, tmp_path):
     """ADVICE r10: an index.npz with no persisted 'params' entry cannot
     be validated against the requested hyperparameters — it must be
