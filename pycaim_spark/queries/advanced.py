@@ -691,7 +691,14 @@ _UPSERT_UPD = "o_orderkey % 83 = 0 AND o_orderkey % 503 <> 0"
 _UPSERT_DEL = "o_orderkey % 503 = 0"
 
 
-def _upserted_orderkey_layout(spark, sf_dir, buckets: int = 32):
+def _upserted_orderkey_layout(
+    spark,
+    sf_dir,
+    buckets: int = 32,
+    upd_pred: str = _UPSERT_UPD,
+    del_pred: str = _UPSERT_DEL,
+    suffix: str = "",
+):
     """CDC-style MERGE (update + delete) applied BUCKET-LOCALLY to the
     compacted incremental layout — the remaining production lifecycle
     motion after r14's append/compact: at 100 TB a CDC batch must rewrite
@@ -746,9 +753,9 @@ def _upserted_orderkey_layout(spark, sf_dir, buckets: int = 32):
     ).hexdigest()[:8]
     slug_dir = os.path.join(layout_root, slug)
     cpath = os.path.join(slug_dir, "orders_c")
-    upath = os.path.join(slug_dir, "orders_u")
-    uname = f"tpch_iu_orders_{slug}"
-    marker = os.path.join(slug_dir, "upsert_orders.json")
+    upath = os.path.join(slug_dir, f"orders_u{suffix}")
+    uname = f"tpch_iu{suffix}_orders_{slug}"
+    marker = os.path.join(slug_dir, f"upsert{suffix}_orders.json")
     bucket_re = re.compile(r"_(\d{5})\.c\d{3}\.")
 
     def _files_by_bucket(d):
@@ -807,14 +814,14 @@ def _upserted_orderkey_layout(spark, sf_dir, buckets: int = 32):
                 f"INTO {buckets} BUCKETS LOCATION '{upath}'"
             )
         if not os.path.exists(marker):
-            updates = full.filter(F.expr(_UPSERT_UPD)).withColumn(
-                "o_orderdate",
-                F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
-            )
             cdc_keys = full.filter(
-                F.expr(f"({_UPSERT_UPD}) OR ({_UPSERT_DEL})")
+                F.expr(f"({upd_pred}) OR ({del_pred})")
             ).select(key)
             # 2. Touched buckets, driver-side (bounded: ≤ `buckets` ids).
+            # This derivation scan of the raw corpus is DEMO scaffolding —
+            # it exists so the DuckDB oracle can reproduce the batch from
+            # a predicate; a production MERGE receives the delta as input
+            # and computes touched buckets from the delta's keys alone.
             touched = sorted(
                 r.b
                 for r in cdc_keys.select(
@@ -825,13 +832,23 @@ def _upserted_orderkey_layout(spark, sf_dir, buckets: int = 32):
             touched_files = [
                 f for b in touched for f in live.get(b, [])
             ]
-            # 3. Merge the touched buckets' rows only.
+            # 3. Merge the touched buckets' rows only. The update rows are
+            # derived from `cur`, not from the full table: every upd_pred
+            # key's bucket is in `touched` by construction, so the two
+            # reads the staged write makes are both bucket-file-sized —
+            # deriving updates from `full` here cost a second full-corpus
+            # scan (caught by the r15 sf10 decomposition,
+            # SCALING_r15.json `upsert_scale_probe_sf10`).
             cur = spark.read.parquet(*touched_files)
+            updates = cur.filter(F.expr(upd_pred)).withColumn(
+                "o_orderdate",
+                F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+            )
             merged = cur.filter(
-                ~F.expr(f"({_UPSERT_UPD}) OR ({_UPSERT_DEL})")
+                ~F.expr(f"({upd_pred}) OR ({del_pred})")
             ).unionByName(updates)
-            stage = os.path.join(slug_dir, "orders_u_stage")
-            sname = f"tpch_iu_stage_orders_{slug}"
+            stage = os.path.join(slug_dir, f"orders_u{suffix}_stage")
+            sname = f"tpch_iu{suffix}_stage_orders_{slug}"
             spark.sql(f"DROP TABLE IF EXISTS {sname}")
             shutil.rmtree(stage, ignore_errors=True)
             (
