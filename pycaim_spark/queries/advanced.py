@@ -316,8 +316,9 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
     out = {}
     for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         src = os.path.join(sf_dir, f"{table}.parquet")
+        fp = _layout_fingerprint(src)
         slug = hashlib.md5(
-            f"{abs_sf}:{buckets}:{_layout_fingerprint(src)}".encode()
+            f"{abs_sf}:{buckets}:{fp}".encode()
         ).hexdigest()[:8]
         name = f"tpch_b_{table}_{slug}"
         slug_dir = os.path.join(layout_root, slug)
@@ -326,10 +327,13 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
         # Lock-free warm fast path (ADVICE r13): content-addressed slug +
         # immutable files once _SUCCESS exists, so no lock is needed to
         # re-serve an attach this session already made. A visible
-        # tombstone (another process superseded this slug, e.g. a
-        # bucket-count flip-flop) sends us through the locked path, which
-        # resurrects it — the slug came from the CURRENT fingerprint, so
-        # its files are valid by construction.
+        # tombstone (another process superseded this slug — a legacy
+        # marker-less supersede, or a stale-fingerprint sweep that raced
+        # this caller's regeneration) sends us through the locked path,
+        # which resurrects it — the slug came from the CURRENT
+        # fingerprint, so its files are valid by construction. Same-bytes
+        # bucket-count variants are SIBLINGS since r16 (fp-keyed GC) and
+        # no longer tombstone each other.
         if (
             os.path.exists(os.path.join(path, "_SUCCESS"))
             and not os.path.exists(tomb)
@@ -354,10 +358,11 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
                 )
                 _write_json_atomic(
                     os.path.join(slug_dir, "source.json"),
-                    {"sf_dir": abs_sf, "table": table, "buckets": buckets},
+                    {"sf_dir": abs_sf, "table": table, "buckets": buckets,
+                     "fp": fp},
                 )
                 _gc_superseded_layouts(
-                    spark, layout_root, slug, abs_sf, table
+                    spark, layout_root, slug, abs_sf, table, fp
                 )
             if not spark.catalog.tableExists(name):
                 df = load_table(spark, sf_dir, table)
@@ -378,11 +383,11 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
                     _write_json_atomic(
                         marker,
                         {"sf_dir": abs_sf, "table": table,
-                         "buckets": buckets},
+                         "buckets": buckets, "fp": fp},
                     )
             # Resurrect a tombstoned-but-not-yet-collected slug we are
-            # (re-)serving (e.g. a bucket-count flip-flop within the
-            # grace period): the slug was computed from the CURRENT
+            # (re-)serving (e.g. a raced supersede within the grace
+            # period): the slug was computed from the CURRENT
             # fingerprint, so its files are not stale for this caller,
             # and leaving the tombstone would let a later GC pass delete
             # a slug this catalog entry actively serves.
@@ -393,7 +398,8 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
 
 
 def _gc_superseded_layouts(
-    spark, layout_root: str, keep_slug: str, abs_sf: str, table: str
+    spark, layout_root: str, keep_slug: str, abs_sf: str, table: str,
+    fp: str | None = None,
 ) -> None:
     """Two-phase layout GC, called under the layout-root flock from a
     cold build (see `_bucketed_orderkey_layout`'s docstring for the
@@ -426,17 +432,31 @@ def _gc_superseded_layouts(
                     meta = json.load(f)
             except (OSError, ValueError):
                 meta = None
-        # Phase 1: newly superseded same-(sf_dir, table) slug → tombstone.
+        # Phase 1: tombstone same-(sf_dir, table) slugs whose source
+        # FINGERPRINT is stale (r16). Bucket count alone is NOT staleness:
+        # a 512-bucket probe layout over the same bytes is a live SIBLING
+        # of the 32-bucket fixture, not a superseded version of it — the
+        # pre-r16 rule (supersede on (sf_dir, table) regardless) forced a
+        # tombstone/resurrect flip-flop, and a grace-expiry rebuild,
+        # whenever two counts were in use at once. A changed fingerprint
+        # (corpus regenerated) supersedes EVERY bucket variant — their
+        # content-addressed slugs can never be served again, so they are
+        # pure garbage. Legacy markers without an ``fp`` field keep the
+        # old supersede-on-sight semantics (at worst one tombstone/
+        # resurrect round-trip, which the locked path already handles).
         if (
             meta is not None
             and (meta.get("sf_dir"), meta.get("table")) == (abs_sf, table)
+            and (fp is None or meta.get("fp") is None or meta["fp"] != fp)
             and not os.path.exists(tomb)
         ):
-            # The incremental namespace ("<table>#incr" markers) attaches
-            # under tpch_ia_/tpch_ic_ names; the one-shot layout under
+            # The incremental namespaces ("<table>#<ns>" markers, ns =
+            # "incr" for the shared lifecycle fixture, "ip*" for the
+            # in-place upsert arm's private layout) attach under
+            # tpch_ia_/tpch_ic_/tpch_iu_ names; the one-shot layout under
             # tpch_b_. "#" is not a valid identifier character, so the
             # marker string itself is never used as a table name.
-            if table.endswith("#incr"):
+            if "#" in table:
                 base = table.split("#", 1)[0]
                 drops = [f"tpch_ia_{base}_{sib}", f"tpch_ic_{base}_{sib}",
                          f"tpch_iu_{base}_{sib}"]
@@ -464,7 +484,8 @@ def _gc_superseded_layouts(
 
 
 def _incremental_orderkey_layout(
-    spark, sf_dir, buckets: int = 32, compacted: bool = False
+    spark, sf_dir, buckets: int = 32, compacted: bool = False,
+    ns: str = "incr", tables: tuple[str, ...] = ("lineitem", "orders"),
 ):
     """Incremental lifecycle for the orderkey-bucketed layout (round 14):
     at 100 TB a production layout is never REBUILT when data arrives — a
@@ -498,7 +519,10 @@ def _incremental_orderkey_layout(
       files from an 8-bucket compaction; the file-read path yields
       exactly ``buckets``).
 
-    Slug namespace: ``table#incr`` in the provenance marker, so the main
+    Slug namespace: ``table#<ns>`` in the provenance marker (``ns`` =
+    "incr" for the shared lifecycle fixture; the in-place upsert arm
+    passes its own ``ip*`` namespace so its destructive merge never
+    mutates the compacted table other queries serve), so the main
     layout's GC never treats these as superseding its slugs and vice
     versa. Returns (lineitem_df, orders_df) for the requested state."""
     import hashlib
@@ -517,9 +541,12 @@ def _incremental_orderkey_layout(
     abs_sf = os.path.abspath(sf_dir)
     out = {}
     for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        if table not in tables:
+            continue
         src = os.path.join(sf_dir, f"{table}.parquet")
+        fp = _layout_fingerprint(src)
         slug = hashlib.md5(
-            f"{abs_sf}:{buckets}:incr:{_layout_fingerprint(src)}".encode()
+            f"{abs_sf}:{buckets}:{ns}:{fp}".encode()
         ).hexdigest()[:8]
         name = f"tpch_ia_{table}_{slug}"
         cname = f"tpch_ic_{table}_{slug}"
@@ -563,6 +590,31 @@ def _incremental_orderkey_layout(
                     os.remove(append_marker)
                 spark.sql(f"DROP TABLE IF EXISTS {cname}")
                 shutil.rmtree(cpath, ignore_errors=True)
+                # ... and the UPSERT derivatives of the compacted state
+                # (ADVICE r15): surviving upsert markers would warm-path
+                # a stale orders_u* clone (or, in-place, skip re-merging
+                # the rebuilt compacted table). Markers first (so a crash
+                # mid-cleanup fails closed: no marker → full re-derive),
+                # then tables, then dirs; the globs are no-ops for
+                # tables that never had an upsert.
+                import glob as _glob
+
+                for um in _glob.glob(
+                    os.path.join(slug_dir, "upsert*_orders.json")
+                ):
+                    sfx = os.path.basename(um)[
+                        len("upsert"):-len("_orders.json")
+                    ]
+                    for t in (
+                        f"tpch_iu{sfx}_orders_{slug}",
+                        f"tpch_iu{sfx}_stage_orders_{slug}",
+                    ):
+                        spark.sql(f"DROP TABLE IF EXISTS {t}")
+                    os.remove(um)
+                for ud in _glob.glob(
+                    os.path.join(slug_dir, "orders_u*")
+                ) + _glob.glob(os.path.join(slug_dir, "orders_c_old-*")):
+                    shutil.rmtree(ud, ignore_errors=True)
                 (
                     full.filter(F.col(key) % 7 != 0)
                     .repartition(buckets, F.col(key))
@@ -574,11 +626,12 @@ def _incremental_orderkey_layout(
                 )
                 _write_json_atomic(
                     os.path.join(slug_dir, "source.json"),
-                    {"sf_dir": abs_sf, "table": f"{table}#incr",
-                     "buckets": buckets},
+                    {"sf_dir": abs_sf, "table": f"{table}#{ns}",
+                     "buckets": buckets, "fp": fp},
                 )
                 _gc_superseded_layouts(
-                    spark, layout_root, slug, abs_sf, f"{table}#incr"
+                    spark, layout_root, slug, abs_sf, f"{table}#{ns}",
+                    fp,
                 )
             if not spark.catalog.tableExists(name):
                 ddl = ", ".join(
@@ -631,7 +684,7 @@ def _incremental_orderkey_layout(
             if os.path.exists(tomb):
                 os.remove(tomb)
         out[table] = spark.table(want_name)
-    return out["lineitem"], out["orders"]
+    return out.get("lineitem"), out.get("orders")
 
 
 @register(
@@ -686,9 +739,19 @@ def tpch_q3_layout_compacted(spark, sf_dir):
 #: group key, so a missed or double-applied update is visible in the
 #: result at both gate scales: 2 updated keys appear in the sf0.001
 #: result, 11 at sf0.01), keys ≡0 (mod 503) are DELETED (1 and 3 result
-#: rows respectively). Deletes take precedence on the overlap.
+#: rows respectively). Deletes take precedence on the overlap. r16 adds
+#: INSERTS — the dominant CDC verb (VERDICT r15 #1): keys ≡0 (mod 113)
+#: are cloned with ``o_orderkey + 10^9`` (the fixtures' orderkeys are
+#: dense 0..N−1 BIGINTs at every scale incl. the replica-scaled sf10,
+#: so the offset can never collide with a live key); 14 inserted rows
+#: at sf0.001, 133 at sf0.01. Inserted keys have no lineitem rows, so
+#: Q3 can't see them — `layout_upsert_audit` aggregates the upserted
+#: table directly (per-priority counts + exact sums + an inserted-row
+#: count) so a dropped/double-applied insert batch hash-fails there.
 _UPSERT_UPD = "o_orderkey % 83 = 0 AND o_orderkey % 503 <> 0"
 _UPSERT_DEL = "o_orderkey % 503 = 0"
+_UPSERT_INS = "o_orderkey % 113 = 0"
+_UPSERT_INS_OFFSET = 1_000_000_000
 
 
 def _upserted_orderkey_layout(
@@ -697,46 +760,78 @@ def _upserted_orderkey_layout(
     buckets: int = 32,
     upd_pred: str = _UPSERT_UPD,
     del_pred: str = _UPSERT_DEL,
+    ins_pred: str | None = _UPSERT_INS,
     suffix: str = "",
+    inplace: bool = False,
+    with_lineitem: bool = True,
 ):
-    """CDC-style MERGE (update + delete) applied BUCKET-LOCALLY to the
-    compacted incremental layout — the remaining production lifecycle
-    motion after r14's append/compact: at 100 TB a CDC batch must rewrite
-    only the buckets its keys hash into, never the table.
+    """CDC-style MERGE (insert + update + delete) applied BUCKET-LOCALLY
+    to the compacted incremental layout — the remaining production
+    lifecycle motion after r14's append/compact: at 100 TB a CDC batch
+    must rewrite only the buckets its keys hash into, never the table.
 
     Mechanics (all under the layout flock):
 
     1. Clone the compacted ``orders`` state into an ``orders_u`` sibling
        (file copy — the compacted table keeps serving its own queries).
+       With ``inplace=True`` there is NO clone: the merge mutates the
+       compacted table of a PRIVATE layout namespace (``ip<suffix>``,
+       built identically, so no shared query ever reads the mutated
+       table), which is the arm whose bytes accounting is honest at
+       scale — the cloned form's ``copytree`` is fixture scaffolding
+       that at 100 TB would itself be a full-table rewrite (VERDICT r15
+       #2). Measured at sf10: the clone copies 242 MB before the merge
+       touches 45 MB; the in-place arm's total bytes ≈ the touched
+       buckets' staged rewrite alone (SCALING_r16.json
+       `upsert_inplace_vs_clone_sf10`).
     2. Compute the touched buckets driver-side as
-       ``pmod(hash(key), buckets)`` over the CDC keys — ``F.hash`` is the
-       same Murmur3(seed 42) Spark's ``HashPartitioning`` derives bucket
-       ids from, and the staging step ASSERTS that parity (any staged
-       file landing outside the predicted set fails loudly rather than
-       mis-placing rows).
+       ``pmod(hash(key), buckets)`` over the CDC keys — update/delete
+       keys AND the insert batch's NEW keys (which hash-route into
+       their buckets exactly like resident keys; ``F.hash`` is the same
+       Murmur3(seed 42) Spark's ``HashPartitioning`` derives bucket ids
+       from, and the staging step ASSERTS that parity: any staged file
+       landing outside the predicted set fails loudly rather than
+       mis-placing rows). An empty batch (predicates matching nothing
+       at this scale) short-circuits: marker with ``touched_buckets:
+       []``, table served unmodified (ADVICE r15).
     3. Read ONLY the touched buckets' parquet files, apply the merge in
-       DataFrame land (drop update+delete keys, union the new versions),
-       and write the result through a STAGING bucketed table with the
-       same bucket spec and sort — one sorted file per non-empty touched
-       bucket.
+       DataFrame land (drop update+delete keys, union the new versions
+       and the insert rows), and write the result through a STAGING
+       bucketed table with the same bucket spec and sort — one sorted
+       file per non-empty touched bucket. Inserts therefore land IN
+       their buckets' single sorted file, not as extra per-bucket files:
+       the upserted table never enters the multi-file state appends
+       create.
     4. Swap at file level: remove the touched buckets' old files, rename
        the staged files in (bucket identity travels in the ``_NNNNN``
        filename suffix), refresh the table's file-listing cache. Marker-
-       guarded (``upsert_orders.json``, written LAST) so re-runs attach;
-       a crash anywhere before the marker self-heals on the next attach
-       by re-cloning from the pristine compacted state and redoing the
-       merge. The residual window is a CONCURRENT reader of ``orders_u``
-       during the remove-then-rename instants — the local stand-in for a
+       guarded (``upsert_orders.json``, written LAST) so re-runs attach.
+       Crash safety differs by arm: the CLONED form self-heals by
+       re-cloning from the pristine compacted state and redoing the
+       merge; the IN-PLACE form has no pristine copy to re-clone, so the
+       swap is journaled — a ``pending`` marker (touched buckets, staged
+       file names, undo-dir name) is written before any file moves, old
+       files are MOVED to an undo dir (never deleted), and recovery
+       rolls an uncommitted swap BACK (staged names out, displaced files
+       restored) so the normal path re-merges from pristine state;
+       committed undo dirs are tombstoned and collected after
+       ``$PYCAIM_LAYOUT_GC_GRACE`` like every other two-phase GC in this
+       repo. The residual window in both arms is a CONCURRENT reader
+       during the remove/rename instants — the local stand-in for a
        table-format MERGE commit, the same caveat as append (r14).
 
     Untouched buckets' files are not opened, not rewritten, not renamed —
-    pinned by tests/test_storage.py. One sorted file per bucket is
+    pinned by tests/test_storage.py (incl. an insert-only batch touching
+    only the inserted keys' buckets). One sorted file per bucket is
     preserved, so unlike the append state the upserted table keeps the
     sort-free co-located merge. Returns (lineitem_df, orders_upserted_df).
     """
+    import glob as _glob
     import hashlib
+    import json
     import re
     import shutil
+    import time
 
     from pycaim_spark.operators.dedup import (
         _store_write_lock,
@@ -744,18 +839,39 @@ def _upserted_orderkey_layout(
     )
     from pycaim_spark.queries.relational import _SCRATCH
 
-    lib, _ob = _incremental_orderkey_layout(spark, sf_dir, compacted=True)
+    ns = f"ip{suffix}" if inplace else "incr"
+    # lineitem always comes from the SHARED compacted layout (the merge
+    # never touches it — the in-place arm's private namespace only needs
+    # its own mutable orders; co-located SMJs only require both sides
+    # bucketed on the same count, not the same table family). Probes that
+    # measure the orders motion alone skip the lineitem scaffolding.
+    lib = None
+    if with_lineitem:
+        lib, _ = _incremental_orderkey_layout(
+            spark, sf_dir, buckets=buckets, compacted=True
+        )
+    _incremental_orderkey_layout(
+        spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
+        tables=("orders",),
+    )
     layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
     abs_sf = os.path.abspath(sf_dir)
     src = os.path.join(sf_dir, "orders.parquet")
     slug = hashlib.md5(
-        f"{abs_sf}:{buckets}:incr:{_layout_fingerprint(src)}".encode()
+        f"{abs_sf}:{buckets}:{ns}:{_layout_fingerprint(src)}".encode()
     ).hexdigest()[:8]
     slug_dir = os.path.join(layout_root, slug)
     cpath = os.path.join(slug_dir, "orders_c")
-    upath = os.path.join(slug_dir, f"orders_u{suffix}")
-    uname = f"tpch_iu{suffix}_orders_{slug}"
+    if inplace:
+        upath = cpath
+        uname = f"tpch_ic_orders_{slug}"
+    else:
+        upath = os.path.join(slug_dir, f"orders_u{suffix}")
+        uname = f"tpch_iu{suffix}_orders_{slug}"
     marker = os.path.join(slug_dir, f"upsert{suffix}_orders.json")
+    pending = os.path.join(
+        slug_dir, f"upsert_pending{suffix}_orders.json"
+    )
     bucket_re = re.compile(r"_(\d{5})\.c\d{3}\.")
 
     def _files_by_bucket(d):
@@ -790,6 +906,7 @@ def _upserted_orderkey_layout(
     if (
         os.path.exists(os.path.join(upath, "_SUCCESS"))
         and os.path.exists(marker)
+        and not os.path.exists(pending)
         and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
         and spark.catalog.tableExists(uname)
     ):
@@ -797,8 +914,52 @@ def _upserted_orderkey_layout(
 
     full = load_table(spark, sf_dir, "orders")
     key = "o_orderkey"
+    stage = os.path.join(slug_dir, f"orders_u{suffix}_stage")
+    sname = f"tpch_iu{suffix}_stage_orders_{slug}"
     with _store_write_lock(layout_root):
-        if not os.path.exists(marker):
+        # Grace-collect committed in-place undo dirs (two-phase GC: the
+        # swap tombstones them, later locked passes delete past grace —
+        # never under a possible stale lockless reader).
+        grace = float(os.environ.get("PYCAIM_LAYOUT_GC_GRACE", "900"))
+        now = time.time()
+        for od in _glob.glob(os.path.join(slug_dir, "orders_c_old-*")):
+            tomb = os.path.join(od, "superseded.json")
+            if os.path.exists(tomb):
+                try:
+                    with open(tomb) as f:
+                        ts = float(json.load(f).get("ts", now))
+                except (OSError, ValueError, TypeError):
+                    continue
+                if now - ts > grace:
+                    shutil.rmtree(od, ignore_errors=True)
+        if os.path.exists(pending):
+            # In-place swap journaled but never committed (no final
+            # marker) → roll BACK to the pristine compacted state so the
+            # normal path below re-merges from scratch; committed (final
+            # marker present, crash before the pending unlink) → the swap
+            # is complete, just finish the cleanup.
+            with open(pending) as f:
+                pinfo = json.load(f)
+            if not os.path.exists(marker):
+                staged_names = set(pinfo.get("staged", ()))
+                for fn in list(os.listdir(upath)):
+                    if fn in staged_names:
+                        _rm_with_crc(os.path.join(upath, fn))
+                undo = os.path.join(slug_dir, pinfo["undo_dir"])
+                if os.path.isdir(undo):
+                    for fn in os.listdir(undo):
+                        if fn != "superseded.json":
+                            os.rename(
+                                os.path.join(undo, fn),
+                                os.path.join(upath, fn),
+                            )
+                    shutil.rmtree(undo, ignore_errors=True)
+                if spark.catalog.tableExists(uname):
+                    spark.catalog.refreshTable(uname)
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            shutil.rmtree(stage, ignore_errors=True)
+            os.remove(pending)
+        if not inplace and not os.path.exists(marker):
             # 1. Clone the compacted state (upsert mutates the clone).
             if os.path.exists(upath):
                 shutil.rmtree(upath)
@@ -817,17 +978,31 @@ def _upserted_orderkey_layout(
             cdc_keys = full.filter(
                 F.expr(f"({upd_pred}) OR ({del_pred})")
             ).select(key)
+            ins_rows = None
+            if ins_pred is not None:
+                ins_rows = full.filter(F.expr(ins_pred)).withColumn(
+                    key, F.col(key) + F.lit(_UPSERT_INS_OFFSET)
+                )
+                cdc_keys = cdc_keys.unionByName(ins_rows.select(key))
             # 2. Touched buckets, driver-side (bounded: ≤ `buckets` ids).
-            # This derivation scan of the raw corpus is DEMO scaffolding —
-            # it exists so the DuckDB oracle can reproduce the batch from
-            # a predicate; a production MERGE receives the delta as input
-            # and computes touched buckets from the delta's keys alone.
+            # New (insert) keys participate identically — pmod(hash) is
+            # the bucket they will LAND in. This derivation scan of the
+            # raw corpus is DEMO scaffolding — it exists so the DuckDB
+            # oracle can reproduce the batch from a predicate; a
+            # production MERGE receives the delta as input and computes
+            # touched buckets from the delta's keys alone.
             touched = sorted(
                 r.b
                 for r in cdc_keys.select(
                     F.pmod(F.hash(F.col(key)), F.lit(buckets)).alias("b")
                 ).distinct().collect()
             )
+            if not touched:
+                # Empty CDC batch at this scale (ADVICE r15): nothing to
+                # merge — commit the no-op so re-runs warm-path.
+                _write_json_atomic(marker, {"touched_buckets": []})
+                spark.catalog.refreshTable(uname)
+                return lib, spark.table(uname)
             live = _files_by_bucket(upath)
             touched_files = [
                 f for b in touched for f in live.get(b, [])
@@ -838,8 +1013,13 @@ def _upserted_orderkey_layout(
             # reads the staged write makes are both bucket-file-sized —
             # deriving updates from `full` here cost a second full-corpus
             # scan (caught by the r15 sf10 decomposition,
-            # SCALING_r15.json `upsert_scale_probe_sf10`).
-            cur = spark.read.parquet(*touched_files)
+            # SCALING_r15.json `upsert_scale_probe_sf10`). An insert-only
+            # batch into hitherto-empty buckets has no files to read.
+            cur = (
+                spark.read.parquet(*touched_files)
+                if touched_files
+                else spark.createDataFrame([], full.schema)
+            )
             updates = cur.filter(F.expr(upd_pred)).withColumn(
                 "o_orderdate",
                 F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
@@ -847,8 +1027,8 @@ def _upserted_orderkey_layout(
             merged = cur.filter(
                 ~F.expr(f"({upd_pred}) OR ({del_pred})")
             ).unionByName(updates)
-            stage = os.path.join(slug_dir, f"orders_u{suffix}_stage")
-            sname = f"tpch_iu{suffix}_stage_orders_{slug}"
+            if ins_rows is not None:
+                merged = merged.unionByName(ins_rows)
             spark.sql(f"DROP TABLE IF EXISTS {sname}")
             shutil.rmtree(stage, ignore_errors=True)
             (
@@ -868,33 +1048,71 @@ def _upserted_orderkey_layout(
                     "assignment — aborting before mis-placing rows"
                 )
             # 4. Bucket-local swap: only the touched buckets change.
-            for b in touched:
-                for f in live.get(b, []):
-                    _rm_with_crc(f)
-                for f in staged.get(b, []):
-                    _mv_with_crc(f, upath)
-            spark.sql(f"DROP TABLE IF EXISTS {sname}")
-            shutil.rmtree(stage, ignore_errors=True)
-            spark.catalog.refreshTable(uname)
-            _write_json_atomic(
-                marker, {"touched_buckets": touched}
-            )
+            if inplace:
+                # Journal first (undo-dir name + staged file names), move
+                # old files ASIDE (the undo log — there is no pristine
+                # clone to re-derive from), then rename staged in.
+                undo_name = f"orders_c_old-{int(time.time() * 1000)}"
+                undo = os.path.join(slug_dir, undo_name)
+                os.makedirs(undo, exist_ok=True)
+                _write_json_atomic(
+                    pending,
+                    {
+                        "touched": touched,
+                        "staged": sorted(
+                            os.path.basename(f)
+                            for fs in staged.values()
+                            for f in fs
+                        ),
+                        "undo_dir": undo_name,
+                    },
+                )
+                for b in touched:
+                    for f in live.get(b, []):
+                        _mv_with_crc(f, undo)
+                    for f in staged.get(b, []):
+                        _mv_with_crc(f, upath)
+                _write_json_atomic(
+                    os.path.join(undo, "superseded.json"),
+                    {"ts": time.time()},
+                )
+                spark.sql(f"DROP TABLE IF EXISTS {sname}")
+                shutil.rmtree(stage, ignore_errors=True)
+                spark.catalog.refreshTable(uname)
+                _write_json_atomic(marker, {"touched_buckets": touched})
+                os.remove(pending)
+            else:
+                for b in touched:
+                    for f in live.get(b, []):
+                        _rm_with_crc(f)
+                    for f in staged.get(b, []):
+                        _mv_with_crc(f, upath)
+                spark.sql(f"DROP TABLE IF EXISTS {sname}")
+                shutil.rmtree(stage, ignore_errors=True)
+                spark.catalog.refreshTable(uname)
+                _write_json_atomic(marker, {"touched_buckets": touched})
         tomb = os.path.join(slug_dir, "superseded.json")
         if os.path.exists(tomb):
             os.remove(tomb)
     return lib, spark.table(uname)
 
 
-@register(
-    "tpch_q3_layout_upserted",
-    tags=("composite", "storage"),
-    oracle="""
+#: The post-CDC orders view, in SQL, shared by every upsert oracle: base
+#: minus update/delete keys, plus the shifted updates, plus the inserted
+#: clones (keys + 10^9). DuckDB reproduces the exact batch the layout
+#: merge applied, so the hash gates compare full post-MERGE semantics.
+_UPSERT_ORDV_SQL = """
     WITH upd AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate + INTERVAL 30 DAY AS o_orderdate,
                o_orderpriority
         FROM orders
         WHERE o_orderkey % 83 = 0 AND o_orderkey % 503 <> 0
+    ), ins AS (
+        SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 113 = 0
     ), ordv AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
@@ -902,7 +1120,12 @@ def _upserted_orderkey_layout(
         WHERE o_orderkey % 83 <> 0 AND o_orderkey % 503 <> 0
         UNION ALL
         SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM ins
     )
+"""
+
+_UPSERT_Q3_SQL = _UPSERT_ORDV_SQL + """
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(1 - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(12,2)))
@@ -915,24 +1138,14 @@ def _upserted_orderkey_layout(
       AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate
-    """,
-)
-def tpch_q3_layout_upserted(spark, sf_dir):
-    """TPC-H Q3 over the UPSERTED incremental layout: a deterministic
-    CDC batch (updates shift o_orderdate +30 days on keys ≡0 mod 83,
-    deletes remove keys ≡0 mod 503) MERGEd bucket-locally into a clone
-    of the compacted orders state (`_upserted_orderkey_layout`). The
-    oracle applies the same batch in SQL over the raw table, so the hash
-    gate falsifies every failure mode of the file surgery: a dropped
-    bucket loses ~1/32 of orders, a double-applied delta duplicates
-    rows, a missed update leaves result rows on their old o_orderdate
-    (2 updated + 1 deleted key land in the sf0.001 result; 11 + 3 at
-    sf0.01). Full grouped rows, no LIMIT — top-10 would hide all of
-    that. Plan: still zero Exchange on either fact, and zero SMJ sorts —
-    the upsert preserves one sorted file per bucket, unlike the append
-    state (tests/test_storage.py pins files-untouched + plan)."""
-    register_temp_views(spark, sf_dir)
-    lib, ou = _upserted_orderkey_layout(spark, sf_dir)
+    """
+
+
+def _q3_upserted_body(spark, sf_dir, lib, ou):
+    """TPC-H Q3 over an upserted orders table + the shared compacted
+    lineitem — the DataFrame body both upsert arms (cloned / in-place)
+    register, so the two gates compare identical query logic over the
+    two storage motions."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -959,6 +1172,94 @@ def tpch_q3_layout_upserted(spark, sf_dir):
         .agg(fsum(disc_price, 4, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@register(
+    "tpch_q3_layout_upserted",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_Q3_SQL,
+)
+def tpch_q3_layout_upserted(spark, sf_dir):
+    """TPC-H Q3 over the UPSERTED incremental layout: a deterministic
+    CDC batch (updates shift o_orderdate +30 days on keys ≡0 mod 83,
+    deletes remove keys ≡0 mod 503, inserts clone keys ≡0 mod 113 under
+    o_orderkey + 10^9) MERGEd bucket-locally into a clone of the
+    compacted orders state (`_upserted_orderkey_layout`). The oracle
+    applies the same batch in SQL over the raw table, so the hash gate
+    falsifies the join-visible failure modes of the file surgery: a
+    dropped bucket loses ~1/32 of orders, a double-applied delta
+    duplicates rows, a missed update leaves result rows on their old
+    o_orderdate (2 updated + 1 deleted key land in the sf0.001 result;
+    11 + 3 at sf0.01). Full grouped rows, no LIMIT — top-10 would hide
+    all of that. Inserted keys have no lineitem rows, so THIS query
+    cannot see them — `layout_upsert_audit` aggregates the upserted
+    table directly and is the insert-visibility gate. Plan: still zero
+    Exchange on either fact, and zero SMJ sorts — the upsert preserves
+    one sorted file per bucket, unlike the append state
+    (tests/test_storage.py pins files-untouched + plan)."""
+    register_temp_views(spark, sf_dir)
+    lib, ou = _upserted_orderkey_layout(spark, sf_dir)
+    return _q3_upserted_body(spark, sf_dir, lib, ou)
+
+
+@register(
+    "layout_upsert_audit",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_ORDV_SQL + """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key,
+           COUNT(CASE WHEN o_orderkey >= 1000000000 THEN 1 END)
+               AS n_inserted
+    FROM ordv
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_upsert_audit(spark, sf_dir):
+    """Full-table audit of the upserted orders state — the gate that
+    makes INSERTS visible (VERDICT r15 #1): Q3 joins lineitem, and the
+    inserted clones (o_orderkey + 10^9) have no lineitem rows, so a
+    dropped/double-applied insert batch cannot change Q3's result. Here
+    every CDC verb lands in the aggregates: per-priority row counts
+    (inserts +, deletes −), an exact money sum (any row change moves
+    it), MAX(o_orderkey) (≥ 10^9 iff at least one insert survived), and
+    the explicit inserted-row count per priority. Exact spelling: the
+    Spark side sums fixed-point cents (functions/exact.py — SUM over a
+    precision-22 decimal leaves the long-backed fast path,
+    ISOLATE_r11.json `tpch_fixedpoint_paired_series`), the oracle keeps
+    the bit-identical decimal form."""
+    register_temp_views(spark, sf_dir)
+    _, ou = _upserted_orderkey_layout(spark, sf_dir, with_lineitem=False)
+    return ou.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(
+            F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
+        ).alias("n_inserted"),
+    )
+
+
+@register(
+    "tpch_q3_layout_upserted_inplace",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_Q3_SQL,
+)
+def tpch_q3_layout_upserted_inplace(spark, sf_dir):
+    """TPC-H Q3 over the IN-PLACE upsert arm (VERDICT r15 #2): the same
+    CDC batch MERGEd directly into the compacted orders table of a
+    private layout namespace — no copytree clone anywhere in the motion,
+    so its bytes accounting is the one that scales (the cloned arm
+    copies the full table as fixture scaffolding before touching ~19% of
+    it). Crash safety comes from the journaled undo-log swap instead of
+    the pristine-clone re-derive (see `_upserted_orderkey_layout`).
+    Identical oracle and query body as tpch_q3_layout_upserted: both
+    arms must produce the same post-MERGE table."""
+    register_temp_views(spark, sf_dir)
+    lib, ou = _upserted_orderkey_layout(spark, sf_dir, inplace=True)
+    return _q3_upserted_body(spark, sf_dir, lib, ou)
 
 
 @register(

@@ -198,21 +198,25 @@ def test_bucketed_layout_concurrent_build_regen_gc(
     spark, tmp_path, monkeypatch
 ):
     """Round 13 (VERDICT r12 #3 + ADVICE r12), GC semantics hardened
-    round 14 (ADVICE r13): the bucketed-layout builder is (a) race-safe —
-    two concurrent cold builds, serialized by the layout-root flock with
-    a double-checked ``_SUCCESS`` re-test, produce ONE valid layout that
-    both callers can query; (b) bucket-count-keyed — a different
-    ``buckets`` yields a distinct slug and a rebuild, and the superseded
-    slug is TOMBSTONED (catalog dropped, ``superseded.json`` written) but
-    its files survive the grace period so in-flight readers don't crash
-    mid-scan; (c) fingerprint-keyed — in-place regeneration (same bytes,
-    new mtime_ns) rebuilds, and a past-grace tombstone is deleted by the
-    NEXT cold build's GC pass; (d) marker-less legacy/crashed-build dirs
-    are age-collected, while fresh marker-less dirs (a build in progress)
-    are kept; (e) the warm attach path is lock-free — it completes while
-    another process holds the layout-root flock (ADVICE r13: the locked
-    warm path parked every bench child behind any concurrent cold
-    build); (f) re-attaching to a tombstoned slug resurrects it."""
+    round 14 (ADVICE r13) and re-keyed round 16 (fp-based supersede):
+    the bucketed-layout builder is (a) race-safe — two concurrent cold
+    builds, serialized by the layout-root flock with a double-checked
+    ``_SUCCESS`` re-test, produce ONE valid layout that both callers can
+    query; (b) bucket-count-keyed but SIBLING-preserving — a different
+    ``buckets`` yields a distinct slug and a rebuild, and both variants
+    stay live side by side (r16: the 512-bucket probe layout must not
+    tombstone the 32-bucket fixture mid-curve); (c) fingerprint-keyed —
+    in-place regeneration (same bytes, new mtime_ns) rebuilds, and the
+    GC pass tombstones EVERY stale-fingerprint variant (catalog dropped,
+    ``superseded.json`` written) while their files survive the grace
+    period so in-flight readers don't crash mid-scan; a past-grace
+    tombstone is deleted by the NEXT cold build's GC pass; (d)
+    marker-less legacy/crashed-build dirs are age-collected, while fresh
+    marker-less dirs (a build in progress) are kept; (e) the warm attach
+    path is lock-free — it completes while another process holds the
+    layout-root flock (ADVICE r13: the locked warm path parked every
+    bench child behind any concurrent cold build); (f) re-attaching to a
+    tombstoned slug resurrects it."""
     import json
     import os
     import shutil
@@ -273,34 +277,24 @@ def test_bucketed_layout_concurrent_build_regen_gc(
         slug32 = slugs_for("lineitem")[0]
         orders32 = slugs_for("orders")[0]
 
-        # (b) bucket count is part of the key: buckets=8 is a new slug;
-        # the 32-bucket slug is tombstoned (catalog dropped) but its
-        # files survive the grace period for in-flight readers.
+        # (b) bucket count is part of the key: buckets=8 is a new slug —
+        # and a SIBLING, not a supersession (r16 fp-keyed GC): both
+        # variants carry the same source fingerprint, so both stay live
+        # and queryable side by side.
         lib8, _ = _bucketed_orderkey_layout(spark, corpus, buckets=8)
         assert lib8.count() == src_rows
-        assert slugs_for("lineitem") != [slug32]
-        assert len(slugs_for("lineitem")) == 1
-        assert not spark.catalog.tableExists(f"tpch_b_lineitem_{slug32}")
-        assert os.path.exists(
+        live = slugs_for("lineitem")
+        assert slug32 in live and len(live) == 2
+        slug8 = next(s for s in live if s != slug32)
+        assert spark.catalog.tableExists(f"tpch_b_lineitem_{slug32}")
+        assert not os.path.exists(
             os.path.join(layout_root, slug32, "superseded.json"))
-        assert os.path.exists(os.path.join(layout_root, slug32))
-
-        # (d-setup) marker-less dirs: one aged (legacy/crashed build),
-        # one fresh (a concurrent build in progress looks like this).
-        os.makedirs(fake_aged)
-        os.utime(fake_aged, (time.time() - 7200, time.time() - 7200))
-        os.makedirs(fake_fresh)
-        # Age the (b) tombstone past the grace so (c)'s GC pass collects
-        # exactly this slug and nothing else.
-        tomb32 = os.path.join(layout_root, slug32, "superseded.json")
-        with open(tomb32, "w") as f:
-            json.dump({"ts": time.time() - 7200}, f)
 
         # (c) in-place regeneration: same bytes, new mtime_ns -> new
         # fingerprint (the r12 two-scalar fingerprint collided here),
-        # rebuild; this pass's GC collects the (b) tombstone (aged past
-        # grace above) and freshly tombstones the 8-bucket slug.
-        slug8 = slugs_for("lineitem")[0]
+        # rebuild; this pass's GC tombstones EVERY stale-fingerprint
+        # lineitem variant — the 32-bucket slug AND its 8-bucket sibling
+        # (catalog dropped, files kept for the grace period).
         fp_before = _layout_fingerprint(
             os.path.join(corpus, "lineitem.parquet"))
         shutil.copy(f"/root/testdata/sf0.001/lineitem.parquet",
@@ -310,19 +304,48 @@ def test_bucketed_layout_concurrent_build_regen_gc(
         lib_new, _ = _bucketed_orderkey_layout(spark, corpus)
         assert lib_new.count() == src_rows
         assert len(slugs_for("lineitem")) == 1
-        assert slugs_for("lineitem") != [slug8]
+        slug32b = slugs_for("lineitem")[0]
+        assert slug32b not in (slug32, slug8)
+        for stale in (slug32, slug8):
+            assert os.path.exists(
+                os.path.join(layout_root, stale, "superseded.json")), stale
+            assert os.path.exists(os.path.join(layout_root, stale)), stale
+            assert not spark.catalog.tableExists(f"tpch_b_lineitem_{stale}")
+
+        # (d-setup) marker-less dirs: one aged (legacy/crashed build),
+        # one fresh (a concurrent build in progress looks like this);
+        # age slug32's tombstone past the grace so the NEXT cold build's
+        # GC pass collects exactly it (slug8's tombstone stays fresh).
+        os.makedirs(fake_aged)
+        os.utime(fake_aged, (time.time() - 7200, time.time() - 7200))
+        os.makedirs(fake_fresh)
+        tomb32 = os.path.join(layout_root, slug32, "superseded.json")
+        with open(tomb32, "w") as f:
+            json.dump({"ts": time.time() - 7200}, f)
+        shutil.copy(f"/root/testdata/sf0.001/lineitem.parquet",
+                    os.path.join(corpus, "lineitem.parquet"))
+        lib_new2, _ = _bucketed_orderkey_layout(spark, corpus)
+        assert lib_new2.count() == src_rows
+        # past-grace tombstone collected; fresh tombstone survives.
         assert not os.path.exists(os.path.join(layout_root, slug32))
-        assert os.path.exists(
-            os.path.join(layout_root, slug8, "superseded.json"))
-        assert not spark.catalog.tableExists(f"tpch_b_lineitem_{slug8}")
-        # (d) the lineitem cold build's GC pass also swept marker-less
-        # dirs: aged collected, fresh kept.
+        assert os.path.exists(os.path.join(layout_root, slug8))
+        # (d) marker-less sweep: aged collected, fresh kept.
         assert not os.path.exists(fake_aged)
         assert os.path.exists(fake_fresh)
-        # (f) the orders pass re-attached to its (b)-tombstoned 32-bucket
-        # slug (orders' fingerprint didn't change) and resurrected it:
-        # the tombstone is gone and the slug is live again.
+
+        # (f) resurrection: a tombstoned-but-uncollected LIVE slug (e.g.
+        # a raced supersede) re-attaches through the locked path, which
+        # clears the tombstone — orders' fingerprint never changed, so
+        # its original slug must come back live.
+        with open(os.path.join(layout_root, orders32, "superseded.json"),
+                  "w") as f:
+            json.dump({"ts": time.time()}, f)
+        spark.sql(f"DROP TABLE IF EXISTS tpch_b_orders_{orders32}")
+        _, ob = _bucketed_orderkey_layout(spark, corpus)
+        assert ob.count() > 0
         assert orders32 in slugs_for("orders")
+        assert not os.path.exists(
+            os.path.join(layout_root, orders32, "superseded.json"))
         assert spark.catalog.tableExists(f"tpch_b_orders_{orders32}")
 
         # (e) warm attach is lock-free: with the layout-root flock held
@@ -509,13 +532,374 @@ def test_upserted_layout_bucket_local_rewrite(spark, sf_dir):
             assert "o_orderkey" not in line, line
     assert not re.search(r"Sort \[", plan), plan
 
-    # (c) MERGE row accounting + idempotent attach.
+    # (c) MERGE row accounting (deletes −, inserts +, updates neutral)
+    # + idempotent attach.
     lib, ou = _upserted_orderkey_layout(spark, sf_dir)
     full = load_table(spark, sf_dir, "orders")
     n_del = full.filter("o_orderkey % 503 = 0").count()
-    assert ou.count() == full.count() - n_del
+    n_ins = full.filter("o_orderkey % 113 = 0").count()
+    assert n_ins > 0
+    want = full.count() - n_del + n_ins
+    assert ou.count() == want
     lib2, ou2 = _upserted_orderkey_layout(spark, sf_dir)
-    assert ou2.count() == full.count() - n_del
+    assert ou2.count() == want
+
+
+def _reset_private_ns_layout(spark, sf_dir, ns, buckets=32):
+    """Wipe a private-namespace orders layout (slug dir + catalog
+    entries) so a test's mutating motions always start from a pristine
+    rebuild — scratch persists across pytest runs, and an in-place
+    upsert's marker would otherwise warm-path the PREVIOUS run's mutated
+    table into this run's expectations."""
+    import hashlib
+    import os
+    import shutil
+
+    from pycaim_spark.queries.advanced import _layout_fingerprint
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{buckets}:{ns}:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    for t in (f"tpch_ia_orders_{slug}", f"tpch_ic_orders_{slug}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(
+        os.path.join(_SCRATCH, "bucketed_tpch", slug), ignore_errors=True
+    )
+    return slug
+
+
+def test_upsert_insert_only_batch_is_bucket_local(spark, sf_dir):
+    """An INSERT-only CDC batch (VERDICT r15 #1) must touch ONLY the
+    buckets the new keys hash into: new keys route through the same
+    pmod(hash) the resident keys did at write time, land in their
+    buckets' single sorted file via the staged rewrite, and every other
+    bucket's file is byte-name-identical to the compacted state."""
+    import hashlib
+    import json
+    import os
+    import re
+
+    from pycaim_spark.queries.advanced import (
+        _UPSERT_INS_OFFSET,
+        _layout_fingerprint,
+        _upserted_orderkey_layout,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    ins_pred = "o_orderkey % 1009 = 0"
+    _, ou = _upserted_orderkey_layout(
+        spark, sf_dir, upd_pred="1 = 0", del_pred="1 = 0",
+        ins_pred=ins_pred, suffix="insonly", with_lineitem=False,
+    )
+    full = load_table(spark, sf_dir, "orders")
+    n_ins = full.filter(ins_pred).count()
+    assert n_ins > 0
+    assert ou.count() == full.count() + n_ins
+    # The inserted clones are present under their offset keys.
+    assert (
+        ou.filter(F.col("o_orderkey") >= _UPSERT_INS_OFFSET).count()
+        == n_ins
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:incr:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    with open(os.path.join(slug_dir, "upsertinsonly_orders.json")) as f:
+        touched = set(json.load(f)["touched_buckets"])
+    # Touched == exactly the buckets the INSERT keys hash into.
+    want = {
+        r.b
+        for r in full.filter(ins_pred)
+        .select(
+            F.pmod(
+                F.hash(F.col("o_orderkey") + F.lit(_UPSERT_INS_OFFSET)),
+                F.lit(32),
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert touched == want
+    assert set(range(32)) - touched, "fixture insert batch hit every bucket"
+
+    bucket_re = re.compile(r"_(\d{5})\.c\d{3}\.")
+
+    def files_by_bucket(d):
+        out = {}
+        for fn in os.listdir(d):
+            m = bucket_re.search(fn)
+            if m and not fn.startswith("."):
+                out.setdefault(int(m.group(1)), []).append(fn)
+        return out
+
+    c_files = files_by_bucket(os.path.join(slug_dir, "orders_c"))
+    u_files = files_by_bucket(os.path.join(slug_dir, "orders_uinsonly"))
+    for b in sorted(c_files):
+        assert len(u_files.get(b, ())) == 1, (b, u_files.get(b))
+        if b in touched:
+            assert u_files[b] != c_files[b], f"insert bucket {b} kept"
+        else:
+            assert u_files[b] == c_files[b], \
+                f"untouched bucket {b} was rewritten by an insert batch"
+
+
+def test_upsert_inplace_arm_rows_and_rollback_recovery(spark, sf_dir):
+    """The IN-PLACE upsert arm (VERDICT r15 #2): same MERGE semantics as
+    the cloned arm with no copytree anywhere, attach idempotent; and its
+    journaled undo-log swap ROLLS BACK an uncommitted crash — a pending
+    marker with half the old files displaced and half the staged names
+    renamed in must recover to the pristine compacted state and then
+    re-merge to the correct result (value equality vs the cloned arm,
+    which derives from its own pristine clone)."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from pycaim_spark.queries.advanced import (
+        _incremental_orderkey_layout,
+        _layout_fingerprint,
+        _upserted_orderkey_layout,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    full = load_table(spark, sf_dir, "orders")
+    n_del = full.filter("o_orderkey % 503 = 0").count()
+    n_ins = full.filter("o_orderkey % 113 = 0").count()
+    want = full.count() - n_del + n_ins
+
+    lib, ou = _upserted_orderkey_layout(spark, sf_dir, inplace=True)
+    assert ou.count() == want
+    _, ou2 = _upserted_orderkey_layout(spark, sf_dir, inplace=True)
+    assert ou2.count() == want
+
+    # --- crash-recovery arm, on its own namespace ("ipcrash"), RESET
+    # first (scratch persists across runs; a surviving upsertcrash
+    # marker would make recovery treat the fabricated pending as an
+    # already-committed swap). Build the pristine compacted orders, then
+    # fabricate the exact on-disk state of a crash mid-swap: two bucket
+    # files displaced into the undo dir, two fake staged names renamed
+    # in, pending journal written, no final marker.
+    slug = _reset_private_ns_layout(spark, sf_dir, "ipcrash")
+    spark.sql(f"DROP TABLE IF EXISTS tpch_iucrash_stage_orders_{slug}")
+    _incremental_orderkey_layout(
+        spark, sf_dir, compacted=True, ns="ipcrash", tables=("orders",)
+    )
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    cpath = os.path.join(slug_dir, "orders_c")
+    pristine = {
+        fn: os.path.getsize(os.path.join(cpath, fn))
+        for fn in os.listdir(cpath)
+        if fn.endswith(".parquet")
+    }
+    victims = sorted(pristine)[:2]
+    undo_name = "orders_c_old-999"
+    undo = os.path.join(slug_dir, undo_name)
+    os.makedirs(undo)
+    staged_names = []
+    for i, fn in enumerate(victims):
+        os.rename(os.path.join(cpath, fn), os.path.join(undo, fn))
+        fake = fn.replace("part-", f"part-crash{i}-")
+        shutil.copy(os.path.join(undo, fn), os.path.join(cpath, fake))
+        staged_names.append(fake)
+    with open(
+        os.path.join(slug_dir, "upsertcrash_pending_sentinel"), "w"
+    ) as f:
+        f.write("")  # noise file: recovery must not trip on strangers
+    with open(
+        os.path.join(slug_dir, "upsert_pendingcrash_orders.json"), "w"
+    ) as f:
+        json.dump(
+            {"touched": [0, 1], "staged": staged_names,
+             "undo_dir": undo_name},
+            f,
+        )
+
+    _, ouc = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="crash", inplace=True
+    )
+    # Recovery rolled back (staged fakes gone, victims restored — the
+    # re-merge then rewrote SOME buckets, so compare against row truth,
+    # not file names) and the merge produced the correct table.
+    assert ouc.count() == want
+    assert not os.path.exists(
+        os.path.join(slug_dir, "upsert_pendingcrash_orders.json")
+    )
+    assert not os.path.exists(undo) or os.path.exists(
+        os.path.join(undo, "superseded.json")
+    )
+    for fake in staged_names:
+        assert not os.path.exists(os.path.join(cpath, fake))
+    # Value equality with the cloned arm: identical post-MERGE corpus.
+    a = _bits(
+        ou.orderBy("o_orderkey").select("o_orderkey", "o_totalprice",
+                                        "o_orderdate").collect()
+    )
+    b = _bits(
+        ouc.orderBy("o_orderkey").select("o_orderkey", "o_totalprice",
+                                         "o_orderdate").collect()
+    )
+    assert a == b
+
+
+def test_layout_lifecycle_composition(spark, sf_dir):
+    """Interleaved lifecycle on ONE table (VERDICT r15 #4): in-place
+    upsert → bucketed append → in-place compaction → second upsert, each
+    step value-checked against an independently derived expectation over
+    the raw corpus (full-table DataFrame algebra — a different code path
+    from the bucket-local file surgery; the DuckDB gates cover the
+    registered single-motion forms). Also pins the marker/file-state
+    transitions: one file per bucket after upsert, multi-file buckets
+    after append, one per bucket again after compaction, marker
+    re-written by the second batch."""
+    import hashlib
+    import json
+    import os
+    import re
+    import shutil
+
+    from pycaim_spark.queries.advanced import (
+        _UPSERT_DEL,
+        _UPSERT_INS,
+        _UPSERT_INS_OFFSET,
+        _UPSERT_UPD,
+        _layout_fingerprint,
+        _upserted_orderkey_layout,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    full = load_table(spark, sf_dir, "orders")
+    key = "o_orderkey"
+
+    # Reset the private namespace: every motion below mutates the table
+    # in place, so a pristine rebuild per run is the precondition.
+    slug = _reset_private_ns_layout(spark, sf_dir, "iplc")
+    spark.sql(f"DROP TABLE IF EXISTS tpch_iulc_stage_orders_{slug}")
+    spark.sql(f"DROP TABLE IF EXISTS tpch_iclc_cstage_orders_{slug}")
+
+    def digest(df):
+        from pycaim_spark.functions.exact import cents, fsum
+
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            fsum(cents("o_totalprice"), 2, "s"),
+            F.sum(F.hash(key, "o_orderdate", "o_custkey")
+                  .cast("long")).alias("h"),
+        ).collect()[0]
+        return (r.n, r.s, r.h)
+
+    # Step 1: in-place upsert (default CDC batch) on namespace "iplc".
+    _, t = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="lc", inplace=True, with_lineitem=False
+    )
+    upd = full.filter(_UPSERT_UPD).withColumn(
+        "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    ins = full.filter(_UPSERT_INS).withColumn(
+        key, F.col(key) + F.lit(_UPSERT_INS_OFFSET)
+    )
+    e1 = (
+        full.filter(f"NOT (({_UPSERT_UPD}) OR ({_UPSERT_DEL}))")
+        .unionByName(upd)
+        .unionByName(ins)
+    )
+    assert digest(t) == digest(e1)
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:iplc:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    tpath = os.path.join(slug_dir, "orders_c")
+    tname = f"tpch_ic_orders_{slug}"
+    marker = os.path.join(slug_dir, "upsertlc_orders.json")
+    bucket_re = re.compile(r"_(\d{5})\.c\d{3}\.")
+
+    def files_per_bucket():
+        out = {}
+        for fn in os.listdir(tpath):
+            m = bucket_re.search(fn)
+            if m and not fn.startswith("."):
+                out[int(m.group(1))] = out.get(int(m.group(1)), 0) + 1
+        return out
+
+    assert set(files_per_bucket().values()) == {1}
+    assert os.path.exists(marker)
+
+    # Step 2: bucketed APPEND of a delta (same recipe as the incremental
+    # layout's append motion) — multi-file buckets appear.
+    delta = full.filter("o_orderkey % 307 = 0").withColumn(
+        key, F.col(key) + F.lit(2 * _UPSERT_INS_OFFSET)
+    )
+    (
+        delta.repartition(32, F.col(key))
+        .write.mode("append")
+        .bucketBy(32, key)
+        .sortBy(key)
+        .option("path", tpath)
+        .saveAsTable(tname)
+    )
+    spark.catalog.refreshTable(tname)
+    e2 = e1.unionByName(delta)
+    assert digest(spark.table(tname)) == digest(e2)
+    assert max(files_per_bucket().values()) > 1
+
+    # Step 3: in-place COMPACTION (file-read → repartition → staged
+    # rewrite → full swap) — one file per bucket again, rows unchanged.
+    stage = os.path.join(slug_dir, "orders_c_compact_stage")
+    cstage_name = f"tpch_iclc_cstage_orders_{slug}"
+    spark.sql(f"DROP TABLE IF EXISTS {cstage_name}")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        spark.read.parquet(tpath)
+        .repartition(32, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(32, key)
+        .sortBy(key)
+        .option("path", stage)
+        .saveAsTable(cstage_name)
+    )
+    for fn in list(os.listdir(tpath)):
+        if bucket_re.search(fn) and not fn.startswith("."):
+            os.remove(os.path.join(tpath, fn))
+            crc = os.path.join(tpath, f".{fn}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+    for fn in os.listdir(stage):
+        if bucket_re.search(fn):  # data files AND their .crc sidecars
+            os.rename(os.path.join(stage, fn), os.path.join(tpath, fn))
+    spark.sql(f"DROP TABLE IF EXISTS {cstage_name}")
+    shutil.rmtree(stage, ignore_errors=True)
+    spark.catalog.refreshTable(tname)
+    assert digest(spark.table(tname)) == digest(e2)
+    assert set(files_per_bucket().values()) == {1}
+
+    # Step 4: SECOND CDC batch — delete original keys ≡0 (mod 307)
+    # (the `< OFFSET` clause keeps the predicate derivable from the raw
+    # corpus, which is where the fixture's demo derivation scan reads
+    # the batch). The marker is per-batch state: removing it is how the
+    # fixture models the next batch's arrival (production would key
+    # markers by batch id, as the signature store keys layers by
+    # ingest_key).
+    del2 = f"o_orderkey % 307 = 0 AND o_orderkey < {_UPSERT_INS_OFFSET}"
+    os.remove(marker)
+    _, t4 = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="lc", inplace=True, with_lineitem=False,
+        upd_pred="1 = 0", del_pred=del2, ins_pred=None,
+    )
+    e4 = e2.filter(f"NOT ({del2})")
+    assert digest(e4) != digest(e2), "second batch must delete something"
+    assert digest(t4) == digest(e4)
+    assert set(files_per_bucket().values()) == {1}
+    with open(marker) as f:
+        assert json.load(f)["touched_buckets"], "second batch committed"
 
 
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
