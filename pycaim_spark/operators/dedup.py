@@ -904,12 +904,14 @@ def minhash_signature_store_build(
     seed: int = 42,
 ) -> None:
     """Build (or reuse) a PERSISTED minhash signature store for an
-    existing corpus: ``sets/`` (id, hs — the hashed shingle sets, for
-    exact-Jaccard verification) and ``buckets/`` (table_id, mh, width,
-    ids — the LSH band index pre-aggregated into per-bucket member
-    arrays by ``_band_buckets``, so a probe joins one row per bucket and
-    never expands per-collision rows). Idempotent: if both parquet dirs
-    carry a _SUCCESS marker the build is skipped — the deployment shape,
+    existing corpus: ``sets_v{N}/`` (id, hs — the hashed shingle sets,
+    for exact-Jaccard verification) and ``buckets_v{N}/`` (table_id, mh,
+    width, ids — the LSH band index pre-aggregated into per-bucket
+    member arrays by ``_band_buckets``, so a probe joins one row per
+    bucket and never expands per-collision rows), committed behind the
+    ``current.json`` snapshot pointer (r16). Idempotent: if the pointed-
+    to version's parquet dirs carry a _SUCCESS marker the build is
+    skipped — the deployment shape,
     where the corpus's text is shingled ONCE and every daily delta
     probes the store without touching base text again. After each ingest
     the accepted delta's signatures are appended as band-row deltas and
@@ -919,12 +921,20 @@ def minhash_signature_store_build(
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
         _store_gc_superseded(store_dir)
-        sets_dir = os.path.join(store_dir, "sets")
-        buckets_dir = os.path.join(store_dir, "buckets")
-        if os.path.exists(os.path.join(sets_dir, "_SUCCESS")) and os.path.exists(
-            os.path.join(buckets_dir, "_SUCCESS")
-        ):
-            return
+        ptr = _load_pointer(store_dir)
+        if ptr is not None:
+            sets_dir = _versioned(store_dir, "sets", ptr["version"])
+            buckets_dir = _versioned(store_dir, "buckets", ptr["version"])
+            if os.path.exists(
+                os.path.join(sets_dir, "_SUCCESS")
+            ) and os.path.exists(os.path.join(buckets_dir, "_SUCCESS")):
+                return
+        # Fresh build (or a corrupted current version — rebuild beside
+        # it): write the base under the NEXT version and commit by
+        # pointer flip, folded reset to the passed corpus's truth.
+        v = ptr["version"] + 1 if ptr is not None else 0
+        sets_dir = _versioned(store_dir, "sets", v)
+        buckets_dir = _versioned(store_dir, "buckets", v)
         b_sets = _shingle_sets(
             base_docs, text_col, id_col, shingle_n, repartition=False
         )
@@ -937,6 +947,7 @@ def minhash_signature_store_build(
             .write.mode("overwrite")
             .parquet(buckets_dir)
         )
+        _commit_pointer(store_dir, v, [])
 
 
 def incremental_minhash_dedup_stored(
@@ -975,9 +986,15 @@ def _store_manifest_ordered(store_dir: str) -> list[str]:
     (``minhash_store_manifest_gc``) must use this order: arbitrary ingest
     keys don't sort chronologically ('day10' < 'day2' lexicographically),
     and GC'ing the wrong end shrinks the replay-idempotency window
-    (ADVICE r11)."""
+    (ADVICE r11). Since r16 the manifest travels INSIDE the snapshot
+    pointer (one atomic document with the base version — see
+    `_commit_pointer`); ``folded_keys.json`` is read only for legacy
+    stores the next write path hasn't migrated yet."""
     import json as _json
 
+    ptr = _load_pointer(store_dir)
+    if ptr is not None:
+        return list(ptr.get("folded", ()))
     path = os.path.join(store_dir, "folded_keys.json")
     if os.path.exists(path):
         with open(path) as f:
@@ -1012,32 +1029,47 @@ def minhash_signature_store_append(
     sink (streaming/runner.py). Layers hold RAW band rows (the LSM log);
     ``minhash_signature_store_compact`` folds them into the
     bucket-aggregated base."""
+    import shutil
+
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
         _store_gc_superseded(store_dir)
         if ingest_key in _store_manifest(store_dir):
             return
         layer = os.path.join(store_dir, "append", ingest_key)
+        # Write-ASIDE, never in place (ADVICE r15): a redelivered key may
+        # land on an existing layer dir — live (unfolded redelivery) or
+        # tombstoned-in-grace (folded, manifest-GC-trimmed, redelivered) —
+        # and mode("overwrite") would delete part files a stale lockless
+        # reader already resolved: the exact crash class the two-phase GC
+        # exists to prevent. The fresh content goes to ``<key>.next``; the
+        # swap renames the old dir away (tombstoned for grace collection,
+        # every resolved path still valid) and the new one into place — a
+        # fresh dir carries no tombstone, so this also resurrects a
+        # trimmed-and-redelivered key without touching the old files.
+        # Crash anywhere mid-swap is healed by ``_recover_store_swap``'s
+        # layer pass (roll a complete orphaned .next forward, tombstone an
+        # untombstoned .old, delete an incomplete .next).
+        fresh = layer + ".next"
+        shutil.rmtree(fresh, ignore_errors=True)
         a_sets = _shingle_sets(
             accepted_docs, text_col, id_col, shingle_n, repartition=False
         )
-        a_sets.write.mode("overwrite").parquet(os.path.join(layer, "sets"))
+        a_sets.write.mode("overwrite").parquet(os.path.join(fresh, "sets"))
         (
             _band_rows(
-                spark.read.parquet(os.path.join(layer, "sets")), num_hashes, seed
+                spark.read.parquet(os.path.join(fresh, "sets")), num_hashes, seed
             )
             .write.mode("overwrite")
-            .parquet(os.path.join(layer, "bands"))
+            .parquet(os.path.join(fresh, "bands"))
         )
-        # Resurrect a tombstoned-but-uncollected layer we just rewrote
-        # (mirrors the layout's warm-path resurrection): the key was
-        # folded, then trimmed from the manifest by manifest GC, then
-        # re-delivered — the fresh layer content must be LIVE, and a
-        # surviving tombstone would both hide it from probes and let a
-        # later GC pass delete the rewrite.
-        tomb = os.path.join(layer, "superseded.json")
-        if os.path.exists(tomb):
-            os.remove(tomb)
+        if os.path.exists(layer):
+            old = f"{layer}.old-{int(time.time() * 1000)}"
+            os.rename(layer, old)
+            _write_json_atomic(
+                os.path.join(old, "superseded.json"), {"ts": time.time()}
+            )
+        os.rename(fresh, layer)
 
 
 def _store_layer_dirs(store_dir: str) -> list[str]:
@@ -1054,14 +1086,22 @@ def _store_layer_dirs(store_dir: str) -> list[str]:
     return sorted(
         os.path.join(append_dir, k)
         for k in os.listdir(append_dir)
-        if os.path.exists(os.path.join(append_dir, k, "bands", "_SUCCESS"))
+        # ``<key>.next`` (in-progress write-aside) and ``<key>.old-<ts>``
+        # (swapped-out content awaiting grace collection) are swap
+        # scaffolding, never live layers, even when a crash left them
+        # complete-looking (ADVICE r15 redelivery write-aside).
+        if not k.endswith(".next")
+        and ".old-" not in k
+        and os.path.exists(os.path.join(append_dir, k, "bands", "_SUCCESS"))
         and not os.path.exists(
             os.path.join(append_dir, k, "superseded.json")
         )
     )
 
 
-def _tombstone_folded_layers(store_dir: str) -> None:
+def _tombstone_folded_layers(
+    store_dir: str, keys: set[str] | None = None
+) -> None:
     """Phase 1 of the store's two-phase layer GC (r15 — ports the
     bucketed layout's reader-grace pattern, advanced.py
     `_gc_superseded_layouts`, after a live cross-process crash: a
@@ -1071,12 +1111,18 @@ def _tombstone_folded_layers(store_dir: str) -> None:
     PLACE (``superseded.json`` with a timestamp) so every file path a
     stale reader already resolved stays valid; enumeration
     (`_store_layer_dirs`) hides tombstoned layers from new readers and
-    compactions. Caller holds the store write lock."""
+    compactions. ``keys`` limits the sweep to the named ingest keys —
+    REQUIRED when called from recovery (r16): recovery replays the last
+    commit's phase 1 from the pointer's folded list, and an unrestricted
+    sweep there would tombstone live layers appended after that commit.
+    Caller holds the store write lock."""
     append_dir = os.path.join(store_dir, "append")
     if not os.path.isdir(append_dir):
         return
     now = time.time()
     for k in os.listdir(append_dir):
+        if keys is not None and k not in keys:
+            continue
         layer = os.path.join(append_dir, k)
         tomb = os.path.join(layer, "superseded.json")
         if os.path.isdir(layer) and not os.path.exists(tomb):
@@ -1084,31 +1130,38 @@ def _tombstone_folded_layers(store_dir: str) -> None:
 
 
 def _store_gc_superseded(store_dir: str) -> None:
-    """Phase 2: delete tombstoned layers older than
-    ``$PYCAIM_STORE_GC_GRACE`` seconds (default 900 — same default as the
-    layout's ``$PYCAIM_LAYOUT_GC_GRACE``; any reader that resolved its
-    view more than a grace period ago has either finished or hits the
-    documented re-plan remedy in `_store_read_view`). Runs from every
-    write path under the store write lock; an unreadable tombstone is
-    left for a later pass rather than guessed at."""
+    """Phase 2: delete tombstoned layers AND superseded base versions
+    older than ``$PYCAIM_STORE_GC_GRACE`` seconds (default 900 — same
+    default as the layout's ``$PYCAIM_LAYOUT_GC_GRACE``; any reader that
+    resolved its view more than a grace period ago has finished or was
+    abandoned). Runs from every write path under the store write lock;
+    an unreadable tombstone is left for a later pass rather than guessed
+    at. Old base versions carry their tombstone INSIDE the parquet dir
+    as ``_superseded.json`` — the underscore prefix keeps it invisible
+    to a stale reader's parquet scan of that very dir."""
     import json as _json
     import shutil
 
+    grace = float(os.environ.get("PYCAIM_STORE_GC_GRACE", "900"))
+    now = time.time()
+
+    def _aged(tomb):
+        try:
+            with open(tomb) as f:
+                return now - float(_json.load(f).get("ts", now)) > grace
+        except (OSError, ValueError, TypeError):
+            return False
+
+    for _kind, _n, path in _version_dirs(store_dir):
+        tomb = os.path.join(path, "_superseded.json")
+        if os.path.exists(tomb) and _aged(tomb):
+            shutil.rmtree(path, ignore_errors=True)
     append_dir = os.path.join(store_dir, "append")
     if not os.path.isdir(append_dir):
         return
-    grace = float(os.environ.get("PYCAIM_STORE_GC_GRACE", "900"))
-    now = time.time()
     for k in os.listdir(append_dir):
         tomb = os.path.join(append_dir, k, "superseded.json")
-        if not os.path.exists(tomb):
-            continue
-        try:
-            with open(tomb) as f:
-                ts = float(_json.load(f).get("ts", now))
-        except (OSError, ValueError, TypeError):
-            continue
-        if now - ts > grace:
+        if os.path.exists(tomb) and _aged(tomb):
             shutil.rmtree(os.path.join(append_dir, k), ignore_errors=True)
     # Drop the append/ parent once everything under it is collected, so
     # "no append dir at all" stays the fully-quiesced steady state.
@@ -1167,11 +1220,11 @@ class _store_write_lock:
     second blocks, then finds nothing to fold and no-ops — and keeps a
     concurrent append from racing the swap renames. Read paths (the
     probes) take no lock: they never mutate the store (recovery runs
-    only under this lock) and resolve a consistent view of a QUIESCED
-    mid-swap store via ``_store_read_view`` — a compaction committing
-    between a probe's view resolution and its lazy materialization can
-    still unlink the resolved paths; see the documented window (and the
-    re-plan remedy) in ``_store_read_view`` (ADVICE r11). flock is
+    only under this lock) and resolve a consistent snapshot via
+    ``_store_read_view`` — since r16 the pointer commit plus grace-period
+    tombstoning of old versions means a commit landing between a probe's
+    resolution and its lazy materialization leaves every resolved path
+    on disk for $PYCAIM_STORE_GC_GRACE seconds. flock is
     per-open-file, so this also
     serializes threads inside one driver process. Cross-HOST writers are
     NOT serialized (flock is host-local) — on an object store the swap
@@ -1215,6 +1268,64 @@ def _write_json_atomic(path: str, obj) -> None:
         os.close(dfd)
 
 
+def _load_pointer(store_dir: str) -> dict | None:
+    """Parse the store's snapshot pointer ``current.json`` —
+    ``{"version": N, "folded": [...]}`` — the single atomic commit point
+    of the versioned base (r16, VERDICT r15 #3). Written only via
+    ``_write_json_atomic``, so a reader sees the old snapshot, the new
+    snapshot, or (pre-first-build / legacy store) nothing — never a torn
+    state. ``None`` if absent or unparseable (unparseable ⇒ pre-atomic
+    artifact ⇒ treat as legacy/unbuilt, same doctrine as
+    ``_load_journal``)."""
+    import json as _json
+
+    path = os.path.join(store_dir, "current.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            ptr = _json.load(f)
+        return ptr if isinstance(ptr.get("version"), int) else None
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def _commit_pointer(store_dir: str, version: int, folded: list[str]) -> None:
+    """Atomically publish a new base snapshot: one fsynced rename flips
+    every reader from (sets_v{N}, buckets_v{N}, folded_N) to version
+    N+1's triple — base paths and the folded-layer skip set travel in
+    the SAME document, so no interleaving can pair a new base with a
+    stale skip set (the double-count mode the old journal stability loop
+    defended against)."""
+    _write_json_atomic(
+        os.path.join(store_dir, "current.json"),
+        {"version": version, "folded": list(folded)},
+    )
+
+
+def _versioned(store_dir: str, name: str, version: int) -> str:
+    return os.path.join(store_dir, f"{name}_v{version}")
+
+
+def _version_dirs(store_dir: str) -> list[tuple[str, int, str]]:
+    """All on-disk versioned base dirs as (kind, version, path)."""
+    out = []
+    if not os.path.isdir(store_dir):
+        return out
+    for d in os.listdir(store_dir):
+        for kind in ("sets", "buckets"):
+            prefix = f"{kind}_v"
+            if d.startswith(prefix):
+                try:
+                    out.append(
+                        (kind, int(d[len(prefix):]),
+                         os.path.join(store_dir, d))
+                    )
+                except ValueError:
+                    pass
+    return out
+
+
 def _load_journal(store_dir: str) -> list[str] | None:
     """Parse the compaction commit journal; ``None`` if absent OR
     unparseable. The journal is written atomically (temp + rename), so a
@@ -1235,93 +1346,166 @@ def _load_journal(store_dir: str) -> list[str] | None:
         return None
 
 
-def _recover_store_swap(store_dir: str) -> None:
-    """Finish or undo a compaction interrupted mid-swap (ADVICE r9: the
-    old rmtree-then-rename swap could crash with NO base dirs at all).
-    The compactor writes a journal (atomically) only after both
-    ``*_next`` dirs are complete, so recovery is deterministic: journal
-    present → the new base is authoritative, roll the swap FORWARD
-    (finish renames, replay the manifest update, tombstone the folded
-    append layers for grace-period collection — never delete them under
-    a possible stale reader, r15); journal absent or unparseable → any
-    ``*_next``/``*_old``
-    leftovers are incomplete writes, roll BACK by deleting them (old
-    base and layers are still intact). Runs ONLY from write paths
-    (build/append/compact) under ``_store_write_lock`` — probes stay
-    read-only (ADVICE r10: a probe must not rmtree a live compactor's
-    half-written dirs) and see a consistent store via
-    ``_store_read_view``."""
+def _recover_layer_swaps(store_dir: str) -> None:
+    """Heal a crashed per-layer write-aside swap (the redelivery path of
+    ``minhash_signature_store_append``, ADVICE r15). Deterministic from
+    the on-disk shapes alone: a COMPLETE orphaned ``<key>.next``
+    (``bands/_SUCCESS`` present, no live ``<key>`` sibling) is the
+    committed content of a crash between the two swap renames — roll it
+    forward; an incomplete or non-orphaned ``.next`` is an uncommitted
+    write — delete it (the old layer, live or already renamed aside, is
+    intact); an ``<key>.old-<ts>`` that missed its tombstone gets one so
+    grace GC collects it. Caller holds the store write lock."""
     import shutil
 
-    journal = os.path.join(store_dir, "compact_journal.json")
-    folded = _load_journal(store_dir)
-    dirs = [os.path.join(store_dir, d) for d in ("sets", "buckets")]
-    if folded is not None:
-        for cur in dirs:
-            nxt, old = cur + "_next", cur + "_old"
-            if os.path.exists(nxt):
-                if os.path.exists(cur):
-                    os.rename(cur, old)
-                os.rename(nxt, cur)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        _write_json_atomic(
-            os.path.join(store_dir, "folded_keys.json"), list(folded)
-        )
-        # Two-phase GC (r15): tombstone the folded layers in place —
-        # never delete under a stale reader — grace deletion happens on
-        # later write paths (`_store_gc_superseded`).
-        _tombstone_folded_layers(store_dir)
-        os.remove(journal)
-    else:
-        if os.path.exists(journal):
+    append_dir = os.path.join(store_dir, "append")
+    if not os.path.isdir(append_dir):
+        return
+    for k in os.listdir(append_dir):
+        d = os.path.join(append_dir, k)
+        if k.endswith(".next"):
+            layer = d[: -len(".next")]
+            if not os.path.exists(layer) and os.path.exists(
+                os.path.join(d, "bands", "_SUCCESS")
+            ):
+                os.rename(d, layer)
+            else:
+                shutil.rmtree(d, ignore_errors=True)
+        elif ".old-" in k and not os.path.exists(
+            os.path.join(d, "superseded.json")
+        ):
+            _write_json_atomic(
+                os.path.join(d, "superseded.json"), {"ts": time.time()}
+            )
+
+
+def _recover_store_swap(store_dir: str) -> None:
+    """Reconcile a store's on-disk state after any crash (runs at the
+    top of every WRITE path, under ``_store_write_lock`` — probes stay
+    read-only, ADVICE r10).
+
+    Since r16 the base is VERSIONED (``sets_v{N}``/``buckets_v{N}``)
+    behind the atomic ``current.json`` snapshot pointer, so recovery is
+    a pure reconciliation with no roll-forward/roll-back decision tree:
+
+    - version dirs NEWER than the pointer are uncommitted compactor
+      output (the pointer flip is the commit) — delete them; the
+      compaction re-derives them bit-identically;
+    - version dirs OLDER than the pointer that missed their tombstone
+      (crash between pointer commit and phase-1 GC) get one, so grace
+      collection proceeds;
+    - append layers named in the pointer's ``folded`` list that missed
+      their tombstone get one (same crash window).
+
+    LEGACY stores (pre-r16: unversioned ``sets``/``buckets`` plus the
+    journal/next/old swap machinery) are first healed by the old
+    protocol — journal present → the ``*_next`` base is authoritative,
+    finish the renames; absent → delete strays — and then MIGRATED in
+    place: base dirs renamed to ``*_v0``, the folded manifest folded
+    into a version-0 pointer, ``folded_keys.json`` retired."""
+    import shutil
+
+    _recover_layer_swaps(store_dir)
+    ptr = _load_pointer(store_dir)
+    if ptr is None:
+        journal = os.path.join(store_dir, "compact_journal.json")
+        folded = _load_journal(store_dir)
+        dirs = [os.path.join(store_dir, d) for d in ("sets", "buckets")]
+        if folded is not None:
+            for cur in dirs:
+                nxt, old = cur + "_next", cur + "_old"
+                if os.path.exists(nxt):
+                    if os.path.exists(cur):
+                        os.rename(cur, old)
+                    os.rename(nxt, cur)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+            _write_json_atomic(
+                os.path.join(store_dir, "folded_keys.json"), list(folded)
+            )
+            _tombstone_folded_layers(store_dir)
             os.remove(journal)
-        for cur in dirs:
-            for stray in (cur + "_next", cur + "_old"):
-                if os.path.exists(stray):
-                    shutil.rmtree(stray)
+        else:
+            if os.path.exists(journal):
+                os.remove(journal)
+            for cur in dirs:
+                for stray in (cur + "_next", cur + "_old"):
+                    if os.path.exists(stray):
+                        shutil.rmtree(stray)
+        # Migrate a healed legacy base to the versioned layout. The two
+        # renames are not jointly atomic, but this runs under the write
+        # lock and legacy READERS resolve through `_store_read_view`,
+        # which falls back to the unversioned paths only while the
+        # pointer is absent — a reader interleaving the instant between
+        # rename and pointer write re-enters the legacy branch, finds a
+        # missing dir, and retries via its stability loop.
+        if all(os.path.exists(d) for d in dirs):
+            for cur in dirs:
+                os.rename(cur, cur + "_v0")
+            manifest = os.path.join(store_dir, "folded_keys.json")
+            legacy_folded = []
+            if os.path.exists(manifest):
+                import json as _json
+
+                with open(manifest) as f:
+                    legacy_folded = list(_json.load(f))
+            _commit_pointer(store_dir, 0, legacy_folded)
+            if os.path.exists(manifest):
+                os.remove(manifest)
+        return
+    v = ptr["version"]
+    for _kind, n, path in _version_dirs(store_dir):
+        if n > v:
+            shutil.rmtree(path, ignore_errors=True)
+        elif n < v and not os.path.exists(
+            os.path.join(path, "_superseded.json")
+        ):
+            _write_json_atomic(
+                os.path.join(path, "_superseded.json"),
+                {"ts": time.time()},
+            )
+    _tombstone_folded_layers(store_dir, keys=set(ptr.get("folded", ())))
 
 
 def _store_read_view(store_dir: str) -> tuple[str, str, set[str]]:
-    """Resolve a CONSISTENT read-only view of a store that may be
-    mid-swap, without mutating anything: returns (sets_path,
-    buckets_path, folded_keys_to_skip). Journal present (parseable) →
-    the new base is authoritative; each dir reads ``*_next`` if the
-    rename hasn't happened yet, else the already-swapped current dir,
-    and every append layer named in the journal is SKIPPED (the new base
-    already contains it — reading both would double-count its rows).
-    Journal absent → the old base + all layers are the truth, and stray
-    ``*_next`` dirs are ignored. Either way the view equals the same
-    logical corpus, so probe verdicts are swap-state-independent for a
-    QUIESCED mid-swap store (asserted in tests/test_llm_ops.py).
+    """Resolve a CONSISTENT read-only view of the store: returns
+    (sets_path, buckets_path, folded_keys_to_skip).
 
-    Concurrency window (ADVICE r11 — documented, deliberately not locked
-    away): resolution itself is made atomic-in-effect by the stability
-    loop below (re-resolve until the journal state and resolved dirs
-    agree before and after), but Spark scans lazily — a compactor (or a
-    write path running crash recovery) that COMMITS between this
-    resolution and the probe's materialization can rename/rmtree the
-    resolved BASE paths, and the scan then fails with
-    FileNotFoundException. As of r15 the window covers only the base
-    ``sets``/``buckets`` swap: append LAYERS are tombstoned in place and
-    collected after ``$PYCAIM_STORE_GC_GRACE`` (two-phase GC,
-    `_tombstone_folded_layers`/`_store_gc_superseded`), so a stale
-    reader's resolved layer files stay on disk for the whole grace
-    period — this was the one window reproduced as a real crash
-    (concurrent pytest + verify_sweep, r14 VERDICT #1); the base-swap
-    residual is unavoidable with rename semantics (the old part-file
-    NAMES cease to exist the moment the swap lands, wherever the bytes
-    live) and is exactly what a table-format snapshot commit solves in
-    deployment.
-    A reader that hits that error should re-plan the probe (re-call the
-    probe entry point — it resolves the post-commit view; verdicts are
-    equivalent either way). Holding a shared flock from resolution to
-    materialization would close the window but makes probe latency bound
-    compaction latency, and is a local-FS-only mechanism anyway: in
-    deployment the swap is a table-format snapshot commit and concurrent
-    readers are retention-protected by the table format, so the window
-    is an artifact of the local stand-in, not the design."""
+    Since r16 (VERDICT r15 #3) this is a SNAPSHOT-POINTER read: one
+    atomic parse of ``current.json`` yields the base version AND the
+    folded-layer skip set together, and the resolved ``sets_v{N}``/
+    ``buckets_v{N}`` dirs are IMMUTABLE once published — a compaction
+    that commits version N+1 while this reader is still materializing
+    only flips the pointer and tombstones version N, whose files stay on
+    disk for ``$PYCAIM_STORE_GC_GRACE`` seconds (the version tombstone
+    lives INSIDE the dir as underscore-prefixed ``_superseded.json``,
+    invisible to the parquet scan). That closes the last lockless-reader
+    window this store family had: pre-r16 the base swap renamed the
+    CURRENT dirs, so a reader that resolved before a commit could take
+    FileNotFoundException mid-scan and needed a documented re-plan
+    remedy; now every resolved path outlives the reader by a grace
+    period, the same contract the append layers have had since r15 —
+    the exact lifetime semantics a table-format snapshot commit provides
+    in deployment. A reader stale by MORE than the grace period (scan
+    paused ~15 min across a commit) is the residual, governed by the
+    grace knob like every two-phase GC in this repo.
+
+    Legacy stores (no pointer yet — migrated lazily by the next write
+    path's `_recover_store_swap`) fall back to the pre-r16 resolution:
+    journal present → the ``*_next`` base is authoritative and its
+    folded layers are skipped; absent → the unversioned dirs, with a
+    stability loop re-resolving until the journal state and dir
+    existence agree (a mid-migration reader re-enters here and settles
+    on the post-migration pointer)."""
     for attempt in range(20):
+        ptr = _load_pointer(store_dir)
+        if ptr is not None:
+            v = ptr["version"]
+            return (
+                _versioned(store_dir, "sets", v),
+                _versioned(store_dir, "buckets", v),
+                set(ptr.get("folded", ())),
+            )
         folded = _load_journal(store_dir)
         paths = []
         for d in ("sets", "buckets"):
@@ -1343,37 +1527,37 @@ def _store_read_view(store_dir: str) -> tuple[str, str, set[str]]:
 
 
 def minhash_signature_store_compact(spark, store_dir: str) -> None:
-    """Fold every append layer into the base ``sets/`` + ``buckets/`` and
-    record the folded keys in the manifest — the LSM compaction. The new
-    base is written beside the old, a commit journal is written
-    ATOMICALLY (temp + fsync + rename + dir fsync) after it, and the
-    swap is rename-aside (old base renamed away, never deleted before
-    the new base is in place), so a PROCESS crash at any point leaves a
-    store that ``_recover_store_swap`` rolls forward (journal present:
-    new base complete) or back (no/unparseable journal) on the next
-    write-path store operation. Scope (ADVICE r10): the journal and
-    manifest are fsynced, but the ``*_next`` parquet part files are not
-    — full POWER-LOSS durability of the data files is the filesystem's
-    (or, in deployment, the object store's — where this whole block is
-    one table-format metadata commit) contract, not this function's.
-    Concurrency: the whole fold-write-swap runs under the store's
-    exclusive write lock, so a second concurrent compaction blocks and
-    then no-ops (no layers left to fold). Folded append layers are NOT
-    deleted here — they are tombstoned in place and collected by
-    `_store_gc_superseded` after ``$PYCAIM_STORE_GC_GRACE`` seconds
-    (r15: immediate deletion crashed a concurrent lockless reader
-    mid-scan; same two-phase pattern as the bucketed layout's
-    `_gc_superseded_layouts`)."""
-    import shutil
-
+    """Fold every live append layer into a NEW base version and commit
+    it with one atomic pointer flip — the LSM compaction, re-based on
+    the r16 snapshot-pointer layout (VERDICT r15 #3). The merged base is
+    written to ``sets_v{N+1}``/``buckets_v{N+1}`` beside the live
+    version; ``current.json`` is then rewritten atomically with the new
+    version AND the updated folded-keys manifest in one document (so no
+    reader can pair the new base with a stale skip set); finally the
+    folded layers and the old version dirs are TOMBSTONED in place and
+    collected by `_store_gc_superseded` after ``$PYCAIM_STORE_GC_GRACE``
+    seconds — a lockless reader that resolved version N keeps every one
+    of its files for the whole grace period (r15 reproduced the crash
+    this prevents for layers; r16 extends the same lifetime to the base,
+    deleting the FileNotFoundException window the journal-era swap had).
+    A process crash anywhere is reconciled by `_recover_store_swap`: the
+    pointer flip IS the commit, so pre-flip crashes leave uncommitted
+    ``*_v{N+1}`` strays (deleted, re-derived next time) and post-flip
+    crashes leave missing tombstones (re-laid idempotently). Scope
+    (ADVICE r10): the pointer is fsynced, the parquet part files are the
+    filesystem's durability contract, not this function's. Concurrency:
+    runs under the store's exclusive write lock, so a second concurrent
+    compaction blocks and then no-ops (no layers left to fold)."""
     with _store_write_lock(store_dir):
         _recover_store_swap(store_dir)
         _store_gc_superseded(store_dir)
         layers = _store_layer_dirs(store_dir)
         if not layers:
             return
-        sets_dir = os.path.join(store_dir, "sets")
-        buckets_dir = os.path.join(store_dir, "buckets")
+        ptr = _load_pointer(store_dir)
+        v = ptr["version"]
+        sets_dir = _versioned(store_dir, "sets", v)
+        buckets_dir = _versioned(store_dir, "buckets", v)
         merged_sets = spark.read.parquet(sets_dir)
         pending = None
         for l in layers:
@@ -1385,8 +1569,12 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         merged_buckets = _merge_bucket_layers(
             spark.read.parquet(buckets_dir), pending
         )
-        merged_sets.write.mode("overwrite").parquet(sets_dir + "_next")
-        merged_buckets.write.mode("overwrite").parquet(buckets_dir + "_next")
+        merged_sets.write.mode("overwrite").parquet(
+            _versioned(store_dir, "sets", v + 1)
+        )
+        merged_buckets.write.mode("overwrite").parquet(
+            _versioned(store_dir, "buckets", v + 1)
+        )
         # The manifest is kept in FOLD order (oldest first): prior order,
         # then this compaction's layers ordered by append time (layer dir
         # mtime, name tiebreak). GC recency must not depend on key
@@ -1398,23 +1586,20 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         ]
         prior = _store_manifest_ordered(store_dir)
         folded = prior + [k for k in new_keys if k not in prior]
-        _write_json_atomic(
-            os.path.join(store_dir, "compact_journal.json"), folded
-        )
-        for cur in (sets_dir, buckets_dir):
-            os.rename(cur, cur + "_old")
-            os.rename(cur + "_next", cur)
-            shutil.rmtree(cur + "_old")
-        _write_json_atomic(
-            os.path.join(store_dir, "folded_keys.json"), folded
-        )
+        # THE commit: new base + new manifest become visible together.
+        _commit_pointer(store_dir, v + 1, folded)
         # Two-phase GC (r15): the old immediate `rmtree(append)` here
         # crashed a concurrent lockless reader mid-scan (reproduced:
         # pytest's dedup_stream_ingest PATH_NOT_FOUND while verify_sweep
-        # compacted the shared store). Tombstone in place; collect past
-        # grace on later write passes.
-        _tombstone_folded_layers(store_dir)
-        os.remove(os.path.join(store_dir, "compact_journal.json"))
+        # compacted the shared store). Tombstone in place — folded layers
+        # AND the superseded base version; collect past grace on later
+        # write passes.
+        _tombstone_folded_layers(store_dir, keys=set(new_keys))
+        now = time.time()
+        for old in (sets_dir, buckets_dir):
+            _write_json_atomic(
+                os.path.join(old, "_superseded.json"), {"ts": now}
+            )
         _store_gc_superseded(store_dir)
         # Housekeeping on the compaction cadence (VERDICT r11 #5): trim
         # the manifest to the newest $PYCAIM_STORE_GC_KEEP folded keys
@@ -1452,12 +1637,21 @@ def minhash_store_manifest_gc(store_dir: str, keep_last: int = 32) -> int:
 
 def _manifest_gc_locked(store_dir: str, keep_last: int) -> int:
     """GC body, caller holds the write lock (compaction tail-calls this
-    inside its own lock — flock on the same fd is not reentrant)."""
+    inside its own lock — flock on the same fd is not reentrant). On a
+    pointer-committed store the trim rewrites the pointer in place
+    (same base version, shorter folded list — still one atomic doc);
+    the legacy-file branch only runs for unmigrated stores."""
     keys = _store_manifest_ordered(store_dir)
     if len(keys) <= keep_last:
         return 0
     kept = keys[-keep_last:] if keep_last > 0 else []
-    _write_json_atomic(os.path.join(store_dir, "folded_keys.json"), kept)
+    ptr = _load_pointer(store_dir)
+    if ptr is not None:
+        _commit_pointer(store_dir, ptr["version"], kept)
+    else:
+        _write_json_atomic(
+            os.path.join(store_dir, "folded_keys.json"), kept
+        )
     return len(keys) - len(kept)
 
 

@@ -893,6 +893,89 @@ _INDEX_PARAM_KEYS = (
 _INDEX_ALGO_VERSION = 3
 
 
+def _codes_version(store_dir: str) -> int | None:
+    """Parse the coded-corpus snapshot pointer ``codes_current.json``
+    (r16, VERDICT r15 #3 — the same pointer-commit the minhash store
+    base got). ``None`` = legacy/unbuilt store."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, "codes_current.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            v = json.load(f).get("version")
+        return v if isinstance(v, int) else None
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def _codes_path(store_dir: str) -> str:
+    """Resolve the live coded-corpus dir: ``codes_v{N}`` behind the
+    pointer, or the legacy unversioned ``codes`` until the next write
+    path migrates the store. The resolved dir only ever GROWS (appends
+    add part files); replacement happens by publishing a new version and
+    flipping the pointer, so a reader's resolved path stays valid for
+    ``$PYCAIM_STORE_GC_GRACE`` seconds after any retrain."""
+    import os
+
+    v = _codes_version(store_dir)
+    if v is not None:
+        return os.path.join(store_dir, f"codes_v{v}")
+    return os.path.join(store_dir, "codes")
+
+
+def _recover_codes(store_dir: str) -> None:
+    """Write-path reconciliation for the coded corpus (caller holds the
+    store write lock): delete uncommitted ``codes_v{>current}`` strays
+    and legacy ``codes_next``/``codes_old*`` swap scaffolding, grace-
+    collect tombstoned old versions, and MIGRATE a legacy unversioned
+    ``codes`` dir to ``codes_v0`` + pointer."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from pycaim_spark.operators.dedup import _write_json_atomic
+
+    if not os.path.isdir(store_dir):
+        return
+    v = _codes_version(store_dir)
+    grace = float(os.environ.get("PYCAIM_STORE_GC_GRACE", "900"))
+    now = time.time()
+    for sib in os.listdir(store_dir):
+        path = os.path.join(store_dir, sib)
+        if sib == "codes_next" or sib.startswith("codes_old"):
+            shutil.rmtree(path, ignore_errors=True)
+            continue
+        if sib.startswith("codes_v"):
+            try:
+                n = int(sib[len("codes_v"):])
+            except ValueError:
+                continue
+            if v is None or n > v:
+                shutil.rmtree(path, ignore_errors=True)
+            elif n < v:
+                tomb = os.path.join(path, "_superseded.json")
+                if not os.path.exists(tomb):
+                    _write_json_atomic(tomb, {"ts": now})
+                else:
+                    try:
+                        with open(tomb) as f:
+                            ts = float(json.load(f).get("ts", now))
+                        if now - ts > grace:
+                            shutil.rmtree(path, ignore_errors=True)
+                    except (OSError, ValueError, TypeError):
+                        pass
+    legacy = os.path.join(store_dir, "codes")
+    if v is None and os.path.exists(os.path.join(legacy, "_SUCCESS")):
+        os.rename(legacy, os.path.join(store_dir, "codes_v0"))
+        _write_json_atomic(
+            os.path.join(store_dir, "codes_current.json"), {"version": 0}
+        )
+
+
 def ivf_pq_index_build(
     emb: DataFrame,
     store_dir: str,
@@ -915,19 +998,20 @@ def ivf_pq_index_build(
     n_cells/m/k_centroids/sample_size/iters/seed than the stored build
     raises instead of silently serving the stale index (ADVICE r9); a
     sidecar with no persisted params at all is likewise refused (ADVICE
-    r10). Concurrency (r15, ported from the minhash store after VERDICT
-    r14 #1): write paths serialize on the store's flock
-    (`_store_write_lock`, double-checked reuse after acquiring it), the
-    npz sidecar and append manifest are written atomically
-    (temp + rename), and a retrain writes the re-coded corpus ASIDE
-    (``codes_next``) and commits by rename — the old in-place
-    ``mode("overwrite")`` deleted the live codes dir for the whole
-    multi-minute encode job under any concurrent reader; now the
-    vulnerable window is the rename instant, the same residual class as
-    the minhash base swap (a table-format snapshot commit in
-    deployment). Returns (centroids, codebooks)."""
+    r10). Concurrency (r15, hardened r16 — VERDICT r15 #3): write paths
+    serialize on the store's flock (`_store_write_lock`, double-checked
+    reuse after acquiring it), the npz sidecar and append manifest are
+    written atomically (temp + fsync + rename), and a retrain writes the
+    re-coded corpus as a NEW VERSION (``codes_v{N+1}``) committed by an
+    atomic flip of the ``codes_current.json`` pointer — the superseded
+    version is tombstoned in place and collected after
+    ``$PYCAIM_STORE_GC_GRACE`` seconds, so a lockless reader that
+    resolved the old version keeps every file it resolved for the whole
+    grace period (r15's rename-instant residual is gone; this is the
+    same snapshot-pointer commit the minhash store base uses). Returns
+    (centroids, codebooks)."""
     import os
-    import shutil
+    import time
 
     from pycaim_spark.operators.dedup import (
         _store_write_lock,
@@ -944,7 +1028,6 @@ def ivf_pq_index_build(
         "algo_version": _INDEX_ALGO_VERSION,
     }
     npz = os.path.join(store_dir, "index.npz")
-    codes_dir = os.path.join(store_dir, "codes")
 
     def _try_reuse():
         """Validate a persisted index against the requested params:
@@ -954,7 +1037,9 @@ def ivf_pq_index_build(
         eagerly, and atomic replace means it is never torn)."""
         if not (
             os.path.exists(npz)
-            and os.path.exists(os.path.join(codes_dir, "_SUCCESS"))
+            and os.path.exists(
+                os.path.join(_codes_path(store_dir), "_SUCCESS")
+            )
         ):
             return None
         with np.load(npz) as idx:
@@ -995,12 +1080,9 @@ def ivf_pq_index_build(
         got = _try_reuse()
         if got is not None:
             return got
-        # Clear strays from a build that crashed mid-swap: codes_next is
-        # an uncommitted write (this build reproduces it bit-identically);
-        # codes_old_* are already-swapped-out corpora.
-        for sib in os.listdir(store_dir) if os.path.isdir(store_dir) else []:
-            if sib == "codes_next" or sib.startswith("codes_old"):
-                shutil.rmtree(os.path.join(store_dir, sib), ignore_errors=True)
+        # Reconcile crash strays, grace-collect tombstoned versions, and
+        # migrate a legacy unversioned store to the pointer layout.
+        _recover_codes(store_dir)
         sample = np.stack(
             emb.orderBy("vec_id")
             .limit(sample_size)
@@ -1023,9 +1105,12 @@ def ivf_pq_index_build(
         manifest = os.path.join(store_dir, "append_keys.json")
         if os.path.exists(manifest):
             os.remove(manifest)
+        old_v = _codes_version(store_dir)
+        new_v = 0 if old_v is None else old_v + 1
+        new_codes = os.path.join(store_dir, f"codes_v{new_v}")
         _ivf_pq_encode(emb, centroids, codebooks).write.mode(
             "overwrite"
-        ).parquet(codes_dir + "_next")
+        ).parquet(new_codes)
         os.makedirs(store_dir, exist_ok=True)
         tmp = npz + ".tmp"
         with open(tmp, "wb") as f:
@@ -1035,17 +1120,31 @@ def ivf_pq_index_build(
                 codebooks=codebooks,
                 params=np.array([params[key] for key in _INDEX_PARAM_KEYS]),
             )
-        # Commit: swap codes by rename, then publish the matching sidecar.
-        # A reader interleaving exactly here can pair the old npz with the
-        # new codes for one load — the rename-instant residual documented
-        # above; the skip-path _SUCCESS check keeps the build-reuse path
-        # consistent.
-        if os.path.exists(codes_dir):
-            os.rename(codes_dir, codes_dir + "_old")
-        os.rename(codes_dir + "_next", codes_dir)
+            # Same durability discipline as _write_json_atomic (ADVICE
+            # r15): os.replace of an unsynced tmp can surface an empty or
+            # torn npz after power loss, breaking the temp+rename
+            # atomicity claim this sidecar family documents.
+            f.flush()
+            os.fsync(f.fileno())
+        # Commit: flip the codes pointer (atomic), publish the matching
+        # sidecar, tombstone the superseded version for grace collection.
+        # A reader interleaving between the two publishes can pair the
+        # old npz with the new codes for one load — benign for a reuse
+        # check (params re-validate) and the only sub-instant left; the
+        # old VERSION DIR itself now outlives any such reader by the
+        # grace period instead of being deleted under it.
+        _write_json_atomic(
+            os.path.join(store_dir, "codes_current.json"),
+            {"version": new_v},
+        )
         os.replace(tmp, npz)
-        if os.path.exists(codes_dir + "_old"):
-            shutil.rmtree(codes_dir + "_old", ignore_errors=True)
+        if old_v is not None:
+            old_dir = os.path.join(store_dir, f"codes_v{old_v}")
+            if os.path.isdir(old_dir):
+                _write_json_atomic(
+                    os.path.join(old_dir, "_superseded.json"),
+                    {"ts": time.time()},
+                )
     return centroids, codebooks
 
 
@@ -1081,6 +1180,7 @@ def ivf_pq_index_append(
 
     manifest = os.path.join(store_dir, "append_keys.json")
     with _store_write_lock(store_dir):
+        _recover_codes(store_dir)
         done: list[str] = []
         if os.path.exists(manifest):
             with open(manifest) as f:
@@ -1089,9 +1189,12 @@ def ivf_pq_index_append(
             return
         with np.load(os.path.join(store_dir, "index.npz")) as idx:
             centroids, codebooks = idx["centroids"], idx["codebooks"]
+        # Appends ADD part files to the live version dir — reader-safe
+        # (a reader that listed before the append sees only the old
+        # files, all still present); only retrains flip the version.
         _ivf_pq_encode(new_emb, centroids, codebooks).write.mode(
             "append"
-        ).parquet(os.path.join(store_dir, "codes"))
+        ).parquet(_codes_path(store_dir))
         # Crash window: codes appended but manifest not yet updated → a
         # redelivery re-appends the slice. Pre-existing and narrow; the
         # deployment remedy is the same table-format transactional append
@@ -1125,9 +1228,7 @@ def ivf_pq_topk_stored(
     centroids, codebooks = ivf_pq_index_build(
         emb, store_dir, n_cells, m, k_centroids, sample_size, iters, seed
     )
-    import os
-
-    coded = emb.sparkSession.read.parquet(os.path.join(store_dir, "codes"))
+    coded = emb.sparkSession.read.parquet(_codes_path(store_dir))
     return _ivf_pq_query(
         emb, coded, centroids, codebooks, nprobe, k, n_queries, n_candidates
     )

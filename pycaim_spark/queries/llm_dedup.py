@@ -471,12 +471,15 @@ def dedup_incremental_clusters(spark, sf_dir):
         minhash_clusters(base).select("doc_id", "cluster_id").write.mode(
             "overwrite"
         ).parquet(assign_store)
+    from pycaim_spark.operators.dedup import _store_read_view
+
+    sets_path, buckets_path, _ = _store_read_view(sig_store)
     return incremental_cluster_assignments(
         base,
         delta,
         spark.read.parquet(assign_store),
-        b_sets=spark.read.parquet(os.path.join(sig_store, "sets")),
-        store_buckets=spark.read.parquet(os.path.join(sig_store, "buckets")),
+        b_sets=spark.read.parquet(sets_path),
+        store_buckets=spark.read.parquet(buckets_path),
     )
 
 
@@ -958,7 +961,9 @@ def sim_ann_index_append(spark, sf_dir):
         base, store, n_cells=32, m=8, k_centroids=32
     )
     ivf_pq_index_append(delta, store, "day1")
-    coded = spark.read.parquet(os.path.join(store, "codes"))
+    from pycaim_spark.operators.similarity import _codes_path
+
+    coded = spark.read.parquet(_codes_path(store))
     return _ivf_pq_query(
         emb, coded, centroids, codebooks, nprobe=12, k=5, n_queries=10,
         n_candidates=256,

@@ -973,14 +973,22 @@ def test_store_append_compact_equals_fresh_rebuild(spark, tmp_path):
 
 
 def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
-    """ADVICE r9: a compaction crash must never strand the store. Two
-    crash classes: (a) before the commit journal exists, leftover
-    ``*_next`` dirs are rolled BACK; (b) mid-swap with the journal
-    present, the swap is rolled FORWARD (new base adopted, manifest
-    replayed, folded layers dropped) by the next store operation."""
+    """Compaction crash safety, re-based on the r16 snapshot-pointer
+    commit (VERDICT r15 #3; originally ADVICE r9 for the journal-era
+    swap): the pointer flip IS the commit, so every crash is one of two
+    reconciliations — (a) crash BEFORE the flip leaves uncommitted
+    ``*_v{N+1}`` strays that the next write path deletes (the old base
+    and all layers are intact, nothing was published); (b) crash AFTER
+    the flip but before phase-1 GC leaves the new base live (probes read
+    it immediately via the pointer) with missing tombstones that the
+    next write path re-lays idempotently. In both interim states a
+    READ-ONLY probe returns identical verdicts and mutates nothing."""
     import os
 
     from pycaim_spark.operators.dedup import (
+        _load_pointer,
+        _store_layer_dirs,
+        _versioned,
         incremental_minhash_dedup_layered,
         minhash_signature_store_append,
         minhash_signature_store_build,
@@ -1003,84 +1011,93 @@ def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
     )
     store = str(tmp_path / "store")
     minhash_signature_store_build(base, store)
+    assert _load_pointer(store) == {"version": 0, "folded": []}
     minhash_signature_store_append(spark, store, s1, "day1")
     expected = {(r.doc_id, r.dup_of, r.is_new)
                 for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
     assert (20, 10, 0) in expected and (21, 1, 0) in expected
 
-    # (a) crash BEFORE the journal: the probe IGNORES the half-written
-    # _next dir (read-only, ADVICE r10); the next write path rolls it back
-    os.makedirs(os.path.join(store, "sets_next"))
+    # (a) crash BEFORE the pointer flip: a stray uncommitted v1 dir. The
+    # probe IGNORES it (pointer still names v0; read-only, ADVICE r10);
+    # the next write path deletes it.
+    os.makedirs(_versioned(store, "sets", 1))
     after_stray = {(r.doc_id, r.dup_of, r.is_new)
                    for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
     assert after_stray == expected
-    assert os.path.exists(os.path.join(store, "sets_next"))
+    assert os.path.exists(_versioned(store, "sets", 1))
     minhash_signature_store_append(spark, store, s1, "day1")  # re-delivery
-    assert not os.path.exists(os.path.join(store, "sets_next"))
+    assert not os.path.exists(_versioned(store, "sets", 1))
 
-    # (b) crash MID-SWAP: journal committed (rename 1 is the atomic
-    # journal publish), sets fully swapped (renames 2-3), buckets not
-    # (crash at rename 4)
-    real_rename = os.rename
-    calls = {"n": 0}
+    # (b) crash AFTER the flip, before phase-1 GC: the commit landed —
+    # pointer at v1 with day1 folded — but no tombstone was laid on the
+    # old version or the folded layer.
+    import pycaim_spark.operators.dedup as dd
 
-    def crashing_rename(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 4:
-            raise OSError("simulated crash mid-swap")
-        return real_rename(src, dst)
+    def crashing_tombstones(store_dir, keys=None):
+        # recovery replays phase 1 with the pointer's folded set (empty
+        # pre-commit) — only the compaction's own call carries keys
+        if keys:
+            raise OSError("simulated crash post-commit")
 
-    monkeypatch.setattr(os, "rename", crashing_rename)
+    monkeypatch.setattr(dd, "_tombstone_folded_layers", crashing_tombstones)
     import pytest as _pytest
     with _pytest.raises(OSError, match="simulated crash"):
         minhash_signature_store_compact(spark, store)
-    monkeypatch.setattr(os, "rename", real_rename)
-    assert os.path.exists(os.path.join(store, "compact_journal.json"))
-    assert os.path.exists(os.path.join(store, "buckets_next"))
+    monkeypatch.undo()
+    ptr = _load_pointer(store)
+    assert ptr["version"] == 1 and ptr["folded"] == ["day1"]
+    assert not os.path.exists(
+        os.path.join(store, "append", "day1", "superseded.json")
+    )
+    assert not os.path.exists(
+        os.path.join(_versioned(store, "sets", 0), "_superseded.json")
+    )
 
-    # ADVICE r10: a probe of the mid-swap store is READ-ONLY — identical
-    # verdicts via the consistent read view, and every swap artifact
-    # (a live compactor's state) is left exactly where it was
-    mid_swap = {(r.doc_id, r.dup_of, r.is_new)
-                for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
-    assert mid_swap == expected
-    assert os.path.exists(os.path.join(store, "compact_journal.json"))
-    assert os.path.exists(os.path.join(store, "buckets_next"))
-    assert os.path.isdir(os.path.join(store, "append"))
+    # A probe of the post-commit state reads the NEW base and skips the
+    # folded-but-untombstoned layer via the pointer's folded list — no
+    # double count — and leaves every artifact where it was.
+    mid = {(r.doc_id, r.dup_of, r.is_new)
+           for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert mid == expected
+    assert os.path.exists(_versioned(store, "sets", 0))
 
-    # the next WRITE-path operation heals the store (here: a compact,
-    # which after recovery finds nothing left to fold — the "second
-    # compact during recovery is a no-op" contract)
+    # The next WRITE-path operation reconciles: old version + folded
+    # layer tombstoned (files intact for stale readers — two-phase GC),
+    # and a second compact finds nothing to fold.
     minhash_signature_store_compact(spark, store)
     healed = {(r.doc_id, r.dup_of, r.is_new)
               for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
     assert healed == expected
-    for leftover in ("compact_journal.json", "sets_next", "sets_old",
-                     "buckets_next", "buckets_old"):
-        assert not os.path.exists(os.path.join(store, leftover)), leftover
-    # r15 two-phase GC: the folded layer is tombstoned (files intact for
-    # stale readers), not deleted; it is no longer a live layer
-    from pycaim_spark.operators.dedup import _store_layer_dirs
-    assert _store_layer_dirs(store) == []
     assert os.path.exists(
         os.path.join(store, "append", "day1", "superseded.json")
     )
-    # the manifest was replayed: the folded key is now a no-op on append
+    assert os.path.exists(
+        os.path.join(_versioned(store, "sets", 0), "_superseded.json")
+    )
+    assert os.path.exists(_versioned(store, "sets", 0))  # grace-protected
+    assert _store_layer_dirs(store) == []
+    # the manifest survived the crash inside the pointer: replaying the
+    # folded key is a no-op
     minhash_signature_store_append(spark, store, s1, "day1")
     assert _store_layer_dirs(store) == []
-    # and yet another compact still finds nothing to do
-    minhash_signature_store_compact(spark, store)
-    assert healed == {(r.doc_id, r.dup_of, r.is_new)
-                      for r in incremental_minhash_dedup_layered(spark, store, s2).collect()}
+    assert _load_pointer(store)["version"] == 1  # no spurious recompact
 
 
-def test_store_truncated_journal_and_manifest_gc(spark, tmp_path):
-    """ADVICE r10: a truncated/unparseable commit journal must be treated
-    as absent (roll BACK — the swap renames only start after the journal
-    is atomically in place, so old base + layers are intact), never
-    strand the store with a parse error. Plus the manifest GC contract:
-    trim to the newest keep_last keys; a retained key still no-ops on
-    replay; a GC'd key re-appends (the documented replay-window trade)."""
+def test_store_legacy_migration_torn_journal_and_manifest_gc(
+    spark, tmp_path
+):
+    """LEGACY-store handling after the r16 pointer re-base: a pre-r16
+    store (unversioned ``sets``/``buckets``, ``folded_keys.json``, maybe
+    a torn ``compact_journal.json`` + stray ``sets_next`` from a crashed
+    journal-era compaction) must (a) keep serving correct verdicts
+    through the read view's legacy fallback, treating the torn journal
+    as absent (ADVICE r10 doctrine: renames only started after an atomic
+    journal write, so old base + layers are intact), and (b) be healed
+    AND migrated in place by the next write path — base renamed to
+    ``*_v0``, manifest folded into the pointer, journal-era artifacts
+    gone. Plus the manifest GC contract: trim to the newest keep_last
+    keys; a retained key still no-ops on replay; a GC'd key re-appends
+    (the documented replay-window trade)."""
     import os
 
     from pycaim_spark.operators.dedup import (
@@ -1114,18 +1131,38 @@ def test_store_truncated_journal_and_manifest_gc(spark, tmp_path):
                 for r in incremental_minhash_dedup_layered(spark, store, probe).collect()}
     assert (30, 10, 0) in expected
 
-    # torn journal + a half-written _next dir: probe treats it as absent
-    # (read-only), write path rolls back and removes it
+    # Down-migrate to the PRE-r16 on-disk layout (what a real legacy
+    # store looks like), plus a torn journal and a half-written _next
+    # dir from a crashed journal-era compaction.
+    import json as _json
+
+    from pycaim_spark.operators.dedup import _load_pointer
+    os.rename(os.path.join(store, "sets_v0"), os.path.join(store, "sets"))
+    os.rename(os.path.join(store, "buckets_v0"),
+              os.path.join(store, "buckets"))
+    os.remove(os.path.join(store, "current.json"))
+    with open(os.path.join(store, "folded_keys.json"), "w") as f:
+        _json.dump([], f)
     with open(os.path.join(store, "compact_journal.json"), "w") as f:
         f.write('["day1", "da')  # truncated mid-write
     os.makedirs(os.path.join(store, "sets_next"))
+
+    # (a) probe: legacy fallback, torn journal treated as absent.
     torn = {(r.doc_id, r.dup_of, r.is_new)
             for r in incremental_minhash_dedup_layered(spark, store, probe).collect()}
     assert torn == expected
     assert os.path.exists(os.path.join(store, "compact_journal.json"))
+    assert _load_pointer(store) is None
+
+    # (b) the next write path heals AND migrates: journal-era artifacts
+    # gone, base versioned, manifest inside the pointer — verdicts
+    # unchanged (this compact then folds day1 into v1).
     minhash_signature_store_compact(spark, store)
-    assert not os.path.exists(os.path.join(store, "compact_journal.json"))
-    assert not os.path.exists(os.path.join(store, "sets_next"))
+    for legacy in ("compact_journal.json", "sets_next", "sets",
+                   "buckets", "folded_keys.json"):
+        assert not os.path.exists(os.path.join(store, legacy)), legacy
+    ptr = _load_pointer(store)
+    assert ptr == {"version": 1, "folded": ["day1"]}
     assert expected == {(r.doc_id, r.dup_of, r.is_new)
                         for r in incremental_minhash_dedup_layered(spark, store, probe).collect()}
 
@@ -1300,6 +1337,82 @@ def test_store_two_phase_gc_protects_concurrent_readers(
     assert after_gc == verdicts
 
 
+def test_store_base_swap_mid_scan_reader_survives(
+    spark, tmp_path, monkeypatch
+):
+    """r16 (VERDICT r15 #3): the LAST lockless-reader window — a reader
+    that resolved the base paths, then a compaction COMMITS before the
+    reader materializes. Pre-r16 the commit renamed the current
+    ``sets``/``buckets`` dirs, the resolved paths ceased to exist, and
+    the scan died with FileNotFoundException (the docstring carried a
+    re-plan remedy for exactly this). With the snapshot-pointer commit
+    the resolved version dirs are immutable and tombstoned-in-place, so
+    the stale reader's scan completes with pre-commit verdicts, a fresh
+    reader sees the post-commit snapshot, and only a write pass past the
+    grace period collects the old version."""
+    import os
+
+    from pycaim_spark.operators.dedup import (
+        _store_read_view,
+        _versioned,
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "first fresh slice with its very own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(30, "first fresh slice with its very own vocabulary entire")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    minhash_signature_store_append(spark, store, s1, "day1")
+
+    # The stale reader: resolve the view and BUILD the lazy plan now...
+    sets_v0, buckets_v0, skip = _store_read_view(store)
+    assert sets_v0.endswith("sets_v0") and skip == set()
+    stale_df = incremental_minhash_dedup_layered(spark, store, probe)
+
+    # ...the compactor commits version 1 in between...
+    minhash_signature_store_compact(spark, store)
+    assert _store_read_view(store)[0].endswith("sets_v1")
+
+    # ...and the stale reader's materialization SUCCEEDS against the
+    # tombstoned-but-intact v0 paths — this exact line was the
+    # documented FileNotFoundException window before the pointer commit.
+    stale = {(r.doc_id, r.dup_of, r.is_new) for r in stale_df.collect()}
+    assert (30, 10, 0) in stale
+    fresh = {(r.doc_id, r.dup_of, r.is_new)
+             for r in incremental_minhash_dedup_layered(
+                 spark, store, probe).collect()}
+    assert fresh == stale
+    assert os.path.exists(os.path.join(sets_v0, "_superseded.json"))
+
+    # Grace expiry: a later write pass collects v0; the fresh snapshot
+    # is untouched.
+    monkeypatch.setenv("PYCAIM_STORE_GC_GRACE", "0")
+    import time as _time
+    _time.sleep(0.05)
+    minhash_signature_store_append(spark, store, s1, "day1")  # no-op write
+    assert not os.path.exists(sets_v0)
+    assert not os.path.exists(buckets_v0)
+    assert os.path.exists(
+        os.path.join(_versioned(store, "sets", 1), "_SUCCESS")
+    )
+    assert fresh == {(r.doc_id, r.dup_of, r.is_new)
+                     for r in incremental_minhash_dedup_layered(
+                         spark, store, probe).collect()}
+
+
 def test_ivf_pq_index_append_concurrent_keys_both_survive(spark, tmp_path):
     """r15: the append manifest is a read-modify-write, so two
     unserialized appenders of DIFFERENT keys would each persist a list
@@ -1325,7 +1438,9 @@ def test_ivf_pq_index_append_concurrent_keys_both_survive(spark, tmp_path):
     store = str(tmp_path / "ann")
     ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
                        sample_size=40)
-    base_n = spark.read.parquet(os.path.join(store, "codes")).count()
+    from pycaim_spark.operators.similarity import _codes_path
+
+    base_n = spark.read.parquet(_codes_path(store)).count()
 
     slices = {
         key: spark.createDataFrame(
@@ -1351,12 +1466,12 @@ def test_ivf_pq_index_append_concurrent_keys_both_survive(spark, tmp_path):
     assert not errs, errs
     with open(os.path.join(store, "append_keys.json")) as f:
         assert sorted(json.load(f)) == ["day1", "day2"]
-    n = spark.read.parquet(os.path.join(store, "codes")).count()
+    n = spark.read.parquet(_codes_path(store)).count()
     assert n == base_n + 10
     # replay: both keys now no-op (no double indexing)
     for key in slices:
         ivf_pq_index_append(slices[key], store, key)
-    assert spark.read.parquet(os.path.join(store, "codes")).count() == n
+    assert spark.read.parquet(_codes_path(store)).count() == n
 
 
 def test_ivf_pq_index_refuses_paramless_sidecar(spark, tmp_path):
@@ -1443,7 +1558,8 @@ def test_ann_index_append_makes_new_vectors_retrievable(spark, tmp_path):
         emb_base, store, n_cells=4, m=4, k_centroids=8, sample_size=60
     )
     import os
-    coded = lambda: spark.read.parquet(os.path.join(store, "codes"))  # noqa: E731
+    from pycaim_spark.operators.similarity import _codes_path
+    coded = lambda: spark.read.parquet(_codes_path(store))  # noqa: E731
 
     def probe():
         return {
