@@ -1247,6 +1247,19 @@ def test_store_gc_fold_order_and_probe_cap(spark, tmp_path, monkeypatch):
     assert _store_layer_dirs(store) == [
         os.path.join(store, "append", "day2")
     ]
+    # ADVICE r15: the re-append is WRITE-ASIDE — the folded-in-grace old
+    # layer content was renamed aside (tombstoned, files intact for any
+    # stale reader), never overwritten in place, and the fresh live
+    # layer carries no tombstone.
+    old_dirs = [d for d in os.listdir(os.path.join(store, "append"))
+                if d.startswith("day2.old-")]
+    assert len(old_dirs) == 1
+    assert os.path.exists(os.path.join(
+        store, "append", old_dirs[0], "bands", "_SUCCESS"))
+    assert os.path.exists(os.path.join(
+        store, "append", old_dirs[0], "superseded.json"))
+    assert not os.path.exists(os.path.join(
+        store, "append", "day2", "superseded.json"))
 
     # (c) compaction runs GC itself under its write lock
     monkeypatch.setenv("PYCAIM_STORE_GC_KEEP", "1")

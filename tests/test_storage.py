@@ -884,10 +884,13 @@ def test_layout_lifecycle_composition(spark, sf_dir):
     # Step 4: SECOND CDC batch — delete original keys ≡0 (mod 307)
     # (the `< OFFSET` clause keeps the predicate derivable from the raw
     # corpus, which is where the fixture's demo derivation scan reads
-    # the batch). The marker is per-batch state: removing it is how the
-    # fixture models the next batch's arrival (production would key
-    # markers by batch id, as the signature store keys layers by
-    # ingest_key).
+    # the batch). The marker is per-batch state: REMOVING it first is
+    # load-bearing — it models the next batch's arrival on the CURRENT
+    # table state; leaving a marker recording a different batch spec
+    # would instead trip the in-place staleness rebuild, which resets
+    # the whole namespace to pristine (the right behavior for changed
+    # FIXTURE predicates, not for a successive batch — successive
+    # batches via cloning are gated by layout_upsert_second_batch).
     del2 = f"o_orderkey % 307 = 0 AND o_orderkey < {_UPSERT_INS_OFFSET}"
     os.remove(marker)
     _, t4 = _upserted_orderkey_layout(
