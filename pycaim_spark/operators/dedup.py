@@ -1432,17 +1432,26 @@ def _recover_store_swap(store_dir: str) -> None:
                 for stray in (cur + "_next", cur + "_old"):
                     if os.path.exists(stray):
                         shutil.rmtree(stray)
-        # Migrate a healed legacy base to the versioned layout. The two
-        # renames are not jointly atomic, but this runs under the write
-        # lock and legacy READERS resolve through `_store_read_view`,
-        # which falls back to the unversioned paths only while the
-        # pointer is absent — a reader interleaving the instant between
-        # rename and pointer write re-enters the legacy branch, finds a
-        # missing dir, and retries via its stability loop.
-        if all(os.path.exists(d) for d in dirs):
-            for cur in dirs:
-                os.rename(cur, cur + "_v0")
-            manifest = os.path.join(store_dir, "folded_keys.json")
+        # Migrate a healed legacy base to the versioned layout, written
+        # as a crash-idempotent FORWARD COMPLETION (a crash between the
+        # renames and the pointer commit must not strand or delete data):
+        # rename any legacy dir whose v0 twin is missing, then commit the
+        # pointer iff BOTH v0 dirs are complete — which distinguishes the
+        # two ways pointer-less v0 dirs arise: a crashed migration leaves
+        # COMPLETE v0 dirs (rename preserves _SUCCESS) → commit; a build
+        # that crashed between its v0 parquet writes and its pointer
+        # commit leaves an incomplete pair → delete the strays, the next
+        # build re-derives them. Legacy READERS resolve through
+        # `_store_read_view`'s fallback + stability loop and settle on
+        # the pointer once it lands (all under the write lock anyway).
+        v0 = [d + "_v0" for d in dirs]
+        for cur, nxt in zip(dirs, v0):
+            if os.path.exists(cur) and not os.path.exists(nxt):
+                os.rename(cur, nxt)
+        manifest = os.path.join(store_dir, "folded_keys.json")
+        if all(
+            os.path.exists(os.path.join(d, "_SUCCESS")) for d in v0
+        ):
             legacy_folded = []
             if os.path.exists(manifest):
                 import json as _json
@@ -1452,6 +1461,10 @@ def _recover_store_swap(store_dir: str) -> None:
             _commit_pointer(store_dir, 0, legacy_folded)
             if os.path.exists(manifest):
                 os.remove(manifest)
+        else:
+            for d in v0:
+                if os.path.exists(d):
+                    shutil.rmtree(d)
         return
     v = ptr["version"]
     for _kind, n, path in _version_dirs(store_dir):

@@ -954,9 +954,9 @@ def _recover_codes(store_dir: str) -> None:
                 n = int(sib[len("codes_v"):])
             except ValueError:
                 continue
-            if v is None or n > v:
+            if v is not None and n > v:
                 shutil.rmtree(path, ignore_errors=True)
-            elif n < v:
+            elif v is not None and n < v:
                 tomb = os.path.join(path, "_superseded.json")
                 if not os.path.exists(tomb):
                     _write_json_atomic(tomb, {"ts": now})
@@ -968,12 +968,27 @@ def _recover_codes(store_dir: str) -> None:
                             shutil.rmtree(path, ignore_errors=True)
                     except (OSError, ValueError, TypeError):
                         pass
-    legacy = os.path.join(store_dir, "codes")
-    if v is None and os.path.exists(os.path.join(legacy, "_SUCCESS")):
-        os.rename(legacy, os.path.join(store_dir, "codes_v0"))
-        _write_json_atomic(
-            os.path.join(store_dir, "codes_current.json"), {"version": 0}
-        )
+    # Pointer-less stores: crash-idempotent forward completion (mirrors
+    # the minhash base migration). A legacy ``codes`` dir renames to
+    # ``codes_v0``; a COMPLETE pointer-less v0 (crashed migration — or a
+    # build that crashed between its v0 write and its pointer commit)
+    # gets the pointer it was about to receive; an INCOMPLETE one is a
+    # build stray — delete it, the next build re-derives. The old rule
+    # here deleted every pointer-less codes_v* dir, which turned a crash
+    # between the migration's rename and its pointer write into DATA
+    # LOSS of the only coded corpus.
+    if v is None:
+        legacy = os.path.join(store_dir, "codes")
+        v0 = os.path.join(store_dir, "codes_v0")
+        if os.path.exists(legacy) and not os.path.exists(v0):
+            os.rename(legacy, v0)
+        if os.path.exists(os.path.join(v0, "_SUCCESS")):
+            _write_json_atomic(
+                os.path.join(store_dir, "codes_current.json"),
+                {"version": 0},
+            )
+        elif os.path.exists(v0):
+            shutil.rmtree(v0, ignore_errors=True)
 
 
 def ivf_pq_index_build(

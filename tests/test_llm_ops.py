@@ -1350,6 +1350,106 @@ def test_store_two_phase_gc_protects_concurrent_readers(
     assert after_gc == verdicts
 
 
+def test_store_migration_crash_forward_completion(spark, tmp_path):
+    """r16 self-review: the legacy→versioned migration is two renames
+    plus a pointer write, and a crash BETWEEN them must neither strand
+    the store (pointer-less v0 dirs that the legacy read fallback can't
+    see) nor delete the only base. Recovery forward-completes: complete
+    pointer-less v0 dirs get the pointer they were about to receive
+    (true for a crashed migration AND for a build that crashed between
+    its v0 writes and its pointer commit — rename preserves _SUCCESS);
+    an incomplete pointer-less v0 pair is a build stray and is deleted.
+    Same contract for the IVF-PQ codes dir, where the pre-fix rule
+    deleted every pointer-less codes_v* — data loss."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from pycaim_spark.operators.dedup import (
+        _load_pointer,
+        _versioned,
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "first fresh slice with its very own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(30, "first fresh slice with its very own vocabulary entire")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    expected = {(r.doc_id, r.dup_of, r.is_new)
+                for r in incremental_minhash_dedup_layered(
+                    spark, store, probe).collect()}
+
+    # Crash state A: renames done, pointer write never happened.
+    os.remove(os.path.join(store, "current.json"))
+    # Crash state A': HALF-migrated — one dir still on its legacy name.
+    os.rename(_versioned(store, "sets", 0), os.path.join(store, "sets"))
+    minhash_signature_store_append(spark, store, s1, "day1")  # write path
+    assert _load_pointer(store) == {"version": 0, "folded": []}
+    assert os.path.exists(
+        os.path.join(_versioned(store, "sets", 0), "_SUCCESS"))
+    # Pre-append the probe doc was novel; after the healed store took
+    # the day-1 layer it dups against doc 10 — both reads prove the
+    # base survived the half-migration intact.
+    assert expected == {(30, None, 1)}
+    healed = {(r.doc_id, r.dup_of, r.is_new)
+              for r in incremental_minhash_dedup_layered(
+                  spark, store, probe).collect()}
+    assert healed == {(30, 10, 0)}
+
+    # Crash state B: incomplete pointer-less v0 pair = build stray.
+    store_b = str(tmp_path / "store_b")
+    os.makedirs(_versioned(store_b, "sets", 0))
+    os.makedirs(_versioned(store_b, "buckets", 0))
+    minhash_signature_store_build(base, store_b)
+    ptr = _load_pointer(store_b)
+    assert ptr is not None
+    assert os.path.exists(os.path.join(
+        _versioned(store_b, "sets", ptr["version"]), "_SUCCESS"))
+
+    # IVF-PQ codes: same window — pointer removed after a completed
+    # build must be forward-completed by the next write path, with the
+    # coded corpus intact (the pre-fix recovery deleted it here).
+    from pycaim_spark.operators.similarity import (
+        _codes_path,
+        _codes_version,
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(rng.normal(size=(40, 8)))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ann = str(tmp_path / "ann")
+    ivf_pq_index_build(emb, ann, n_cells=4, m=4, k_centroids=8,
+                       sample_size=40)
+    n0 = spark.read.parquet(_codes_path(ann)).count()
+    os.remove(os.path.join(ann, "codes_current.json"))
+    extra = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v])
+         for i, v in enumerate(rng.normal(size=(5, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_pq_index_append(extra, ann, "day1")
+    assert _codes_version(ann) == 0
+    assert spark.read.parquet(_codes_path(ann)).count() == n0 + 5
+
+    shutil.rmtree(store_b, ignore_errors=True)
+
+
 def test_store_base_swap_mid_scan_reader_survives(
     spark, tmp_path, monkeypatch
 ):
