@@ -842,6 +842,10 @@ def _upserted_orderkey_layout(
         _store_write_lock,
         _write_json_atomic,
     )
+    from pycaim_spark.operators.merge import (
+        delta_touched_buckets,
+        plan_bucket_local_merge,
+    )
     from pycaim_spark.queries.relational import _SCRATCH
 
     ns = f"ip{suffix}" if inplace else "incr"
@@ -1020,6 +1024,16 @@ def _upserted_orderkey_layout(
                 f"INTO {buckets} BUCKETS LOCATION '{upath}'"
             )
         if not os.path.exists(marker):
+            # 2. DEMO SCAFFOLDING: derive the CDC batch from predicates
+            # over the raw corpus, so the DuckDB oracle can reproduce the
+            # identical batch in SQL. The touched-bucket derivation here
+            # (bounded: ≤ `buckets` ids) exists only to let the UPDATE
+            # rows be read from the touched files instead of re-scanning
+            # the corpus (SCALING_r15.json `upsert_scale_probe_sf10`
+            # caught the second scan); the MOTION itself runs through
+            # `plan_bucket_local_merge`, whose production contract takes
+            # the delta as DataFrames and computes touched buckets from
+            # the delta's keys alone.
             cdc_keys = full.filter(
                 F.expr(f"({upd_pred}) OR ({del_pred})")
             ).select(key)
@@ -1029,19 +1043,7 @@ def _upserted_orderkey_layout(
                     key, F.col(key) + F.lit(_UPSERT_INS_OFFSET)
                 )
                 cdc_keys = cdc_keys.unionByName(ins_rows.select(key))
-            # 2. Touched buckets, driver-side (bounded: ≤ `buckets` ids).
-            # New (insert) keys participate identically — pmod(hash) is
-            # the bucket they will LAND in. This derivation scan of the
-            # raw corpus is DEMO scaffolding — it exists so the DuckDB
-            # oracle can reproduce the batch from a predicate; a
-            # production MERGE receives the delta as input and computes
-            # touched buckets from the delta's keys alone.
-            touched = sorted(
-                r.b
-                for r in cdc_keys.select(
-                    F.pmod(F.hash(F.col(key)), F.lit(buckets)).alias("b")
-                ).distinct().collect()
-            )
+            touched = delta_touched_buckets(cdc_keys, key, buckets)
             if not touched:
                 # Empty CDC batch at this scale (ADVICE r15): nothing to
                 # merge — commit the no-op so re-runs warm-path.
@@ -1055,14 +1057,6 @@ def _upserted_orderkey_layout(
             touched_files = [
                 f for b in touched for f in live.get(b, [])
             ]
-            # 3. Merge the touched buckets' rows only. The update rows are
-            # derived from `cur`, not from the full table: every upd_pred
-            # key's bucket is in `touched` by construction, so the two
-            # reads the staged write makes are both bucket-file-sized —
-            # deriving updates from `full` here cost a second full-corpus
-            # scan (caught by the r15 sf10 decomposition,
-            # SCALING_r15.json `upsert_scale_probe_sf10`). An insert-only
-            # batch into hitherto-empty buckets has no files to read.
             cur = (
                 spark.read.parquet(*touched_files)
                 if touched_files
@@ -1072,29 +1066,33 @@ def _upserted_orderkey_layout(
                 "o_orderdate",
                 F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
             )
-            merged = cur.filter(
-                ~F.expr(f"({upd_pred}) OR ({del_pred})")
-            ).unionByName(updates)
-            if ins_rows is not None:
-                merged = merged.unionByName(ins_rows)
-            spark.sql(f"DROP TABLE IF EXISTS {sname}")
-            shutil.rmtree(stage, ignore_errors=True)
-            (
-                merged.repartition(buckets, F.col(key))
-                .write.mode("overwrite")
-                .bucketBy(buckets, key)
-                .sortBy(key)
-                .option("path", stage)
-                .saveAsTable(sname)
+            upserts = (
+                updates if ins_rows is None
+                else updates.unionByName(ins_rows)
             )
-            staged = _files_by_bucket(stage)
-            stray = sorted(set(staged) - set(touched))
-            if stray:
-                raise AssertionError(
-                    f"staged files landed in unpredicted buckets {stray}: "
-                    "F.hash/pmod no longer matches Spark's bucket "
-                    "assignment — aborting before mis-placing rows"
-                )
+            # 3. The motion core (operators/merge.py): anti-join the
+            # delta keys out of the touched buckets' rows, add the
+            # upserts, stage one sorted file per touched bucket, assert
+            # bucket-assignment parity. `touched` is passed through so
+            # the scaffolding derivation above isn't re-run, and BOTH
+            # delta sides derive from `cur` (every upd/del key's bucket
+            # is touched by construction), so the staged job reads only
+            # bucket files — no second corpus scan (the r15
+            # decomposition lesson). Production callers pass their CDC
+            # stream's DataFrames and omit `touched`.
+            plan = plan_bucket_local_merge(
+                spark,
+                path=upath,
+                schema=full.schema,
+                key=key,
+                buckets=buckets,
+                upserts=upserts,
+                deletes=cur.filter(F.expr(del_pred)).select(key),
+                stage_path=stage,
+                stage_table=sname,
+                touched=touched,
+            )
+            staged = plan["staged"]
             # 4. Bucket-local swap: only the touched buckets change.
             if inplace:
                 # Journal first (undo-dir name + staged file names), move
