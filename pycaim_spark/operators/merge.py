@@ -158,6 +158,23 @@ def plan_bucket_local_merge(
     return {"touched": touched, "live": live, "staged": staged}
 
 
+def rm_with_crc(f: str) -> None:
+    """Remove a part file WITH its hidden ``.<name>.crc`` sidecar."""
+    os.remove(f)
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def mv_with_crc(f: str, dst_dir: str) -> None:
+    """Rename a part file into ``dst_dir`` WITH its crc sidecar."""
+    base = os.path.basename(f)
+    os.rename(f, os.path.join(dst_dir, base))
+    crc = os.path.join(os.path.dirname(f), f".{base}.crc")
+    if os.path.exists(crc):
+        os.rename(crc, os.path.join(dst_dir, f".{base}.crc"))
+
+
 # Ship by value: Spark workers cannot import pycaim_spark (driver-only
 # sys.path).
 _cloudpickle.register_pickle_by_value(sys.modules[__name__])

@@ -1149,6 +1149,242 @@ def _upserted_orderkey_layout(
     return lib, spark.table(uname)
 
 
+def _upsert_stream_inplace(
+    spark,
+    sf_dir,
+    batches: list[tuple[str, str, str, str | None]],
+    suffix: str = "st",
+    buckets: int = 32,
+):
+    """A STREAM of CDC batches applied IN PLACE to one bucketed table —
+    the steady-state production shape the single-batch arms build up to:
+    each batch ``(batch_key, upd_pred, del_pred, ins_pred)`` merges
+    bucket-locally on top of the previous batches' result, is committed
+    by appending its entry to an ordered APPLIED MANIFEST (atomic
+    rewrite — the same ingest-key idempotence discipline as the
+    signature store's folded-keys manifest), and is individually
+    crash-journaled: the per-batch pending journal + undo dir roll an
+    uncommitted batch BACK to its pre-batch state, so recovery re-merges
+    exactly the interrupted batch and the stream continues. Replaying an
+    applied key is a no-op; a manifest whose recorded history DIVERGES
+    from the requested batch list (fixture predicates changed between
+    rounds) rebuilds the private namespace from the raw corpus and
+    replays the requested stream — deterministic, like the single-batch
+    marker's batch-spec staleness rule. Runs only in-place (the cloned
+    arm composes by chaining clones instead, ``base_rel`` — both
+    composition styles are gated against the SAME two-batch oracle:
+    `layout_upsert_inplace_stream` vs `layout_upsert_second_batch`).
+    Batch semantics per entry match `_upserted_orderkey_layout`: updates
+    shift o_orderdate +30 days, inserts clone under key + 10^9, deltas
+    derive from the touched buckets' rows so each merge job is
+    bucket-file-sized. Returns the orders DataFrame after the whole
+    stream."""
+    import glob as _glob
+    import hashlib
+    import json
+    import shutil
+    import time
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
+    from pycaim_spark.operators.merge import (
+        bucket_files,
+        delta_touched_buckets,
+        mv_with_crc,
+        plan_bucket_local_merge,
+        rm_with_crc,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    ns = f"ip{suffix}"
+    _incremental_orderkey_layout(
+        spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
+        tables=("orders",),
+    )
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{abs_sf}:{buckets}:{ns}:{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(layout_root, slug)
+    tpath = os.path.join(slug_dir, "orders_c")
+    tname = f"tpch_ic_orders_{slug}"
+    manifest = os.path.join(slug_dir, f"upsertstream{suffix}_orders.json")
+    pending = os.path.join(
+        slug_dir, f"upsertstream_pending{suffix}_orders.json"
+    )
+    specs = [list(b) for b in batches]
+    key = "o_orderkey"
+
+    def _applied():
+        if os.path.exists(manifest):
+            try:
+                with open(manifest) as f:
+                    return json.load(f)
+            except (OSError, ValueError):
+                return []
+        return []
+
+    applied = _applied()
+    if (
+        [a["batch"] for a in applied] == specs
+        and not os.path.exists(pending)
+        and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+        and spark.catalog.tableExists(tname)
+    ):
+        return spark.table(tname)
+
+    # Divergent history → rebuild the namespace pristine (wipe under the
+    # lock, rebuild outside it — the builder takes the same flock).
+    if applied and [a["batch"] for a in applied] != \
+            [s for s in specs[: len(applied)]]:
+        with _store_write_lock(layout_root):
+            applied = _applied()
+            if applied and [a["batch"] for a in applied] != \
+                    [s for s in specs[: len(applied)]]:
+                spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                spark.sql(f"DROP TABLE IF EXISTS tpch_ia_orders_{slug}")
+                shutil.rmtree(slug_dir, ignore_errors=True)
+        _incremental_orderkey_layout(
+            spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
+            tables=("orders",),
+        )
+
+    full = load_table(spark, sf_dir, "orders")
+    stage = os.path.join(slug_dir, f"orders_u{suffix}_stream_stage")
+    sname = f"tpch_iu{suffix}_stream_stage_orders_{slug}"
+    with _store_write_lock(layout_root):
+        grace = float(os.environ.get("PYCAIM_LAYOUT_GC_GRACE", "900"))
+        now = time.time()
+        for od in _glob.glob(os.path.join(slug_dir, "orders_c_old-*")):
+            tomb = os.path.join(od, "superseded.json")
+            if os.path.exists(tomb):
+                try:
+                    with open(tomb) as f:
+                        ts = float(json.load(f).get("ts", now))
+                except (OSError, ValueError, TypeError):
+                    continue
+                if now - ts > grace:
+                    shutil.rmtree(od, ignore_errors=True)
+        if os.path.exists(pending):
+            # The manifest entry is written AFTER the swap, so it is the
+            # batch's commit record: pending whose key is already in the
+            # manifest = crash between commit and cleanup — just finish
+            # the cleanup; otherwise the batch is uncommitted — roll back
+            # to the pre-batch state and let the loop re-merge it.
+            with open(pending) as f:
+                pinfo = json.load(f)
+            committed = any(
+                a.get("key") == pinfo.get("key") for a in _applied()
+            )
+            if not committed:
+                staged_names = set(pinfo.get("staged", ()))
+                for fn in list(os.listdir(tpath)):
+                    if fn in staged_names:
+                        rm_with_crc(os.path.join(tpath, fn))
+                undo = os.path.join(slug_dir, pinfo["undo_dir"])
+                if os.path.isdir(undo):
+                    for fn in os.listdir(undo):
+                        if fn != "superseded.json":
+                            os.rename(
+                                os.path.join(undo, fn),
+                                os.path.join(tpath, fn),
+                            )
+                    shutil.rmtree(undo, ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            shutil.rmtree(stage, ignore_errors=True)
+            os.remove(pending)
+            if spark.catalog.tableExists(tname):
+                spark.catalog.refreshTable(tname)
+        applied = _applied()
+        for spec in specs[len(applied):]:
+            batch_key, upd_pred, del_pred, ins_pred = spec
+            cdc_keys = full.filter(
+                F.expr(f"({upd_pred}) OR ({del_pred})")
+            ).select(key)
+            ins_rows = None
+            if ins_pred is not None:
+                ins_rows = full.filter(F.expr(ins_pred)).withColumn(
+                    key, F.col(key) + F.lit(_UPSERT_INS_OFFSET)
+                )
+                cdc_keys = cdc_keys.unionByName(ins_rows.select(key))
+            touched = delta_touched_buckets(cdc_keys, key, buckets)
+            if not touched:
+                applied = applied + [
+                    {"key": batch_key, "batch": spec, "touched": []}
+                ]
+                _write_json_atomic(manifest, applied)
+                continue
+            live = bucket_files(tpath)
+            touched_files = [
+                f for b in touched for f in live.get(b, [])
+            ]
+            cur = (
+                spark.read.parquet(*touched_files)
+                if touched_files
+                else spark.createDataFrame([], full.schema)
+            )
+            updates = cur.filter(F.expr(upd_pred)).withColumn(
+                "o_orderdate",
+                F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+            )
+            upserts = (
+                updates if ins_rows is None
+                else updates.unionByName(ins_rows)
+            )
+            plan = plan_bucket_local_merge(
+                spark,
+                path=tpath,
+                schema=full.schema,
+                key=key,
+                buckets=buckets,
+                upserts=upserts,
+                deletes=cur.filter(F.expr(del_pred)).select(key),
+                stage_path=stage,
+                stage_table=sname,
+                touched=touched,
+            )
+            undo_name = f"orders_c_old-{int(time.time() * 1000)}"
+            undo = os.path.join(slug_dir, undo_name)
+            os.makedirs(undo, exist_ok=True)
+            _write_json_atomic(
+                pending,
+                {
+                    "key": batch_key,
+                    "touched": touched,
+                    "staged": sorted(
+                        os.path.basename(f)
+                        for fs in plan["staged"].values()
+                        for f in fs
+                    ),
+                    "undo_dir": undo_name,
+                },
+            )
+            for b in touched:
+                for f in live.get(b, []):
+                    mv_with_crc(f, undo)
+                for f in plan["staged"].get(b, []):
+                    mv_with_crc(f, tpath)
+            _write_json_atomic(
+                os.path.join(undo, "superseded.json"), {"ts": time.time()}
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            shutil.rmtree(stage, ignore_errors=True)
+            spark.catalog.refreshTable(tname)
+            applied = applied + [
+                {"key": batch_key, "batch": spec, "touched": touched}
+            ]
+            _write_json_atomic(manifest, applied)
+            os.remove(pending)
+        tomb = os.path.join(slug_dir, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+    return spark.table(tname)
+
+
 #: The post-CDC orders view, in SQL, shared by every upsert oracle: base
 #: minus update/delete keys, plus the shifted updates, plus the inserted
 #: clones (keys + 10^9). DuckDB reproduces the exact batch the layout
@@ -1338,6 +1574,51 @@ def layout_upsert_second_batch(spark, sf_dir):
         with_lineitem=False,
     )
     return ou2.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(
+            F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
+        ).alias("n_inserted"),
+    )
+
+
+@register(
+    "layout_upsert_inplace_stream",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_ORDV_SQL + f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key,
+           COUNT(CASE WHEN o_orderkey >= 1000000000 THEN 1 END)
+               AS n_inserted
+    FROM ordv
+    WHERE NOT ({_UPSERT_B2_DEL})
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_upsert_inplace_stream(spark, sf_dir):
+    """The same two-batch CDC composition as `layout_upsert_second_batch`
+    executed as an IN-PLACE STREAM (`_upsert_stream_inplace`): batch 1
+    (update+delete+insert) and batch 2 (deletes) merge successively into
+    ONE table, each batch committed to an ordered applied-manifest and
+    individually crash-journaled (pending + undo dir roll an uncommitted
+    batch back; a committed batch's cleanup is finished). The cloned
+    chain and this stream are the two composition styles a production
+    CDC pipeline chooses between, and both gate against the SAME DuckDB
+    two-batch oracle — a divergence between them (e.g. batch 2 merging
+    against the wrong base state) hash-fails one of the twins."""
+    register_temp_views(spark, sf_dir)
+    ou = _upsert_stream_inplace(
+        spark, sf_dir,
+        batches=[
+            ("b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS),
+            ("b2", "1 = 0", _UPSERT_B2_DEL, None),
+        ],
+    )
+    return ou.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         fsum(cents("o_totalprice"), 2, "total_price"),
         F.max("o_orderkey").alias("max_key"),

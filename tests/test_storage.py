@@ -993,6 +993,95 @@ def test_layout_lifecycle_composition(spark, sf_dir):
         assert json.load(f)["touched_buckets"], "second batch committed"
 
 
+def test_upsert_stream_inplace_arrival_and_recovery(spark, sf_dir):
+    """The in-place CDC stream (`_upsert_stream_inplace`): (a) batches
+    arrive INCREMENTALLY — a call with a longer batch list whose prefix
+    is already applied merges only the new batches on the current state;
+    (b) an UNCOMMITTED batch crash (pending journal, no manifest entry)
+    rolls back and leaves the stream replayable; (c) a COMMITTED batch
+    crash (manifest entry written, pending cleanup interrupted) finishes
+    cleanup without rolling the batch back — the lost-batch mode."""
+    import json
+    import os
+    import shutil
+
+    from pycaim_spark.operators.merge import bucket_files
+    from pycaim_spark.queries.advanced import (
+        _UPSERT_B2_DEL,
+        _UPSERT_DEL,
+        _UPSERT_INS,
+        _UPSERT_UPD,
+        _upsert_stream_inplace,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    slug = _reset_private_ns_layout(spark, sf_dir, "ipsr")
+    spark.sql(f"DROP TABLE IF EXISTS tpch_iusr_stream_stage_orders_{slug}")
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    tpath = os.path.join(slug_dir, "orders_c")
+    manifest = os.path.join(slug_dir, "upsertstreamsr_orders.json")
+    pending = os.path.join(
+        slug_dir, "upsertstream_pendingsr_orders.json"
+    )
+
+    b1 = ("b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS)
+    b2 = ("b2", "1 = 0", _UPSERT_B2_DEL, None)
+    full = load_table(spark, sf_dir, "orders")
+    n_del1 = full.filter(_UPSERT_DEL).count()
+    n_ins1 = full.filter(_UPSERT_INS).count()
+    n_del2 = full.filter(
+        f"({_UPSERT_B2_DEL}) AND NOT ({_UPSERT_DEL})"
+    ).count()
+    want1 = full.count() - n_del1 + n_ins1
+    want2 = want1 - n_del2
+
+    # (a) incremental arrival.
+    t1 = _upsert_stream_inplace(spark, sf_dir, [b1], suffix="sr")
+    assert t1.count() == want1
+    t2 = _upsert_stream_inplace(spark, sf_dir, [b1, b2], suffix="sr")
+    assert t2.count() == want2
+    with open(manifest) as f:
+        assert [a["key"] for a in json.load(f)] == ["b1", "b2"]
+
+    # (b) uncommitted batch: fabricate a half-swapped b3 — two bucket
+    # files displaced to the undo dir, fakes renamed in, pending written,
+    # NO manifest entry. Recovery must roll back to the post-b2 state.
+    files = bucket_files(tpath)
+    victims = [files[b][0] for b in sorted(files)[:2]]
+    undo = os.path.join(slug_dir, "orders_c_old-777")
+    os.makedirs(undo)
+    staged_names = []
+    for i, f in enumerate(victims):
+        fn = os.path.basename(f)
+        os.rename(f, os.path.join(undo, fn))
+        fake = fn.replace("part-", f"part-crash{i}-")
+        shutil.copy(os.path.join(undo, fn), os.path.join(tpath, fake))
+        staged_names.append(fake)
+    with open(pending, "w") as f:
+        json.dump({"key": "b3", "touched": [0, 1],
+                   "staged": staged_names, "undo_dir":
+                   "orders_c_old-777"}, f)
+    t3 = _upsert_stream_inplace(spark, sf_dir, [b1, b2], suffix="sr")
+    assert t3.count() == want2
+    assert not os.path.exists(pending)
+    assert not os.path.exists(undo)
+    for fake in staged_names:
+        assert not os.path.exists(os.path.join(tpath, fake))
+
+    # (c) committed crash: pending for the already-manifested b2 plus a
+    # stray stage dir — recovery finishes cleanup, NO rollback (the
+    # table keeps b2's effects; rolling back here would lose the batch).
+    stray_stage = os.path.join(slug_dir, "orders_usr_stream_stage")
+    os.makedirs(stray_stage, exist_ok=True)
+    with open(pending, "w") as f:
+        json.dump({"key": "b2", "touched": [], "staged": [],
+                   "undo_dir": "orders_c_old-778"}, f)
+    t4 = _upsert_stream_inplace(spark, sf_dir, [b1, b2], suffix="sr")
+    assert t4.count() == want2
+    assert not os.path.exists(pending)
+    assert not os.path.exists(stray_stage)
+
+
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
     """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
     the arm when r14's canary-gated series flipped the default to the
