@@ -834,7 +834,6 @@ def _upserted_orderkey_layout(
     import glob as _glob
     import hashlib
     import json
-    import re
     import shutil
     import time
 
@@ -843,8 +842,11 @@ def _upserted_orderkey_layout(
         _write_json_atomic,
     )
     from pycaim_spark.operators.merge import (
+        bucket_files,
         delta_touched_buckets,
+        mv_with_crc,
         plan_bucket_local_merge,
+        rm_with_crc,
     )
     from pycaim_spark.queries.relational import _SCRATCH
 
@@ -881,36 +883,12 @@ def _upserted_orderkey_layout(
     pending = os.path.join(
         slug_dir, f"upsert_pending{suffix}_orders.json"
     )
-    bucket_re = re.compile(r"_(\d{5})\.c\d{3}\.")
-
-    def _files_by_bucket(d):
-        """Data files only — Hadoop's local FS writes a hidden
-        ``.<name>.crc`` sidecar per part file whose name also matches
-        the bucket pattern; the swap moves/removes each sidecar WITH its
-        data file instead of treating it as a bucket member."""
-        out = {}
-        for f in os.listdir(d):
-            m = bucket_re.search(f)
-            if m and not f.startswith("."):
-                out.setdefault(int(m.group(1)), []).append(
-                    os.path.join(d, f)
-                )
-        return out
-
-    def _rm_with_crc(f):
-        os.remove(f)
-        crc = os.path.join(
-            os.path.dirname(f), f".{os.path.basename(f)}.crc"
-        )
-        if os.path.exists(crc):
-            os.remove(crc)
-
-    def _mv_with_crc(f, dst_dir):
-        base = os.path.basename(f)
-        os.rename(f, os.path.join(dst_dir, base))
-        crc = os.path.join(os.path.dirname(f), f".{base}.crc")
-        if os.path.exists(crc):
-            os.rename(crc, os.path.join(dst_dir, f".{base}.crc"))
+    # File-motion helpers live with the merge core (operators/merge.py):
+    # bucket_files (data files by bucket id, crc sidecars excluded),
+    # rm_with_crc / mv_with_crc (sidecars travel with their data file).
+    _files_by_bucket = bucket_files
+    _rm_with_crc = rm_with_crc
+    _mv_with_crc = mv_with_crc
 
     batch_spec = [upd_pred, del_pred, ins_pred, base_rel]
 
