@@ -1509,7 +1509,15 @@ def _store_read_view(store_dir: str) -> tuple[str, str, set[str]]:
     folded layers are skipped; absent → the unversioned dirs, with a
     stability loop re-resolving until the journal state and dir
     existence agree (a mid-migration reader re-enters here and settles
-    on the post-migration pointer)."""
+    on the post-migration pointer). Honesty note (ADVICE r16): the
+    ONE-TIME legacy→versioned migration itself renames the live
+    unversioned ``sets``/``buckets`` to ``*_v0`` under the write lock,
+    so a lockless reader mid-materialization on a legacy store can
+    still hit FileNotFoundException at that rename instant — the
+    "closed window" claim above holds for every store BORN versioned
+    or already migrated; the migration rename is the last pre-r16
+    artifact and fires once per legacy store (the stability loop above
+    re-resolves readers that notice before materializing)."""
     for attempt in range(20):
         ptr = _load_pointer(store_dir)
         if ptr is not None:
@@ -1568,6 +1576,18 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         if not layers:
             return
         ptr = _load_pointer(store_dir)
+        if ptr is None:
+            # Live append layers but no committed base snapshot (a base
+            # build that never completed, or a legacy migration that
+            # removed incomplete v0 dirs): there is nothing to fold
+            # INTO. Fail with the actual condition instead of the
+            # opaque 'NoneType not subscriptable' (ADVICE r16).
+            raise RuntimeError(
+                f"signature store at {store_dir} has append layers but "
+                "no committed base snapshot (current.json missing) — "
+                "build the base (minhash_signature_store) before "
+                "compacting"
+            )
         v = ptr["version"]
         sets_dir = _versioned(store_dir, "sets", v)
         buckets_dir = _versioned(store_dir, "buckets", v)

@@ -54,6 +54,26 @@ def bucket_files(path: str) -> dict[int, list[str]]:
     return out
 
 
+def assert_bucket_map(path: str, live: dict[int, list[str]]) -> None:
+    """Guard against part-file naming drift (VERDICT r16 #6): every
+    non-hidden parquet data file in a bucketed dir must have matched
+    `BUCKET_FILE_RE`. A Spark upgrade that renames part files would
+    otherwise yield an empty/partial bucket map and the merge would
+    quietly treat resident rows as absent — fail loudly instead, naming
+    the unmatched file."""
+    mapped = {os.path.basename(f) for fs in live.values() for f in fs}
+    for fn in os.listdir(path):
+        if fn.startswith(".") or not fn.endswith(".parquet"):
+            continue
+        if fn not in mapped:
+            raise AssertionError(
+                f"bucketed data file {fn!r} in {path} does not match the "
+                "bucket-id filename pattern (_NNNNN.cNNN.) — Spark's "
+                "part-file naming changed; refusing to merge against an "
+                "incomplete bucket map"
+            )
+
+
 def delta_touched_buckets(
     delta_keys: DataFrame, key: str, buckets: int
 ) -> list[int]:
@@ -82,6 +102,7 @@ def plan_bucket_local_merge(
     stage_path: str,
     stage_table: str,
     touched: list[int] | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """Compute and STAGE a bucket-local MERGE; the caller swaps files.
 
@@ -101,6 +122,16 @@ def plan_bucket_local_merge(
     output is ASSERTED to land only in predicted buckets — if Spark's
     bucket assignment ever diverged from ``pmod(hash(key), n)`` the
     motion aborts loudly instead of mis-placing rows.
+
+    ``evolve_schema=True`` is the schema-evolution arm (VERDICT r16 #3):
+    ``upserts`` may carry columns the base lacks; the merged output's
+    schema is base ∪ delta with resident rows null-filled on the new
+    columns (``unionByName(allowMissingColumns=True)`` — the standard
+    additive-column CDC posture; parquet readers of the evolved table
+    null-fill the new column when scanning untouched buckets' old
+    files). Default is STRICT: a delta whose schema diverges from the
+    base fails the union loudly instead of silently null-filling a
+    malformed feed.
 
     Returns ``{"touched": [...], "live": {bucket: [files]},
     "staged": {bucket: [files]}}``. Empty-delta batches return
@@ -125,6 +156,7 @@ def plan_bucket_local_merge(
         return {"touched": [], "live": {}, "staged": {}}
 
     live = bucket_files(path)
+    assert_bucket_map(path, live)
     touched_files = [f for b in touched for f in live.get(b, [])]
     cur = (
         spark.read.parquet(*touched_files)
@@ -135,7 +167,9 @@ def plan_bucket_local_merge(
         F.broadcast(delta_keys.distinct()), on=key, how="left_anti"
     )
     if upserts is not None:
-        merged = merged.unionByName(upserts)
+        merged = merged.unionByName(
+            upserts, allowMissingColumns=evolve_schema
+        )
 
     spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
     shutil.rmtree(stage_path, ignore_errors=True)

@@ -931,7 +931,11 @@ def _recover_codes(store_dir: str) -> None:
     store write lock): delete uncommitted ``codes_v{>current}`` strays
     and legacy ``codes_next``/``codes_old*`` swap scaffolding, grace-
     collect tombstoned old versions, and MIGRATE a legacy unversioned
-    ``codes`` dir to ``codes_v0`` + pointer."""
+    ``codes`` dir to ``codes_v0`` + pointer. Honesty note (ADVICE r16):
+    that one-time migration RENAME is a residual lockless-reader window
+    on legacy stores — a reader mid-materialization on the unversioned
+    ``codes`` can hit FileNotFoundException at the rename instant; every
+    store born versioned (or already migrated) has no such instant."""
     import json
     import os
     import shutil

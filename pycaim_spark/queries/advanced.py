@@ -458,8 +458,27 @@ def _gc_superseded_layouts(
             # marker string itself is never used as a table name.
             if "#" in table:
                 base = table.split("#", 1)[0]
-                drops = [f"tpch_ia_{base}_{sib}", f"tpch_ic_{base}_{sib}",
-                         f"tpch_iu_{base}_{sib}"]
+                drops = [f"tpch_ia_{base}_{sib}", f"tpch_ic_{base}_{sib}"]
+                # ... plus every upsert derivative this slug ever
+                # committed, suffixes enumerated from its marker/pointer
+                # files (ADVICE r16 #4: suffixed upsert/stage/stream
+                # tables previously survived as dangling catalog entries
+                # whose files the grace GC later deleted).
+                import re as _re
+
+                sfxs = set()
+                for fn in os.listdir(sib_dir):
+                    m = _re.match(
+                        r"^upsert(?:stream)?(.*)_orders\.json$", fn
+                    ) or _re.match(rf"^{base}_u(.*)_current\.json$", fn)
+                    if m:
+                        sfxs.add(m.group(1))
+                for s in sfxs:
+                    drops += [
+                        f"tpch_iu{s}_orders_{sib}",
+                        f"tpch_iu{s}_stage_orders_{sib}",
+                        f"tpch_iu{s}_stream_stage_orders_{sib}",
+                    ]
             else:
                 drops = [f"tpch_b_{table}_{sib}"]
             for t in drops:
@@ -481,6 +500,94 @@ def _gc_superseded_layouts(
                 ts = None
         if ts is not None and now - ts > grace:
             shutil.rmtree(sib_dir, ignore_errors=True)
+
+
+#: Session-side memo of which version dir each layout catalog table is
+#: attached over. The snapshot-pointer commit (operators/layout.py, r17)
+#: makes the file set immutable per version; this dict is the cheap
+#: "does this session's catalog entry point at the CURRENT version?"
+#: test — a pointer flip (ours or another process's, observed via
+#: resolve) changes the path and forces a DROP+CREATE re-attach.
+_ATTACHED: dict[str, str] = {}
+#: ... and the DDL+bucket spec it was attached with: a re-bucketed rel
+#: can need a re-attach at the SAME path with a different bucket trust
+#: (plain while mid-split, CLUSTERED INTO n_to once complete).
+_ATTACHED_SPEC: dict[str, str] = {}
+
+
+def _attach_rel_table(
+    spark, name: str, path: str, ddl: str, key: str, buckets: int,
+    bucketed: bool = True,
+) -> None:
+    """(Re-)attach catalog table ``name`` over a layout rel's CURRENT
+    version dir. Warm case (already attached there with this spec) is
+    free; any path/spec change re-issues the external-table DDL — the
+    session-side half of the snapshot-pointer commit. ``bucketed=False``
+    attaches a plain parquet table (the half-split re-bucket state,
+    where the dir mixes two bucket schemes and Spark must not trust
+    either)."""
+    cluster = (
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+        if bucketed
+        else ""
+    )
+    spec = cluster + ddl
+    if (
+        _ATTACHED.get(name) == path
+        and _ATTACHED_SPEC.get(name) == spec
+        and spark.catalog.tableExists(name)
+    ):
+        return
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+        f"{cluster}LOCATION '{path}'"
+    )
+    _ATTACHED[name] = path
+    _ATTACHED_SPEC[name] = spec
+
+
+def _rebuild_pristine_rel(
+    spark, slug_dir: str, rel: str, src_parquet_dir: str, key: str,
+    buckets: int, slug: str,
+):
+    """Rebuild a mutated rel's PRISTINE bucketed state (full corpus =
+    the slug's base+append files) into a FRESH version dir and flip the
+    pointer — the tombstone-not-rmtree replacement (VERDICT r16 #2) for
+    stale-batch / divergent-history recovery on in-place arms: the
+    stale version is tombstoned and grace-collected, so a lockless
+    reader that resolved it keeps scanning intact files instead of
+    dying under an rmtree. Returns (new version dir, new pointer)."""
+    import shutil
+
+    from pycaim_spark.operators.layout import (
+        publish_layout_version,
+        resolve_layout_rel,
+        tombstone_layout_dir,
+    )
+
+    tmp = os.path.join(slug_dir, f"{rel}_rebuild_stage")
+    tmp_name = f"tpch_rebuild_{rel}_{slug}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(src_parquet_dir)
+        .repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", tmp)
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    old_dir, _old = resolve_layout_rel(slug_dir, rel)
+    vdir, ptr = publish_layout_version(
+        slug_dir, rel, src_dir=None, prebuilt_dir=tmp,
+        extra={"batch": None},
+    )
+    if os.path.isdir(old_dir) and old_dir != vdir:
+        tombstone_layout_dir(old_dir)
+    return vdir, ptr
 
 
 def _incremental_orderkey_layout(
@@ -555,7 +662,16 @@ def _incremental_orderkey_layout(
         cpath = os.path.join(slug_dir, f"{table}_c")
         append_marker = os.path.join(slug_dir, f"append_{table}.json")
         want_name = cname if compacted else name
-        want_success = os.path.join(cpath if compacted else path, "_SUCCESS")
+        # The compacted rel may be VERSION-MANAGED (r17): the in-place
+        # CDC arms publish immutable `{table}_c_v{N}` dirs behind an
+        # atomic `{table}_c_current.json` pointer (operators/layout.py),
+        # so "the compacted state" is whatever the pointer resolves to —
+        # the plain dir only for never-upserted slugs.
+        from pycaim_spark.operators.layout import resolve_layout_rel
+
+        crel = f"{table}_c"
+        cdir, cptr = resolve_layout_rel(slug_dir, crel)
+        want_success = os.path.join(cdir if compacted else path, "_SUCCESS")
         # Lock-free warm fast path, as in _bucketed_orderkey_layout; the
         # appended state additionally requires the append marker (the
         # base build's _SUCCESS alone is the pre-append state). The
@@ -570,6 +686,11 @@ def _incremental_orderkey_layout(
             os.path.exists(want_success)
             and os.path.exists(append_marker)
             and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+            and (
+                not compacted
+                or cptr is None
+                or _ATTACHED.get(cname) == cdir
+            )
             and spark.catalog.tableExists(want_name)
         ):
             out[table] = spark.table(want_name)
@@ -608,13 +729,35 @@ def _incremental_orderkey_layout(
                     for t in (
                         f"tpch_iu{sfx}_orders_{slug}",
                         f"tpch_iu{sfx}_stage_orders_{slug}",
+                        # stream stage too (ADVICE r16 #5: the wipe was
+                        # asymmetric with the merge path's cleanup)
+                        f"tpch_iu{sfx}_stream_stage_orders_{slug}",
                     ):
                         spark.sql(f"DROP TABLE IF EXISTS {t}")
                     os.remove(um)
+                # r17 snapshot-pointer era: the rebuild also invalidates
+                # rel POINTERS and version dirs derived from the old
+                # base. Pointers first (fail closed — no pointer means
+                # plain-dir resolution and a full re-derive), then the
+                # dirs, TOMBSTONED rather than rmtree'd: another
+                # session's lockless reader may still hold them
+                # (VERDICT r16 #2), and `gc_layout_versions` collects
+                # them after grace.
+                from pycaim_spark.operators.layout import (
+                    tombstone_layout_dir as _tomb_dir,
+                )
+
+                for pf in _glob.glob(
+                    os.path.join(slug_dir, "*_current.json")
+                ):
+                    os.remove(pf)
                 for ud in _glob.glob(
+                    os.path.join(slug_dir, f"{table}_c_v[0-9]*")
+                ) + _glob.glob(
                     os.path.join(slug_dir, "orders_u*")
                 ) + _glob.glob(os.path.join(slug_dir, "orders_c_old-*")):
-                    shutil.rmtree(ud, ignore_errors=True)
+                    if os.path.isdir(ud):
+                        _tomb_dir(ud)
                 (
                     full.filter(F.col(key) % 7 != 0)
                     .repartition(buckets, F.col(key))
@@ -655,7 +798,24 @@ def _incremental_orderkey_layout(
                 )
                 _write_json_atomic(append_marker, {"appended": True})
             if compacted:
-                if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+                cdir, cptr = resolve_layout_rel(slug_dir, crel)
+                if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+                    if cptr is not None:
+                        # Pointer to a missing/broken version dir: crash
+                        # debris (the publish machinery tombstones a dir
+                        # before any reader could lose it, so a live
+                        # pointer normally always resolves). Drop the
+                        # pointer and rebuild the plain dir.
+                        os.remove(
+                            os.path.join(slug_dir, f"{crel}_current.json")
+                        )
+                        if os.path.isdir(cdir):
+                            from pycaim_spark.operators.layout import (
+                                tombstone_layout_dir as _tomb_cdir,
+                            )
+
+                            _tomb_cdir(cdir)
+                        cdir, cptr = cpath, None
                     spark.sql(f"DROP TABLE IF EXISTS {cname}")
                     (
                         spark.read.parquet(path)
@@ -666,16 +826,25 @@ def _incremental_orderkey_layout(
                         .option("path", cpath)
                         .saveAsTable(cname)
                     )
-                if not spark.catalog.tableExists(cname):
-                    ddl = ", ".join(
-                        f"{f.name} {f.dataType.simpleString()}"
-                        for f in full.schema.fields
-                    )
-                    spark.sql(
-                        f"CREATE TABLE {cname} ({ddl}) USING PARQUET "
-                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                        f"INTO {buckets} BUCKETS LOCATION '{cpath}'"
-                    )
+                    cdir = cpath
+                base_ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in full.schema.fields
+                )
+                # A versioned compacted state may carry an EVOLVED schema
+                # (the schema-evolution MERGE arm records its DDL in the
+                # pointer); attach with it so the new column survives
+                # re-attachment from a fresh session. A rel under
+                # RE-BUCKET management (pointer carries ``rebucket``) may
+                # mix two bucket schemes mid-migration — attach PLAIN
+                # here (correct for any state; the split owner attaches
+                # its own bucketed table once migration completes).
+                _attach_rel_table(
+                    spark, cname, cdir,
+                    (cptr.get("ddl") if cptr else None) or base_ddl,
+                    key, buckets,
+                    bucketed=not (cptr and cptr.get("rebucket")),
+                )
             # Same resurrection rule as the one-shot layout: a slug this
             # call re-derived from the CURRENT fingerprint is valid by
             # construction — clear any tombstone so GC can't delete a
@@ -765,97 +934,92 @@ def _upserted_orderkey_layout(
     inplace: bool = False,
     with_lineitem: bool = True,
     base_rel: str = "orders_c",
+    add_col: tuple[str, str] | None = None,
 ):
     """CDC-style MERGE (insert + update + delete) applied BUCKET-LOCALLY
-    to the compacted incremental layout — the remaining production
-    lifecycle motion after r14's append/compact: at 100 TB a CDC batch
-    must rewrite only the buckets its keys hash into, never the table.
+    to the compacted incremental layout, committed through the SNAPSHOT
+    POINTER (r17, VERDICT r16 #1): the bucketed table now gets the same
+    table-format-style commit the stores got in r16.
 
-    Mechanics (all under the layout flock):
+    Mechanics (publishes under the layout flock; readers lock-free):
 
-    1. Clone the compacted ``orders`` state into an ``orders_u`` sibling
-       (file copy — the compacted table keeps serving its own queries).
-       With ``inplace=True`` there is NO clone: the merge mutates the
-       compacted table of a PRIVATE layout namespace (``ip<suffix>``,
-       built identically, so no shared query ever reads the mutated
-       table), which is the arm whose bytes accounting is honest at
-       scale — the cloned form's ``copytree`` is fixture scaffolding
-       that at 100 TB would itself be a full-table rewrite (VERDICT r15
-       #2). Measured at sf10 (SCALING_r16.json
-       `upsert_inplace_vs_clone_sf10`): the cloned arm copies the full
-       242 MB table before merging; the in-place arm writes ONLY the
-       touched buckets' staged rewrite (a 15-key batch: 98.3 MB at 32
-       buckets, 7.8 MB = 2.9% at 512 — same batch, finer buckets,
-       proportionally fewer bytes, the amortization VERDICT r15 #6
-       asked to see measured) and renames old files aside with zero
-       byte copy.
-    2. Compute the touched buckets driver-side as
-       ``pmod(hash(key), buckets)`` over the CDC keys — update/delete
-       keys AND the insert batch's NEW keys (which hash-route into
-       their buckets exactly like resident keys; ``F.hash`` is the same
-       Murmur3(seed 42) Spark's ``HashPartitioning`` derives bucket ids
-       from, and the staging step ASSERTS that parity: any staged file
-       landing outside the predicted set fails loudly rather than
-       mis-placing rows). An empty batch (predicates matching nothing
-       at this scale) short-circuits: marker with ``touched_buckets:
-       []``, table served unmodified (ADVICE r15).
-    3. Read ONLY the touched buckets' parquet files, apply the merge in
-       DataFrame land (drop update+delete keys, union the new versions
-       and the insert rows), and write the result through a STAGING
-       bucketed table with the same bucket spec and sort — one sorted
-       file per non-empty touched bucket. Inserts therefore land IN
-       their buckets' single sorted file, not as extra per-bucket files:
-       the upserted table never enters the multi-file state appends
-       create.
-    4. Swap at file level: remove the touched buckets' old files, rename
-       the staged files in (bucket identity travels in the ``_NNNNN``
-       filename suffix), refresh the table's file-listing cache. Marker-
-       guarded (``upsert_orders.json``, written LAST) so re-runs attach.
-       Crash safety differs by arm: the CLONED form self-heals by
-       re-cloning from the pristine compacted state and redoing the
-       merge; the IN-PLACE form has no pristine copy to re-clone, so the
-       swap is journaled — a ``pending`` marker (touched buckets, staged
-       file names, undo-dir name) is written before any file moves, old
-       files are MOVED to an undo dir (never deleted), and recovery
-       rolls an uncommitted swap BACK (staged names out, displaced files
-       restored) so the normal path re-merges from pristine state;
-       committed undo dirs are tombstoned and collected after
-       ``$PYCAIM_LAYOUT_GC_GRACE`` like every other two-phase GC in this
-       repo. The residual window in both arms is a CONCURRENT reader
-       during the remove/rename instants — the local stand-in for a
-       table-format MERGE commit, the same caveat as append (r14).
+    1. Resolve the rel's CURRENT version via its atomic pointer
+       (`operators/layout.resolve_layout_rel`). With ``inplace=True``
+       the mutated rel is the compacted ``orders_c`` itself, inside a
+       PRIVATE layout namespace (``ip<suffix>``) so no shared query ever
+       reads the mutated table; the cloned arm versions a SIBLING rel
+       ``orders_u<suffix>`` whose untouched-bucket "clone" is pure hard
+       links of the base rel's files — zero byte copy (the r16
+       ``copytree`` scaffolding is gone; at 100 TB a clone is a manifest
+       re-list, which links stand in for locally).
+    2. Compute the touched buckets driver-side as ``pmod(hash(key),
+       buckets)`` over the CDC keys — update/delete keys AND the insert
+       batch's NEW keys. An empty batch (predicates matching nothing at
+       this scale) commits a pointer recording ``touched: []`` (clone
+       arm: a full link-clone version) and serves the base unmodified
+       (ADVICE r15).
+    3. Read ONLY the touched buckets' parquet files, apply the merge
+       (`operators/merge.plan_bucket_local_merge` — drop update+delete
+       keys, union the new versions and inserts), stage one sorted file
+       per touched bucket, assert bucket-assignment parity.
+       ``add_col=(name, sql_expr)`` is the SCHEMA-EVOLUTION arm
+       (VERDICT r16 #3): update+insert rows gain the new column, the
+       merge unions with ``allowMissingColumns`` so resident rows
+       null-fill, and the evolved DDL is recorded IN the pointer so
+       re-attachment from any session carries the column; untouched
+       buckets keep their old-schema files, which the parquet scan
+       null-fills per the table schema.
+    4. COMMIT: publish version N+1 = hard links of untouched buckets'
+       files + staged rewrites, then atomically flip
+       ``{rel}_current.json`` (batch spec, touched set and DDL folded
+       INSIDE the pointer, like the signature store's folded manifest).
+       The displaced version is tombstoned (underscore-prefixed
+       ``_superseded.json``) and grace-collected — NO file a lockless
+       reader may have resolved is ever removed or renamed at swap time;
+       the r16 "residual window at the remove/rename instant" is gone,
+       and with it the pending-journal/undo-dir rollback machinery: a
+       crash mid-publish leaves an unpointed version dir that the next
+       locked writer deletes and re-derives (never reader-visible).
+       Stale batch specs (fixture predicates changed between rounds)
+       re-derive — the cloned arm from its pristine base, the in-place
+       arm by REBUILDING the pristine compacted state into a fresh
+       version (`_rebuild_pristine_rel`, tombstone-not-rmtree per
+       VERDICT r16 #2). A dependent batch's spec includes its upstream
+       rel's committed pointer state (ADVICE r16 #3), so re-deriving
+       batch 1 automatically staleness-propagates to batch 2's clone.
 
-    Untouched buckets' files are not opened, not rewritten, not renamed —
-    pinned by tests/test_storage.py (incl. an insert-only batch touching
-    only the inserted keys' buckets). One sorted file per bucket is
-    preserved, so unlike the append state the upserted table keeps the
-    sort-free co-located merge. Returns (lineitem_df, orders_upserted_df).
+    Untouched buckets' files are not opened, not rewritten, not moved —
+    pinned by tests/test_storage.py. One sorted file per bucket is
+    preserved, so the upserted table keeps the sort-free co-located
+    merge. Bytes accounting at sf10: SCALING_r16.json
+    ``upsert_inplace_vs_clone_sf10`` (32 vs 512 buckets: 40.6% vs 2.9%
+    of the table staged for the same 15-key batch). Returns
+    (lineitem_df, orders_upserted_df).
     """
     import glob as _glob
     import hashlib
-    import json
     import shutil
-    import time
 
-    from pycaim_spark.operators.dedup import (
-        _store_write_lock,
-        _write_json_atomic,
+    from pycaim_spark.operators.dedup import _store_write_lock
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        load_layout_pointer,
+        publish_layout_version,
+        resolve_layout_rel,
+        rewrite_layout_pointer,
+        tombstone_layout_dir,
     )
     from pycaim_spark.operators.merge import (
         bucket_files,
         delta_touched_buckets,
-        mv_with_crc,
         plan_bucket_local_merge,
-        rm_with_crc,
     )
     from pycaim_spark.queries.relational import _SCRATCH
 
     ns = f"ip{suffix}" if inplace else "incr"
     # lineitem always comes from the SHARED compacted layout (the merge
-    # never touches it — the in-place arm's private namespace only needs
-    # its own mutable orders; co-located SMJs only require both sides
-    # bucketed on the same count, not the same table family). Probes that
-    # measure the orders motion alone skip the lineitem scaffolding.
+    # never touches it; co-located SMJs only require both sides bucketed
+    # on the same count, not the same table family).
     lib = None
     if with_lineitem:
         lib, _ = _incremental_orderkey_layout(
@@ -872,146 +1036,103 @@ def _upserted_orderkey_layout(
         f"{abs_sf}:{buckets}:{ns}:{_layout_fingerprint(src)}".encode()
     ).hexdigest()[:8]
     slug_dir = os.path.join(layout_root, slug)
-    cpath = os.path.join(slug_dir, "orders_c")
-    if inplace:
-        upath = cpath
-        uname = f"tpch_ic_orders_{slug}"
-    else:
-        upath = os.path.join(slug_dir, f"orders_u{suffix}")
-        uname = f"tpch_iu{suffix}_orders_{slug}"
-    marker = os.path.join(slug_dir, f"upsert{suffix}_orders.json")
-    pending = os.path.join(
-        slug_dir, f"upsert_pending{suffix}_orders.json"
+    rel = "orders_c" if inplace else f"orders_u{suffix}"
+    uname = (
+        f"tpch_ic_orders_{slug}" if inplace
+        else f"tpch_iu{suffix}_orders_{slug}"
     )
-    # File-motion helpers live with the merge core (operators/merge.py):
-    # bucket_files (data files by bucket id, crc sidecars excluded),
-    # rm_with_crc / mv_with_crc (sidecars travel with their data file).
-    _files_by_bucket = bucket_files
-    _rm_with_crc = rm_with_crc
-    _mv_with_crc = mv_with_crc
+    key = "o_orderkey"
+    full = load_table(spark, sf_dir, "orders")
+    base_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in full.schema.fields
+    )
 
-    batch_spec = [upd_pred, del_pred, ins_pred, base_rel]
+    def _base_state():
+        """The upstream rel's committed identity (ADVICE r16 #3): a
+        dependent batch whose base re-derived (new version / new batch
+        spec) must itself re-derive — folding the base pointer's
+        (version, batch, applied) into this batch's spec makes the
+        staleness propagate down the chain."""
+        if inplace:
+            return None
+        bptr = load_layout_pointer(slug_dir, base_rel)
+        if bptr is None:
+            return None
+        return [bptr["version"], bptr.get("batch"), bptr.get("applied")]
 
-    def _marker_current() -> bool:
-        """The marker commits a SPECIFIC batch: a marker recording a
-        different batch spec (fixture predicates changed between rounds,
-        or a probe reusing a suffix with new predicates) is stale — the
-        warm path must not serve the old merge, and the locked path
-        re-derives from a pristine base. Markerless/legacy markers are
-        stale by definition."""
-        if not os.path.exists(marker):
-            return False
-        try:
-            with open(marker) as f:
-                return json.load(f).get("batch") == batch_spec
-        except (OSError, ValueError):
-            return False
+    batch_spec = [
+        upd_pred, del_pred, ins_pred, base_rel, _base_state(),
+        list(add_col) if add_col else None,
+    ]
 
+    def _current(p):
+        return p is not None and p.get("batch") == batch_spec
+
+    cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+    # Lock-free warm fast path: committed pointer records this exact
+    # batch, version dir intact, session attached over it.
     if (
-        os.path.exists(os.path.join(upath, "_SUCCESS"))
-        and _marker_current()
-        and not os.path.exists(pending)
+        _current(ptr)
+        and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
         and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+        and _ATTACHED.get(uname) == cur_dir
         and spark.catalog.tableExists(uname)
     ):
         return lib, spark.table(uname)
 
-    if inplace and os.path.exists(marker) and not _marker_current():
-        # Stale batch spec on the IN-PLACE arm: the mutated table has no
-        # pristine copy to re-derive from, so the private namespace is
-        # rebuilt from the raw corpus. Wipe under the lock, rebuild
-        # outside it (the builder takes the same flock — not reentrant).
-        with _store_write_lock(layout_root):
-            if os.path.exists(marker) and not _marker_current():
-                spark.sql(f"DROP TABLE IF EXISTS {uname}")
-                spark.sql(f"DROP TABLE IF EXISTS tpch_ia_orders_{slug}")
-                shutil.rmtree(slug_dir, ignore_errors=True)
-        _incremental_orderkey_layout(
-            spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
-            tables=("orders",),
-        )
-
-    full = load_table(spark, sf_dir, "orders")
-    key = "o_orderkey"
     stage = os.path.join(slug_dir, f"orders_u{suffix}_stage")
     sname = f"tpch_iu{suffix}_stage_orders_{slug}"
     with _store_write_lock(layout_root):
-        if os.path.exists(marker) and not _marker_current():
-            # Stale batch spec, CLONED arm: drop the commit so the steps
-            # below re-clone from the pristine base and re-merge.
-            os.remove(marker)
-        # Grace-collect committed in-place undo dirs (two-phase GC: the
-        # swap tombstones them, later locked passes delete past grace —
-        # never under a possible stale lockless reader).
-        grace = float(os.environ.get("PYCAIM_LAYOUT_GC_GRACE", "900"))
-        now = time.time()
-        for od in _glob.glob(os.path.join(slug_dir, "orders_c_old-*")):
-            tomb = os.path.join(od, "superseded.json")
-            if os.path.exists(tomb):
-                try:
-                    with open(tomb) as f:
-                        ts = float(json.load(f).get("ts", now))
-                except (OSError, ValueError, TypeError):
-                    continue
-                if now - ts > grace:
-                    shutil.rmtree(od, ignore_errors=True)
-        if os.path.exists(pending):
-            # In-place swap journaled but never committed (no final
-            # marker) → roll BACK to the pristine compacted state so the
-            # normal path below re-merges from scratch; committed (final
-            # marker present, crash before the pending unlink) → the swap
-            # is complete, just finish the cleanup.
-            with open(pending) as f:
-                pinfo = json.load(f)
-            if not os.path.exists(marker):
-                staged_names = set(pinfo.get("staged", ()))
-                for fn in list(os.listdir(upath)):
-                    if fn in staged_names:
-                        _rm_with_crc(os.path.join(upath, fn))
-                undo = os.path.join(slug_dir, pinfo["undo_dir"])
-                if os.path.isdir(undo):
-                    for fn in os.listdir(undo):
-                        if fn != "superseded.json":
-                            os.rename(
-                                os.path.join(undo, fn),
-                                os.path.join(upath, fn),
-                            )
-                    shutil.rmtree(undo, ignore_errors=True)
-                if spark.catalog.tableExists(uname):
-                    spark.catalog.refreshTable(uname)
+        gc_layout_versions(slug_dir)
+        cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+        if not _current(ptr):
+            # Stage leftovers are unpublished by construction — wipe
+            # before re-deriving (ADVICE r16 #5: cleanup symmetric
+            # across every branch).
             spark.sql(f"DROP TABLE IF EXISTS {sname}")
             shutil.rmtree(stage, ignore_errors=True)
-            os.remove(pending)
-        if not inplace and not os.path.exists(marker):
-            # 1. Clone the base state (upsert mutates the clone).
-            # ``base_rel`` defaults to the compacted table; a SUCCESSIVE
-            # CDC batch passes the previous batch's ``orders_u*`` so
-            # batches compose — the production stream shape, oracle-gated
-            # end-to-end by layout_upsert_second_batch.
-            if os.path.exists(upath):
-                shutil.rmtree(upath)
-            shutil.copytree(os.path.join(slug_dir, base_rel), upath)
-        if not spark.catalog.tableExists(uname):
-            ddl = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in full.schema.fields
+            legacy_marker = os.path.join(
+                slug_dir, f"upsert{suffix}_orders.json"
             )
-            spark.sql(
-                f"CREATE TABLE {uname} ({ddl}) USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {buckets} BUCKETS LOCATION '{upath}'"
+            legacy_pending = os.path.join(
+                slug_dir, f"upsert_pending{suffix}_orders.json"
             )
-        if not os.path.exists(marker):
-            # 2. DEMO SCAFFOLDING: derive the CDC batch from predicates
-            # over the raw corpus, so the DuckDB oracle can reproduce the
-            # identical batch in SQL. The touched-bucket derivation here
-            # (bounded: ≤ `buckets` ids) exists only to let the UPDATE
-            # rows be read from the touched files instead of re-scanning
-            # the corpus (SCALING_r15.json `upsert_scale_probe_sf10`
-            # caught the second scan); the MOTION itself runs through
-            # `plan_bucket_local_merge`, whose production contract takes
-            # the delta as DataFrames and computes touched buckets from
-            # the delta's keys alone.
+            # In-place staleness: a pointer committing a DIFFERENT batch
+            # means the current version is a mutated state with no
+            # pristine copy — rebuild pristine into a fresh version
+            # (tombstone-not-rmtree, VERDICT r16 #2). Pointer-less dirs
+            # carrying r16 legacy markers are mutated by the OLD
+            # machinery: same remedy, then the markers are retired.
+            if inplace and (
+                (ptr is not None and ptr.get("batch") is not None)
+                or (
+                    ptr is None
+                    and (
+                        os.path.exists(legacy_marker)
+                        or os.path.exists(legacy_pending)
+                    )
+                )
+            ):
+                cur_dir, ptr = _rebuild_pristine_rel(
+                    spark, slug_dir, rel,
+                    os.path.join(slug_dir, "orders"), key, buckets, slug,
+                )
+            for lm in (legacy_marker, legacy_pending):
+                if os.path.exists(lm):
+                    os.remove(lm)
+            for od in _glob.glob(
+                os.path.join(slug_dir, f"orders_u{suffix}_old-*")
+            ):
+                shutil.rmtree(od, ignore_errors=True)
+            src_dir = (
+                cur_dir if inplace
+                else resolve_layout_rel(slug_dir, base_rel)[0]
+            )
+            # DEMO SCAFFOLDING: derive the CDC batch from predicates
+            # over the raw corpus so the DuckDB oracle can reproduce the
+            # identical batch in SQL; production callers hand
+            # `plan_bucket_local_merge` their CDC stream's DataFrames.
             cdc_keys = full.filter(
                 F.expr(f"({upd_pred}) OR ({del_pred})")
             ).select(key)
@@ -1023,104 +1144,99 @@ def _upserted_orderkey_layout(
                 cdc_keys = cdc_keys.unionByName(ins_rows.select(key))
             touched = delta_touched_buckets(cdc_keys, key, buckets)
             if not touched:
-                # Empty CDC batch at this scale (ADVICE r15): nothing to
-                # merge — commit the no-op so re-runs warm-path.
-                _write_json_atomic(
-                    marker,
-                    {"touched_buckets": [], "batch": batch_spec},
-                )
-                spark.catalog.refreshTable(uname)
-                return lib, spark.table(uname)
-            live = _files_by_bucket(upath)
-            touched_files = [
-                f for b in touched for f in live.get(b, [])
-            ]
-            cur = (
-                spark.read.parquet(*touched_files)
-                if touched_files
-                else spark.createDataFrame([], full.schema)
-            )
-            updates = cur.filter(F.expr(upd_pred)).withColumn(
-                "o_orderdate",
-                F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
-            )
-            upserts = (
-                updates if ins_rows is None
-                else updates.unionByName(ins_rows)
-            )
-            # 3. The motion core (operators/merge.py): anti-join the
-            # delta keys out of the touched buckets' rows, add the
-            # upserts, stage one sorted file per touched bucket, assert
-            # bucket-assignment parity. `touched` is passed through so
-            # the scaffolding derivation above isn't re-run, and BOTH
-            # delta sides derive from `cur` (every upd/del key's bucket
-            # is touched by construction), so the staged job reads only
-            # bucket files — no second corpus scan (the r15
-            # decomposition lesson). Production callers pass their CDC
-            # stream's DataFrames and omit `touched`.
-            plan = plan_bucket_local_merge(
-                spark,
-                path=upath,
-                schema=full.schema,
-                key=key,
-                buckets=buckets,
-                upserts=upserts,
-                deletes=cur.filter(F.expr(del_pred)).select(key),
-                stage_path=stage,
-                stage_table=sname,
-                touched=touched,
-            )
-            staged = plan["staged"]
-            # 4. Bucket-local swap: only the touched buckets change.
-            if inplace:
-                # Journal first (undo-dir name + staged file names), move
-                # old files ASIDE (the undo log — there is no pristine
-                # clone to re-derive from), then rename staged in.
-                undo_name = f"orders_c_old-{int(time.time() * 1000)}"
-                undo = os.path.join(slug_dir, undo_name)
-                os.makedirs(undo, exist_ok=True)
-                _write_json_atomic(
-                    pending,
-                    {
-                        "touched": touched,
-                        "staged": sorted(
-                            os.path.basename(f)
-                            for fs in staged.values()
-                            for f in fs
-                        ),
-                        "undo_dir": undo_name,
-                    },
-                )
-                for b in touched:
-                    for f in live.get(b, []):
-                        _mv_with_crc(f, undo)
-                    for f in staged.get(b, []):
-                        _mv_with_crc(f, upath)
-                _write_json_atomic(
-                    os.path.join(undo, "superseded.json"),
-                    {"ts": time.time()},
-                )
-                spark.sql(f"DROP TABLE IF EXISTS {sname}")
-                shutil.rmtree(stage, ignore_errors=True)
-                spark.catalog.refreshTable(uname)
-                _write_json_atomic(
-                    marker,
-                    {"touched_buckets": touched, "batch": batch_spec},
-                )
-                os.remove(pending)
+                # Empty CDC batch at this scale (ADVICE r15): commit the
+                # no-op so re-runs warm-path.
+                if inplace:
+                    newptr = dict(ptr) if ptr else {
+                        "version": 0, "dir": rel,
+                    }
+                    newptr.update(
+                        {"batch": batch_spec, "touched": [],
+                         "ddl": newptr.get("ddl") or base_ddl}
+                    )
+                    rewrite_layout_pointer(slug_dir, rel, newptr)
+                    ptr, cur_dir = newptr, os.path.join(
+                        slug_dir, newptr["dir"]
+                    )
+                else:
+                    old_own = resolve_layout_rel(slug_dir, rel)[0]
+                    cur_dir, ptr = publish_layout_version(
+                        slug_dir, rel, src_dir=src_dir,
+                        skip_names=set(), staged_files=[],
+                        extra={"batch": batch_spec, "touched": [],
+                               "ddl": base_ddl},
+                    )
+                    if os.path.isdir(old_own) and old_own != cur_dir:
+                        tombstone_layout_dir(old_own)
             else:
-                for b in touched:
-                    for f in live.get(b, []):
-                        _rm_with_crc(f)
-                    for f in staged.get(b, []):
-                        _mv_with_crc(f, upath)
+                live = bucket_files(src_dir)
+                touched_files = [
+                    f for b in touched for f in live.get(b, [])
+                ]
+                cur = (
+                    spark.read.parquet(*touched_files)
+                    if touched_files
+                    else spark.createDataFrame([], full.schema)
+                )
+                updates = cur.filter(F.expr(upd_pred)).withColumn(
+                    "o_orderdate",
+                    F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+                )
+                if add_col is not None:
+                    updates = updates.withColumn(
+                        add_col[0], F.expr(add_col[1])
+                    )
+                    if ins_rows is not None:
+                        ins_rows = ins_rows.withColumn(
+                            add_col[0], F.expr(add_col[1])
+                        )
+                upserts = (
+                    updates if ins_rows is None
+                    else updates.unionByName(ins_rows)
+                )
+                plan = plan_bucket_local_merge(
+                    spark,
+                    path=src_dir,
+                    schema=full.schema,
+                    key=key,
+                    buckets=buckets,
+                    upserts=upserts,
+                    deletes=cur.filter(F.expr(del_pred)).select(key),
+                    stage_path=stage,
+                    stage_table=sname,
+                    touched=touched,
+                    evolve_schema=add_col is not None,
+                )
+                ddl = base_ddl
+                if add_col is not None:
+                    newf = [
+                        f for f in upserts.schema.fields
+                        if f.name == add_col[0]
+                    ][0]
+                    ddl += f", {newf.name} {newf.dataType.simpleString()}"
+                staged_flat = [
+                    f for fs in plan["staged"].values() for f in fs
+                ]
+                replaced = {
+                    os.path.basename(f)
+                    for b in touched
+                    for f in live.get(b, [])
+                }
+                old_own = resolve_layout_rel(slug_dir, rel)[0]
+                cur_dir, ptr = publish_layout_version(
+                    slug_dir, rel, src_dir=src_dir,
+                    skip_names=replaced, staged_files=staged_flat,
+                    extra={"batch": batch_spec, "touched": touched,
+                           "ddl": ddl},
+                )
                 spark.sql(f"DROP TABLE IF EXISTS {sname}")
                 shutil.rmtree(stage, ignore_errors=True)
-                spark.catalog.refreshTable(uname)
-                _write_json_atomic(
-                    marker,
-                    {"touched_buckets": touched, "batch": batch_spec},
-                )
+                if os.path.isdir(old_own) and old_own != cur_dir:
+                    tombstone_layout_dir(old_own)
+        _attach_rel_table(
+            spark, uname, cur_dir,
+            (ptr or {}).get("ddl") or base_ddl, key, buckets,
+        )
         tomb = os.path.join(slug_dir, "superseded.json")
         if os.path.exists(tomb):
             os.remove(tomb)
@@ -1134,45 +1250,46 @@ def _upsert_stream_inplace(
     suffix: str = "st",
     buckets: int = 32,
 ):
-    """A STREAM of CDC batches applied IN PLACE to one bucketed table —
-    the steady-state production shape the single-batch arms build up to:
-    each batch ``(batch_key, upd_pred, del_pred, ins_pred)`` merges
-    bucket-locally on top of the previous batches' result, is committed
-    by appending its entry to an ordered APPLIED MANIFEST (atomic
-    rewrite — the same ingest-key idempotence discipline as the
-    signature store's folded-keys manifest), and is individually
-    crash-journaled: the per-batch pending journal + undo dir roll an
-    uncommitted batch BACK to its pre-batch state, so recovery re-merges
-    exactly the interrupted batch and the stream continues. Replaying an
-    applied key is a no-op; a manifest whose recorded history DIVERGES
-    from the requested batch list (fixture predicates changed between
-    rounds) rebuilds the private namespace from the raw corpus and
-    replays the requested stream — deterministic, like the single-batch
-    marker's batch-spec staleness rule. Runs only in-place (the cloned
-    arm composes by chaining clones instead, ``base_rel`` — both
-    composition styles are gated against the SAME two-batch oracle:
-    `layout_upsert_inplace_stream` vs `layout_upsert_second_batch`).
-    Batch semantics per entry match `_upserted_orderkey_layout`: updates
-    shift o_orderdate +30 days, inserts clone under key + 10^9, deltas
-    derive from the touched buckets' rows so each merge job is
-    bucket-file-sized. Returns the orders DataFrame after the whole
-    stream."""
-    import glob as _glob
+    '''A STREAM of CDC batches applied IN PLACE to one bucketed table —
+    the steady-state production shape: each batch ``(batch_key,
+    upd_pred, del_pred, ins_pred)`` merges bucket-locally on top of the
+    previous batches' result and COMMITS by publishing the next
+    immutable version and atomically flipping the rel pointer with the
+    ordered APPLIED MANIFEST folded inside it (r17 — the same
+    snapshot-pointer commit as the single-batch arms; the r16 per-batch
+    pending-journal + undo-dir rollback is gone because a crash
+    mid-publish leaves only an unpointed version dir that the next
+    locked writer deletes and re-merges — never reader-visible, never a
+    rollback). Replaying an applied key is a no-op; a manifest whose
+    recorded history DIVERGES from the requested batch list (fixture
+    predicates changed between rounds) rebuilds the pristine compacted
+    state into a FRESH version and tombstones the divergent one
+    (`_rebuild_pristine_rel` — VERDICT r16 #2: the old rmtree of the
+    live slug could crash a lockless reader; now the reader's files
+    survive the grace window). Batch semantics per entry match
+    `_upserted_orderkey_layout`: updates shift o_orderdate +30 days,
+    inserts clone under key + 10^9, deltas derive from the touched
+    buckets' rows so each merge job is bucket-file-sized. Both
+    composition styles (this stream vs the cloned chain) gate against
+    the SAME two-batch oracle: `layout_upsert_inplace_stream` vs
+    `layout_upsert_second_batch`. For the Structured Streaming
+    foreachBatch driver over a file-source CDC feed, see
+    `stream_cdc_upsert` (same motion, micro-batch delivery).'''
     import hashlib
-    import json
     import shutil
-    import time
 
-    from pycaim_spark.operators.dedup import (
-        _store_write_lock,
-        _write_json_atomic,
+    from pycaim_spark.operators.dedup import _store_write_lock
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        publish_layout_version,
+        resolve_layout_rel,
+        rewrite_layout_pointer,
+        tombstone_layout_dir,
     )
     from pycaim_spark.operators.merge import (
         bucket_files,
         delta_touched_buckets,
-        mv_with_crc,
         plan_bucket_local_merge,
-        rm_with_crc,
     )
     from pycaim_spark.queries.relational import _SCRATCH
 
@@ -1188,96 +1305,67 @@ def _upsert_stream_inplace(
         f"{abs_sf}:{buckets}:{ns}:{_layout_fingerprint(src)}".encode()
     ).hexdigest()[:8]
     slug_dir = os.path.join(layout_root, slug)
-    tpath = os.path.join(slug_dir, "orders_c")
+    rel = "orders_c"
     tname = f"tpch_ic_orders_{slug}"
-    manifest = os.path.join(slug_dir, f"upsertstream{suffix}_orders.json")
-    pending = os.path.join(
-        slug_dir, f"upsertstream_pending{suffix}_orders.json"
-    )
     specs = [list(b) for b in batches]
     key = "o_orderkey"
+    full = load_table(spark, sf_dir, "orders")
+    base_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in full.schema.fields
+    )
 
-    def _applied():
-        if os.path.exists(manifest):
-            try:
-                with open(manifest) as f:
-                    return json.load(f)
-            except (OSError, ValueError):
-                return []
-        return []
+    def _applied(p):
+        return list((p or {}).get("applied") or [])
 
-    applied = _applied()
+    cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
     if (
-        [a["batch"] for a in applied] == specs
-        and not os.path.exists(pending)
+        [a["batch"] for a in _applied(ptr)] == specs
+        and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
         and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+        and _ATTACHED.get(tname) == cur_dir
         and spark.catalog.tableExists(tname)
     ):
         return spark.table(tname)
 
-    # Divergent history → rebuild the namespace pristine (wipe under the
-    # lock, rebuild outside it — the builder takes the same flock).
-    if applied and [a["batch"] for a in applied] != \
-            [s for s in specs[: len(applied)]]:
-        with _store_write_lock(layout_root):
-            applied = _applied()
-            if applied and [a["batch"] for a in applied] != \
-                    [s for s in specs[: len(applied)]]:
-                spark.sql(f"DROP TABLE IF EXISTS {tname}")
-                spark.sql(f"DROP TABLE IF EXISTS tpch_ia_orders_{slug}")
-                shutil.rmtree(slug_dir, ignore_errors=True)
-        _incremental_orderkey_layout(
-            spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
-            tables=("orders",),
-        )
-
-    full = load_table(spark, sf_dir, "orders")
     stage = os.path.join(slug_dir, f"orders_u{suffix}_stream_stage")
     sname = f"tpch_iu{suffix}_stream_stage_orders_{slug}"
+    legacy_manifest = os.path.join(
+        slug_dir, f"upsertstream{suffix}_orders.json"
+    )
+    legacy_pending = os.path.join(
+        slug_dir, f"upsertstream_pending{suffix}_orders.json"
+    )
     with _store_write_lock(layout_root):
-        grace = float(os.environ.get("PYCAIM_LAYOUT_GC_GRACE", "900"))
-        now = time.time()
-        for od in _glob.glob(os.path.join(slug_dir, "orders_c_old-*")):
-            tomb = os.path.join(od, "superseded.json")
-            if os.path.exists(tomb):
-                try:
-                    with open(tomb) as f:
-                        ts = float(json.load(f).get("ts", now))
-                except (OSError, ValueError, TypeError):
-                    continue
-                if now - ts > grace:
-                    shutil.rmtree(od, ignore_errors=True)
-        if os.path.exists(pending):
-            # The manifest entry is written AFTER the swap, so it is the
-            # batch's commit record: pending whose key is already in the
-            # manifest = crash between commit and cleanup — just finish
-            # the cleanup; otherwise the batch is uncommitted — roll back
-            # to the pre-batch state and let the loop re-merge it.
-            with open(pending) as f:
-                pinfo = json.load(f)
-            committed = any(
-                a.get("key") == pinfo.get("key") for a in _applied()
+        gc_layout_versions(slug_dir)
+        # Stage leftovers are unpublished by construction.
+        spark.sql(f"DROP TABLE IF EXISTS {sname}")
+        shutil.rmtree(stage, ignore_errors=True)
+        cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+        applied = _applied(ptr)
+        hist = [a["batch"] for a in applied]
+        if (
+            (hist and hist != specs[: len(hist)])
+            # a pointer committing a single-batch spec, or a pointer-less
+            # dir mutated by the r16 machinery (legacy manifest), is not
+            # a valid stream base either
+            or (ptr is not None and ptr.get("batch") is not None)
+            or (
+                ptr is None
+                and (
+                    os.path.exists(legacy_manifest)
+                    or os.path.exists(legacy_pending)
+                )
             )
-            if not committed:
-                staged_names = set(pinfo.get("staged", ()))
-                for fn in list(os.listdir(tpath)):
-                    if fn in staged_names:
-                        rm_with_crc(os.path.join(tpath, fn))
-                undo = os.path.join(slug_dir, pinfo["undo_dir"])
-                if os.path.isdir(undo):
-                    for fn in os.listdir(undo):
-                        if fn != "superseded.json":
-                            os.rename(
-                                os.path.join(undo, fn),
-                                os.path.join(tpath, fn),
-                            )
-                    shutil.rmtree(undo, ignore_errors=True)
-            spark.sql(f"DROP TABLE IF EXISTS {sname}")
-            shutil.rmtree(stage, ignore_errors=True)
-            os.remove(pending)
-            if spark.catalog.tableExists(tname):
-                spark.catalog.refreshTable(tname)
-        applied = _applied()
+        ):
+            cur_dir, ptr = _rebuild_pristine_rel(
+                spark, slug_dir, rel, os.path.join(slug_dir, "orders"),
+                key, buckets, slug,
+            )
+            applied = []
+        for lm in (legacy_manifest, legacy_pending):
+            if os.path.exists(lm):
+                os.remove(lm)
         for spec in specs[len(applied):]:
             batch_key, upd_pred, del_pred, ins_pred = spec
             cdc_keys = full.filter(
@@ -1290,13 +1378,16 @@ def _upsert_stream_inplace(
                 )
                 cdc_keys = cdc_keys.unionByName(ins_rows.select(key))
             touched = delta_touched_buckets(cdc_keys, key, buckets)
+            entry = {"key": batch_key, "batch": spec, "touched": touched}
             if not touched:
-                applied = applied + [
-                    {"key": batch_key, "batch": spec, "touched": []}
-                ]
-                _write_json_atomic(manifest, applied)
+                newptr = dict(ptr) if ptr else {"version": 0, "dir": rel}
+                newptr.update(
+                    {"applied": applied + [entry], "batch": None}
+                )
+                rewrite_layout_pointer(slug_dir, rel, newptr)
+                ptr, applied = newptr, applied + [entry]
                 continue
-            live = bucket_files(tpath)
+            live = bucket_files(cur_dir)
             touched_files = [
                 f for b in touched for f in live.get(b, [])
             ]
@@ -1315,7 +1406,7 @@ def _upsert_stream_inplace(
             )
             plan = plan_bucket_local_merge(
                 spark,
-                path=tpath,
+                path=cur_dir,
                 schema=full.schema,
                 key=key,
                 buckets=buckets,
@@ -1325,38 +1416,30 @@ def _upsert_stream_inplace(
                 stage_table=sname,
                 touched=touched,
             )
-            undo_name = f"orders_c_old-{int(time.time() * 1000)}"
-            undo = os.path.join(slug_dir, undo_name)
-            os.makedirs(undo, exist_ok=True)
-            _write_json_atomic(
-                pending,
-                {
-                    "key": batch_key,
-                    "touched": touched,
-                    "staged": sorted(
-                        os.path.basename(f)
-                        for fs in plan["staged"].values()
-                        for f in fs
-                    ),
-                    "undo_dir": undo_name,
-                },
-            )
-            for b in touched:
-                for f in live.get(b, []):
-                    mv_with_crc(f, undo)
-                for f in plan["staged"].get(b, []):
-                    mv_with_crc(f, tpath)
-            _write_json_atomic(
-                os.path.join(undo, "superseded.json"), {"ts": time.time()}
+            staged_flat = [
+                f for fs in plan["staged"].values() for f in fs
+            ]
+            replaced = {
+                os.path.basename(f)
+                for b in touched
+                for f in live.get(b, [])
+            }
+            old_dir = cur_dir
+            cur_dir, ptr = publish_layout_version(
+                slug_dir, rel, src_dir=cur_dir, skip_names=replaced,
+                staged_files=staged_flat,
+                extra={"applied": applied + [entry], "batch": None,
+                       "ddl": base_ddl},
             )
             spark.sql(f"DROP TABLE IF EXISTS {sname}")
             shutil.rmtree(stage, ignore_errors=True)
-            spark.catalog.refreshTable(tname)
-            applied = applied + [
-                {"key": batch_key, "batch": spec, "touched": touched}
-            ]
-            _write_json_atomic(manifest, applied)
-            os.remove(pending)
+            if os.path.isdir(old_dir) and old_dir != cur_dir:
+                tombstone_layout_dir(old_dir)
+            applied = applied + [entry]
+        _attach_rel_table(
+            spark, tname, cur_dir,
+            (ptr or {}).get("ddl") or base_ddl, key, buckets,
+        )
         tomb = os.path.join(slug_dir, "superseded.json")
         if os.path.exists(tomb):
             os.remove(tomb)
@@ -1603,6 +1686,383 @@ def layout_upsert_inplace_stream(spark, sf_dir):
         F.count(
             F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
         ).alias("n_inserted"),
+    )
+
+
+def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
+                              suffix: str = "cd"):
+    """Structured Streaming foreachBatch CDC sink over the bucket-local
+    MERGE core (VERDICT r16 #4) — the layout-side twin of the signature
+    store's `dedup_stream_ingest`: a FILE-SOURCE CDC feed (one parquet
+    file per batch, rows = op('U'/'D'/'I') + full order columns +
+    batch_key) is read with ``maxFilesPerTrigger=1`` under
+    ``Trigger.AvailableNow``, and each micro-batch drives
+    `plan_bucket_local_merge` through the PRODUCTION contract: upserts/
+    deletes as DataFrames, touched buckets computed from the DELTA ALONE
+    (no predicate scaffolding inside the sink), committed by the
+    snapshot-pointer publish with the batch key appended to the applied
+    manifest INSIDE the pointer.
+
+    Idempotence has two interlocking layers, and their ORDER is the
+    crash-safety argument: the handler publishes (pointer flip = the
+    commit) BEFORE Structured Streaming commits its checkpoint, so a
+    crash between them re-delivers the file and the manifest-key guard
+    makes the redelivery a NO-OP — the applied manifest is the
+    batch-id guard, the checkpoint is only a cursor. A checkpoint wiped
+    entirely (new environment) replays every file; every key is in the
+    manifest; nothing double-applies.
+
+    The demo feed carries the SAME two fixture batches as
+    `_upsert_stream_inplace`'s `layout_upsert_inplace_stream` twin, so
+    the registered query gates against the identical two-batch DuckDB
+    oracle — micro-batch delivery must be invisible in the result. Feed
+    staleness (fixture predicates changed) rebuilds feed + checkpoint +
+    pristine table under the flock (tombstone-not-rmtree for the table,
+    like every divergence path since r17)."""
+    import glob as _glob
+    import hashlib
+    import shutil
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        publish_layout_version,
+        resolve_layout_rel,
+        tombstone_layout_dir,
+    )
+    from pycaim_spark.operators.merge import (
+        bucket_files,
+        plan_bucket_local_merge,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    specs = [
+        ["cdc-b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS],
+        ["cdc-b2", "1 = 0", _UPSERT_B2_DEL, None],
+    ]
+    ns = f"ip{suffix}"
+    _incremental_orderkey_layout(
+        spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
+        tables=("orders",),
+    )
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{abs_sf}:{buckets}:{ns}:{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(layout_root, slug)
+    rel = "orders_c"
+    tname = f"tpch_ic_orders_{slug}"
+    feed = os.path.join(slug_dir, "cdc_feed")
+    ckpt = os.path.join(slug_dir, "cdc_ckpt")
+    feed_spec = os.path.join(slug_dir, "cdc_feed_spec.json")
+    key = "o_orderkey"
+    full = load_table(spark, sf_dir, "orders")
+    base_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in full.schema.fields
+    )
+
+    def _applied(p):
+        return list((p or {}).get("applied") or [])
+
+    cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+    if (
+        [a["batch"] for a in _applied(ptr)] == specs
+        and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
+        and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+        # A missing checkpoint means the stream's cursor is gone — the
+        # warm claim "every file was processed" can't be made from the
+        # pointer alone, so run the stream: it re-creates the
+        # checkpoint, redelivers every file, and the manifest guard
+        # no-ops each one (the redelivery-idempotence path, pinned by
+        # tests/test_storage.py test_stream_cdc_sink_redelivery_and_twin).
+        and os.path.isdir(ckpt)
+        and _ATTACHED.get(tname) == cur_dir
+        and spark.catalog.tableExists(tname)
+    ):
+        return spark.table(tname)
+
+    with _store_write_lock(layout_root):
+        gc_layout_versions(slug_dir)
+        cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+        applied = _applied(ptr)
+        hist = [a["batch"] for a in applied]
+        cur_spec = None
+        if os.path.exists(feed_spec):
+            try:
+                import json as _json
+
+                with open(feed_spec) as f:
+                    cur_spec = _json.load(f)
+            except (OSError, ValueError):
+                cur_spec = None
+        if (
+            (hist and hist != specs[: len(hist)])
+            or (ptr is not None and ptr.get("batch") is not None)
+            or (os.path.isdir(feed) and cur_spec != specs)
+        ):
+            # Divergent history or stale feed: pristine table rebuild
+            # (tombstone, never rmtree — readers keep their files), feed
+            # + checkpoint reset (process-private state, safe to wipe:
+            # no lockless reader ever resolves them).
+            cur_dir, ptr = _rebuild_pristine_rel(
+                spark, slug_dir, rel, os.path.join(slug_dir, "orders"),
+                key, buckets, slug,
+            )
+            shutil.rmtree(feed, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+        if not os.path.isdir(feed):
+            # Build the feed: one parquet FILE per CDC batch, mtimes
+            # ordered so the file source delivers batches in sequence.
+            import time as _time
+
+            os.makedirs(feed)
+            t0 = _time.time() - 1000
+            for i, (bkey, upd, dele, ins) in enumerate(specs):
+                parts = [
+                    full.filter(F.expr(upd))
+                    .withColumn(
+                        "o_orderdate",
+                        F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+                    )
+                    .withColumn("op", F.lit("U")),
+                    full.filter(F.expr(dele)).withColumn(
+                        "op", F.lit("D")
+                    ),
+                ]
+                if ins is not None:
+                    parts.append(
+                        full.filter(F.expr(ins))
+                        .withColumn(
+                            key, F.col(key) + F.lit(_UPSERT_INS_OFFSET)
+                        )
+                        .withColumn("op", F.lit("I"))
+                    )
+                bdf = parts[0]
+                for p in parts[1:]:
+                    bdf = bdf.unionByName(p)
+                bdf = bdf.withColumn("batch_key", F.lit(bkey)).select(
+                    "op", "batch_key", *full.columns
+                )
+                tmp = os.path.join(slug_dir, f"cdc_feed_tmp_{i}")
+                bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                dst = os.path.join(feed, f"batch-{i}.parquet")
+                shutil.move(part, dst)
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+            _write_json_atomic(feed_spec, specs)
+        feed_schema = spark.read.parquet(
+            os.path.join(feed, "batch-0.parquet")
+        ).schema
+
+    spec_by_key = {s[0]: s for s in specs}
+    stage = os.path.join(slug_dir, f"orders_u{suffix}_stream_stage")
+    sname = f"tpch_iu{suffix}_stream_stage_orders_{slug}"
+
+    def _apply_cdc_batch(bdf, batch_id):
+        """The foreachBatch sink body: manifest-key idempotence guard,
+        then the production MERGE (delta DataFrames in, touched buckets
+        from the delta alone), then the pointer-publish commit."""
+        import shutil as _shutil
+
+        first = bdf.select("batch_key").first()
+        if first is None:
+            return  # empty micro-batch
+        bkey = first.batch_key
+        with _store_write_lock(layout_root):
+            gc_layout_versions(slug_dir)
+            cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+            applied = _applied(ptr)
+            if any(a["key"] == bkey for a in applied):
+                return  # redelivery (checkpoint lost/crashed): no-op
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            _shutil.rmtree(stage, ignore_errors=True)
+            ups = bdf.filter(F.col("op").isin("U", "I")).select(
+                *full.columns
+            )
+            dels = bdf.filter(F.col("op") == "D").select(key)
+            plan = plan_bucket_local_merge(
+                spark,
+                path=cur_dir,
+                schema=full.schema,
+                key=key,
+                buckets=buckets,
+                upserts=ups,
+                deletes=dels,
+                stage_path=stage,
+                stage_table=sname,
+            )
+            entry = {
+                "key": bkey,
+                "batch": spec_by_key[bkey],
+                "touched": plan["touched"],
+            }
+            staged_flat = [
+                f for fs in plan["staged"].values() for f in fs
+            ]
+            live = bucket_files(cur_dir)
+            replaced = {
+                os.path.basename(f)
+                for b in plan["touched"]
+                for f in live.get(b, [])
+            }
+            old_dir = cur_dir
+            cur_dir, newptr = publish_layout_version(
+                slug_dir, rel, src_dir=cur_dir, skip_names=replaced,
+                staged_files=staged_flat,
+                extra={"applied": applied + [entry], "batch": None,
+                       "ddl": base_ddl},
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            _shutil.rmtree(stage, ignore_errors=True)
+            if os.path.isdir(old_dir) and old_dir != cur_dir:
+                tombstone_layout_dir(old_dir)
+
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(_apply_cdc_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    with _store_write_lock(layout_root):
+        cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+        _attach_rel_table(
+            spark, tname, cur_dir,
+            (ptr or {}).get("ddl") or base_ddl, key, buckets,
+        )
+        tomb = os.path.join(slug_dir, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+    return spark.table(tname)
+
+
+@register(
+    "stream_cdc_upsert",
+    tags=("composite", "storage", "stream"),
+    oracle=_UPSERT_ORDV_SQL + f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key,
+           COUNT(CASE WHEN o_orderkey >= 1000000000 THEN 1 END)
+               AS n_inserted
+    FROM ordv
+    WHERE NOT ({_UPSERT_B2_DEL})
+    GROUP BY o_orderpriority
+    """,
+)
+def stream_cdc_upsert(spark, sf_dir):
+    """The SAME two-batch CDC composition as `layout_upsert_second_batch`
+    / `layout_upsert_inplace_stream`, delivered through a REAL Structured
+    Streaming foreachBatch sink over a file-source CDC feed
+    (`_stream_cdc_feed_and_sink` — VERDICT r16 #4): micro-batch arrival,
+    checkpointed cursor, applied-manifest batch-key guard (redelivery =
+    no-op, asserted in tests/test_storage.py), snapshot-pointer commit
+    per batch. Three surfaces now gate against ONE DuckDB two-batch
+    oracle — the cloned chain, the batch-loop stream, and this streaming
+    sink — so any divergence between composition styles hash-fails a
+    twin. Unlike those twins, the sink exercises the PRODUCTION merge
+    contract end-to-end: the delta arrives as DataFrames and the touched
+    buckets are computed from the delta's keys alone."""
+    register_temp_views(spark, sf_dir)
+    ou = _stream_cdc_feed_and_sink(spark, sf_dir)
+    return ou.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(
+            F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
+        ).alias("n_inserted"),
+    )
+
+
+#: Schema-evolution CDC batch (VERDICT r16 #3): the update+insert rows
+#: carry a NEW column. The channel expr is deterministic from the key so
+#: DuckDB reproduces it; inserts compute it from the SHIFTED key (the
+#: withColumn runs after the key offset, which is also what a real feed
+#: would deliver — the new key's attribute).
+_UPSERT_EV_COL = ("o_channel", "concat('chan-', CAST(o_orderkey % 7 AS STRING))")
+
+_UPSERT_EV_SQL = """
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate + INTERVAL 30 DAY AS o_orderdate,
+               o_orderpriority,
+               'chan-' || CAST(o_orderkey % 7 AS VARCHAR) AS o_channel
+        FROM orders
+        WHERE o_orderkey % 83 = 0 AND o_orderkey % 503 <> 0
+    ), ins AS (
+        SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+               'chan-' || CAST((o_orderkey + 1000000000) % 7 AS VARCHAR)
+                   AS o_channel
+        FROM orders
+        WHERE o_orderkey % 113 = 0
+    ), ordv AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority,
+               CAST(NULL AS VARCHAR) AS o_channel
+        FROM orders
+        WHERE o_orderkey % 83 <> 0 AND o_orderkey % 503 <> 0
+        UNION ALL
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM ins
+    )
+    SELECT o_channel,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM ordv
+    GROUP BY o_channel
+"""
+
+
+@register(
+    "layout_upsert_schema_evolve",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_EV_SQL,
+)
+def layout_upsert_schema_evolve(spark, sf_dir):
+    """SCHEMA-EVOLUTION MERGE arm (VERDICT r16 #3): the CDC batch's
+    update+insert rows carry a column the base table lacks
+    (``o_channel``). The merge unions with ``allowMissingColumns`` so
+    the touched buckets' resident rows null-fill, the staged files carry
+    the evolved schema, the EVOLVED DDL is committed inside the snapshot
+    pointer, and the table re-attaches with the new column from any
+    session; untouched buckets keep their old-schema parquet files,
+    which the scan null-fills per the table schema — the standard
+    additive-column posture (a production CDC stream eventually adds a
+    column; pre-r17 the merge would have failed the strict union).
+    Gate: grouping BY the new column makes every failure mode
+    result-visible — a dropped evolution loses the non-null groups, a
+    mis-null-filled resident row deflates the NULL group, and the DuckDB
+    oracle reproduces the exact three-way union (base rows with NULL
+    channel, updates/inserts with the key-derived channel). A
+    pre-evolution reader of untouched buckets still works:
+    tests/test_storage.py `test_upsert_schema_evolution_arm`."""
+    register_temp_views(spark, sf_dir)
+    _, ou = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="ev", with_lineitem=False,
+        add_col=_UPSERT_EV_COL,
+    )
+    return ou.groupBy("o_channel").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
     )
 
 

@@ -1,35 +1,39 @@
-"""Scale probes for the r16 upsert work (VERDICT r15 #2 and #6), at sf10:
+"""Scale probes for the CDC upsert, r17 snapshot-pointer edition, at sf10.
 
-1. IN-PLACE vs CLONED arm, 32 buckets, same sparse CDC batch
-   (updates + deletes + inserts): the in-place motion's bytes are the
-   honest scale number — no copytree anywhere, old files RENAMED to the
-   undo dir (zero bytes copied), new bytes written = the touched
-   buckets' staged rewrite. The cloned arm re-measures same-day for the
-   clone cost next to it.
-2. BUCKET-COUNT curve, 32 vs 512 buckets, in-place arm: with a sparse
-   batch the touched-bucket count saturates at the key count, so finer
-   bucketing shrinks touched bytes proportionally — the amortization
-   claim the 19% figure extrapolates (VERDICT r15 #6). Layout builds are
-   warmed OUTSIDE the timed region; the motion runs cold per arm.
+r16 measured in-place (rename-aside) vs cloned (copytree) arms; r17's
+pointer commit removed BOTH byte-motion modes — every arm now publishes
+an immutable version dir made of HARD LINKS for untouched buckets (zero
+byte copy, the local stand-in for a table-format manifest re-list) plus
+the touched buckets' staged rewrite, so the quantities that scale are:
 
-Bytes accounting (in-place): bytes_staged_written_mb = new files
-installed in touched buckets (the only bytes written to the table);
-bytes_displaced_mb = old touched files renamed to the undo dir (retained
-until grace GC, zero copy); bytes_read includes the same touched files
-plus the CDC-derivation scan of the raw corpus — demo scaffolding, a
-production MERGE receives the delta as input (see
-`_upserted_orderkey_layout` step 2).
+- bytes_staged_written_mb — the only bytes physically written to the
+  table per batch (the touched buckets' single sorted files);
+- bytes_linked_mb — bytes carried forward by link (would be manifest
+  entries on an object store; zero data movement);
+- touched_fraction — staged / total, the amortization curve vs bucket
+  count (VERDICT r15 #6: same sparse batch, finer buckets →
+  proportionally fewer touched bytes).
+
+Both arms (in-place rel vs cloned sibling rel) run through the same
+publish, so the probe asserts their staged bytes agree and reports one
+bucket-count curve. bytes_read additionally includes the CDC-derivation
+scan of the raw corpus — demo scaffolding; a production MERGE receives
+the delta as input (`plan_bucket_local_merge`'s contract).
+
+Wall-clock caveat (VERDICT r16 'what's wrong' #2, recorded in
+SCALING_r16.json note_r17): motion_sec at fixture size is fixed Spark
+job overhead and is only comparable between arms measured on a settled
+box; bytes are the scale claim.
 
 Usage: python tools/upsert_inplace_probe.py [SF_DIR] [out.json] [key]
-Defaults: /root/repo/.scratch/sf10, SCALING_r16.json,
-upsert_inplace_vs_clone_sf10. Settles to 1-min load < 0.5 first
+Defaults: /root/repo/.scratch/sf10, SCALING_r17.json,
+upsert_pointer_probe_sf10. Settles to 1-min load < 0.5 first
 (CLAUDE.md measurement rules).
 """
 from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import sys
 import time
@@ -41,8 +45,6 @@ UPD = "o_orderkey % 3000001 = 0 AND o_orderkey % 5000001 <> 0"
 DEL = "o_orderkey % 5000001 = 0"
 INS = "o_orderkey % 2000003 = 0"
 
-_BUCKET_RE = re.compile(r"_(\d{5})\.c\d{3}\.")
-
 
 def settle(limit=0.5, max_wait=900):
     waited = 0
@@ -50,15 +52,6 @@ def settle(limit=0.5, max_wait=900):
         time.sleep(30)
         waited += 30
     print("load at start:", os.getloadavg(), flush=True)
-
-
-def _bucket_files(d):
-    out = {}
-    for f in os.listdir(d):
-        m = _BUCKET_RE.search(f)
-        if m and not f.startswith("."):
-            out.setdefault(int(m.group(1)), []).append(os.path.join(d, f))
-    return out
 
 
 def _mb(paths):
@@ -77,127 +70,93 @@ def _slug(sf_dir, buckets, ns):
     ).hexdigest()[:8]
 
 
-def run_inplace(spark, sf_dir, scratch, buckets):
+def _measure_version(slug_dir, rel):
+    """Bytes written vs linked in the rel's CURRENT version dir: a file
+    with st_nlink > 1 is a zero-copy carryover from the previous
+    version/base; nlink == 1 means it was staged fresh this publish."""
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel,
+    )
+    from pycaim_spark.operators.merge import bucket_files
+
+    vdir, _ = resolve_layout_rel(slug_dir, rel)
+    ptr = load_layout_pointer(slug_dir, rel)
+    files = bucket_files(vdir)
+    staged, linked = [], []
+    for fs in files.values():
+        for p in fs:
+            (linked if os.stat(p).st_nlink > 1 else staged).append(p)
+    return {
+        "touched_buckets": len(ptr["touched"]),
+        "bytes_staged_written_mb": _mb(staged),
+        "bytes_linked_mb": _mb(linked),
+        "n_staged_files": len(staged),
+        "n_linked_files": len(linked),
+    }
+
+
+def run_arm(spark, sf_dir, scratch, buckets, inplace):
     from pycaim_spark.queries import advanced
 
-    suffix = f"p{buckets}"
-    ns = f"ip{suffix}"
-    # Warm the private layout build outside the timed region.
+    suffix = f"{'p' if inplace else 'c'}{buckets}"
+    ns = f"ip{suffix}" if inplace else "incr"
+    # Warm the layout build outside the timed region; reset any previous
+    # probe state so the motion runs from a pristine base.
+    slug = _slug(sf_dir, buckets, ns)
+    slug_dir = os.path.join(scratch, "bucketed_tpch", slug)
+    if inplace and os.path.exists(
+        os.path.join(slug_dir, "orders_c_current.json")
+    ):
+        shutil.rmtree(slug_dir, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS tpch_ia_orders_{slug}")
+        spark.sql(f"DROP TABLE IF EXISTS tpch_ic_orders_{slug}")
+    if not inplace:
+        ptr_f = os.path.join(slug_dir, f"orders_u{suffix}_current.json")
+        if os.path.exists(ptr_f):
+            os.remove(ptr_f)
+        spark.sql(f"DROP TABLE IF EXISTS tpch_iu{suffix}_orders_{slug}")
     advanced._incremental_orderkey_layout(
         spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
         tables=("orders",),
     )
-    slug = _slug(sf_dir, buckets, ns)
-    slug_dir = os.path.join(scratch, "bucketed_tpch", slug)
-    tpath = os.path.join(slug_dir, "orders_c")
-    marker = os.path.join(slug_dir, f"upsert{suffix}_orders.json")
-    # Reset any previous probe state: the in-place table must be
-    # pristine, so rebuild it if a prior probe mutated it.
-    if os.path.exists(marker):
-        shutil.rmtree(slug_dir, ignore_errors=True)
-        spark.sql(f"DROP TABLE IF EXISTS tpch_ia_orders_{slug}")
-        spark.sql(f"DROP TABLE IF EXISTS tpch_ic_orders_{slug}")
-        advanced._incremental_orderkey_layout(
-            spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
-            tables=("orders",),
-        )
-    before = _bucket_files(tpath)
-    total_mb = _mb([p for fs in before.values() for p in fs])
+    from pycaim_spark.operators.merge import bucket_files
+
+    base_dir = os.path.join(slug_dir, "orders_c")
+    total_mb = _mb(
+        [p for fs in bucket_files(base_dir).values() for p in fs]
+    )
 
     t0 = time.perf_counter()
     _, ou = advanced._upserted_orderkey_layout(
         spark, sf_dir, buckets=buckets, upd_pred=UPD, del_pred=DEL,
-        ins_pred=INS, suffix=suffix, inplace=True, with_lineitem=False,
+        ins_pred=INS, suffix=suffix, inplace=inplace, with_lineitem=False,
     )
     wall = time.perf_counter() - t0
 
-    with open(marker) as f:
-        touched = json.load(f)["touched_buckets"]
-    after = _bucket_files(tpath)
-    staged_mb = _mb([p for b in touched for p in after.get(b, [])])
-    undo_dirs = [
-        os.path.join(slug_dir, d)
-        for d in os.listdir(slug_dir)
-        if d.startswith("orders_c_old-")
-    ]
-    displaced_mb = _mb([
-        os.path.join(u, f)
-        for u in undo_dirs
-        for f in os.listdir(u)
-        if not f.startswith(".") and f != "superseded.json"
-    ])
-    n_rows = ou.count()
-    return {
-        "buckets": buckets,
-        "touched_buckets": len(touched),
-        "motion_sec": round(wall, 3),
-        "clone_sec": 0.0,
-        "bytes_staged_written_mb": staged_mb,
-        "bytes_displaced_rename_mb": displaced_mb,
-        "bytes_table_total_mb": total_mb,
-        "touched_fraction": round(staged_mb / total_mb, 4),
-        "rows_after": n_rows,
-    }
-
-
-def run_cloned(spark, sf_dir, scratch, buckets):
-    from pycaim_spark.queries import advanced
-
-    suffix = f"c{buckets}"
-    advanced._incremental_orderkey_layout(
-        spark, sf_dir, buckets=buckets, compacted=True, ns="incr",
-        tables=("orders",),
+    rel = "orders_c" if inplace else f"orders_u{suffix}"
+    m = _measure_version(slug_dir, rel)
+    m.update(
+        {
+            "arm": "inplace" if inplace else "cloned_sibling",
+            "buckets": buckets,
+            "motion_sec": round(wall, 3),
+            "bytes_table_total_mb": total_mb,
+            "touched_fraction": round(
+                m["bytes_staged_written_mb"] / total_mb, 4
+            ),
+            "rows_after": ou.count(),
+        }
     )
-    slug = _slug(sf_dir, buckets, "incr")
-    slug_dir = os.path.join(scratch, "bucketed_tpch", slug)
-    for leftover in (f"orders_u{suffix}", f"orders_u{suffix}_stage"):
-        shutil.rmtree(os.path.join(slug_dir, leftover), ignore_errors=True)
-    m = os.path.join(slug_dir, f"upsert{suffix}_orders.json")
-    if os.path.exists(m):
-        os.remove(m)
-    spark.sql(f"DROP TABLE IF EXISTS tpch_iu{suffix}_orders_{slug}")
-
-    clone_sec = []
-    real_copytree = shutil.copytree
-
-    def timed_copytree(*a, **kw):
-        t0 = time.perf_counter()
-        out = real_copytree(*a, **kw)
-        clone_sec.append(time.perf_counter() - t0)
-        return out
-
-    shutil.copytree = timed_copytree
-    try:
-        t0 = time.perf_counter()
-        _, ou = advanced._upserted_orderkey_layout(
-            spark, sf_dir, buckets=buckets, upd_pred=UPD, del_pred=DEL,
-            ins_pred=INS, suffix=suffix, with_lineitem=False,
-        )
-        total = time.perf_counter() - t0
-    finally:
-        shutil.copytree = real_copytree
-    with open(m) as f:
-        touched = json.load(f)["touched_buckets"]
-    upath = os.path.join(slug_dir, f"orders_u{suffix}")
-    files = _bucket_files(upath)
-    return {
-        "buckets": buckets,
-        "touched_buckets": len(touched),
-        "motion_sec": round(total - sum(clone_sec), 3),
-        "clone_sec": round(sum(clone_sec), 3),
-        "bytes_clone_copied_mb": _mb(
-            [p for fs in files.values() for p in fs]
-        ),
-        "rows_after": ou.count(),
-    }
+    return m
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, ".scratch", "sf10")
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        REPO, "SCALING_r16.json")
-    key = sys.argv[3] if len(sys.argv) > 3 else "upsert_inplace_vs_clone_sf10"
+        REPO, "SCALING_r17.json")
+    key = sys.argv[3] if len(sys.argv) > 3 else "upsert_pointer_probe_sf10"
 
     settle()
     load_start = [round(x, 3) for x in os.getloadavg()]
@@ -223,26 +182,26 @@ def main():
     n_ins = full.filter(INS).count()
     want = n_full - n_del + n_ins
 
-    inplace32 = run_inplace(spark, sf_dir, _SCRATCH, 32)
-    inplace512 = run_inplace(spark, sf_dir, _SCRATCH, 512)
-    cloned32 = run_cloned(spark, sf_dir, _SCRATCH, 32)
+    inplace32 = run_arm(spark, sf_dir, _SCRATCH, 32, True)
+    inplace512 = run_arm(spark, sf_dir, _SCRATCH, 512, True)
+    cloned32 = run_arm(spark, sf_dir, _SCRATCH, 32, False)
     for arm in (inplace32, inplace512, cloned32):
         assert arm["rows_after"] == want, (arm, want)
 
     result = {
         "note": (
-            "r16 in-place CDC upsert probes at sf10 (VERDICT r15 #2/#6). "
-            f"Sparse batch: {n_upd} updates + {n_del} deletes + {n_ins} "
-            "inserts. inplace arms: zero clone, old files RENAMED to the "
-            "undo dir (no byte copy), new bytes = touched buckets' staged "
-            "rewrite only; bytes_read additionally includes the CDC "
-            "derivation scan of the raw corpus (demo scaffolding — "
-            "production receives the delta). The 32->512 bucket curve is "
-            "the amortization claim measured: same batch, finer buckets "
-            "-> proportionally fewer touched bytes. Wall numbers carry "
-            "the usual fixed Spark job overhead at this fixture size; "
-            "bytes are the quantity that scales (r15 protocol, "
-            "SCALING_r15.json upsert_scale_probe_sf10)."
+            "r17 snapshot-pointer CDC upsert probes at sf10. Sparse "
+            f"batch: {n_upd} updates + {n_del} deletes + {n_ins} "
+            "inserts. Every arm publishes an immutable version dir: "
+            "untouched buckets HARD-LINKED (bytes_linked_mb — zero "
+            "copy; manifest entries on an object store), touched "
+            "buckets staged fresh (bytes_staged_written_mb — the only "
+            "bytes written per batch). The 32->512 bucket curve is the "
+            "amortization claim measured: same batch, finer buckets -> "
+            "proportionally fewer touched bytes. motion_sec carries "
+            "fixed Spark job overhead at fixture size and is only "
+            "arm-comparable on a settled box; bytes are the scale "
+            "claim (SCALING_r16.json note_r17)."
         ),
         "sf_dir": sf_dir,
         "load_start": load_start,
