@@ -2086,6 +2086,221 @@ def tpch_q3_layout_upserted_inplace(spark, sf_dir):
     return _q3_upserted_body(spark, sf_dir, lib, ou)
 
 
+#: Incremental re-bucket fixture geometry: a PRIVATE 8-bucket orders
+#: layout split toward 16 — small counts keep the fixture cheap while
+#: exercising both migration states (mixed and complete).
+_SPLIT_FROM = 8
+_SPLIT_FACTOR = 2
+
+
+def _split_orderkey_layout(
+    spark, sf_dir, full_split: bool = False, suffix: str = "sph",
+    buckets: int = _SPLIT_FROM, factor: int = _SPLIT_FACTOR,
+):
+    """Incremental RE-BUCKET (bucket split, VERDICT r16 #5): bucket
+    count is the dominant upsert-cost knob (SCALING_r16.json: the same
+    15-key batch stages 40.6% of the table at 32 buckets vs 2.9% at
+    512), but changing a live layout's count classically means a full
+    rebuild. The standard answer is a BUCKET-LOCAL split: each parent
+    bucket's rows partition into ``factor`` children under the doubled
+    modulus — for n_to = factor·n_from, ``pmod(hash, n_to)`` of every
+    row in parent p is in {p, p+n_from, ..., p+(factor-1)·n_from}, so
+    splitting parent p reads and rewrites ONLY p's file (asserted: a
+    staged child outside p's child set aborts the motion). Untouched
+    parents stay unsplit until their pass — progressive migration;
+    each pass publishes a snapshot-pointer version whose ``rebucket``
+    record carries {from, to, done}, so migration progress commits
+    atomically like every other layout mutation and a crash mid-pass
+    leaves only an unpointed version dir.
+
+    MID-MIGRATION the directory mixes two bucket schemes, so the table
+    attaches PLAIN (no CLUSTERED BY — Spark must not trust either
+    count; queries stay correct, co-location is suspended: the measured
+    price of migrating without a rebuild). Child ids are unambiguous
+    against unsplit parents: a file with id i < n_from is parent i's
+    file iff i is not in ``done`` (children with id i only exist once
+    parent i's file is gone). COMPLETE, the dir has one sorted file per
+    n_to bucket and re-attaches CLUSTERED INTO n_to BUCKETS — bucket
+    trust and Exchange-free plans resume at the finer count
+    (tests/test_storage.py pins the plan). Half and full phases run in
+    SEPARATE namespaces (``ipsph`` / ``ipspf``) so the two registered
+    gates never flip one layout's state back and forth; the full phase
+    executes both passes, exercising the progressive chain end-to-end.
+    Returns the orders DataFrame over the current migration state."""
+    import hashlib
+    import shutil
+
+    from pycaim_spark.operators.dedup import _store_write_lock
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        publish_layout_version,
+        resolve_layout_rel,
+        tombstone_layout_dir,
+    )
+    from pycaim_spark.operators.merge import bucket_files
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    ns = f"ip{suffix}"
+    _incremental_orderkey_layout(
+        spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
+        tables=("orders",),
+    )
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{abs_sf}:{buckets}:{ns}:{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(layout_root, slug)
+    rel = "orders_c"
+    tname = f"tpch_rb_orders_{slug}"
+    n_to = buckets * factor
+    half = list(range(buckets // 2))
+    passes = [half] + ([list(range(buckets // 2, buckets))]
+                       if full_split else [])
+    want_done = sorted(p for g in passes for p in g)
+    key = "o_orderkey"
+    full = load_table(spark, sf_dir, "orders")
+    base_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in full.schema.fields
+    )
+
+    def _rb(p):
+        return (p or {}).get("rebucket") or {}
+
+    def _attach(cur_dir, done):
+        complete = done == sorted(range(buckets))
+        _attach_rel_table(
+            spark, tname, cur_dir, base_ddl, key,
+            n_to if complete else buckets, bucketed=complete,
+        )
+
+    cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+    if (
+        _rb(ptr).get("done") == want_done
+        and _rb(ptr).get("to") == n_to
+        and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
+        and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+        and _ATTACHED.get(tname) == cur_dir
+        and spark.catalog.tableExists(tname)
+    ):
+        return spark.table(tname)
+
+    stage = os.path.join(slug_dir, f"orders_split{suffix}_stage")
+    sname = f"tpch_rb{suffix}_stage_orders_{slug}"
+    with _store_write_lock(layout_root):
+        gc_layout_versions(slug_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {sname}")
+        shutil.rmtree(stage, ignore_errors=True)
+        cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+        state = _rb(ptr)
+        if ptr is not None and (
+            ptr.get("batch") is not None
+            or (state and state.get("to") != n_to)
+        ):
+            # Not a valid split base (a CDC-mutated state, or a split
+            # toward a different target): pristine rebuild, tombstoned.
+            cur_dir, ptr = _rebuild_pristine_rel(
+                spark, slug_dir, rel, os.path.join(slug_dir, "orders"),
+                key, buckets, slug,
+            )
+            state = {}
+        done = list(state.get("done", []))
+        for group in passes:
+            todo = sorted(p for p in group if p not in done)
+            if not todo:
+                continue
+            live = bucket_files(cur_dir)
+            parent_files = [f for b in todo for f in live.get(b, [])]
+            (
+                spark.read.parquet(*parent_files)
+                .repartition(n_to, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(n_to, key)
+                .sortBy(key)
+                .option("path", stage)
+                .saveAsTable(sname)
+            )
+            staged = bucket_files(stage)
+            allowed = {
+                p + j * buckets for p in todo for j in range(factor)
+            }
+            stray = sorted(set(staged) - allowed)
+            if stray:
+                raise AssertionError(
+                    f"split of parents {todo} staged children in "
+                    f"unpredicted buckets {stray}: pmod(hash, {n_to}) "
+                    f"no longer refines pmod(hash, {buckets}) — "
+                    "aborting before mis-placing rows"
+                )
+            done = sorted(done + todo)
+            old_dir = cur_dir
+            cur_dir, ptr = publish_layout_version(
+                slug_dir, rel, src_dir=cur_dir,
+                skip_names={os.path.basename(f) for f in parent_files},
+                staged_files=[
+                    f for fs in staged.values() for f in fs
+                ],
+                extra={
+                    "batch": None, "ddl": base_ddl,
+                    "rebucket": {"from": buckets, "to": n_to,
+                                 "done": done},
+                },
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            shutil.rmtree(stage, ignore_errors=True)
+            if os.path.isdir(old_dir) and old_dir != cur_dir:
+                tombstone_layout_dir(old_dir)
+        _attach(cur_dir, done)
+        tomb = os.path.join(slug_dir, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+    return spark.table(tname)
+
+
+@register(
+    "tpch_q3_layout_split_half",
+    tags=("composite", "storage"),
+    oracle=_Q3_SQL,
+)
+def tpch_q3_layout_split_half(spark, sf_dir):
+    """TPC-H Q3 over a HALF-SPLIT re-bucketed orders layout (VERDICT r16
+    #5): parents 0..3 of an 8-bucket table split into 16-bucket
+    children, parents 4..7 still unsplit — the directory mixes two
+    bucket schemes, so the table is attached PLAIN and the join plan
+    shuffles (the suspended-co-location price of migrating without a
+    rebuild). The oracle is the plain Q3 SQL: a split is a pure
+    physical rewrite, so any row lost, duplicated or mis-placed by the
+    file surgery hash-fails here. File-level locality (splitting bucket
+    b touches only b's file) is pinned by tests/test_storage.py."""
+    register_temp_views(spark, sf_dir)
+    ou = _split_orderkey_layout(spark, sf_dir, full_split=False,
+                                suffix="sph")
+    li = load_table(spark, sf_dir, "lineitem")
+    return _q3_over_layout(spark, sf_dir, li, ou)
+
+
+@register(
+    "tpch_q3_layout_split_full",
+    tags=("composite", "storage"),
+    oracle=_Q3_SQL,
+)
+def tpch_q3_layout_split_full(spark, sf_dir):
+    """TPC-H Q3 over the COMPLETED re-bucket: both split passes applied
+    (0..3 then 4..7 — the progressive chain), one sorted file per
+    16-bucket, table re-attached CLUSTERED INTO 16 BUCKETS so bucket
+    trust and Exchange-free aggregation resume at the finer count
+    (tests/test_storage.py asserts the o_orderkey aggregate plan has no
+    Exchange). Same plain-Q3 oracle: the full migration must be
+    invisible in query results."""
+    register_temp_views(spark, sf_dir)
+    ou = _split_orderkey_layout(spark, sf_dir, full_split=True,
+                                suffix="spf")
+    li = load_table(spark, sf_dir, "lineitem")
+    return _q3_over_layout(spark, sf_dir, li, ou)
+
+
 @register(
     "tpch_q5_bucketed",
     tags=("composite", "storage"),

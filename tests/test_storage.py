@@ -1375,6 +1375,95 @@ def test_stream_cdc_sink_redelivery_and_twin(spark, sf_dir):
     )
 
 
+def test_layout_bucket_split_locality_and_plan(spark, sf_dir):
+    """The incremental re-bucket (VERDICT r16 #5) beyond the DuckDB
+    gates: (a) HALF-SPLIT locality — splitting parents 0..3 touches
+    ONLY their files: unsplit parents 4..7 remain single hard links of
+    the pristine base's files, children land only in the predicted id
+    set {0..3, 8..11}, and the migration progress is committed in the
+    pointer's rebucket record; (b) COMPLETE — one file per 16-bucket,
+    and the re-attached CLUSTERED-BY-16 table aggregates on the bucket
+    key with NO Exchange (bucket trust resumed at the finer count)."""
+    import hashlib
+    import os
+
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel,
+    )
+    from pycaim_spark.operators.merge import bucket_files
+    from pycaim_spark.queries.advanced import (
+        _SPLIT_FROM,
+        _layout_fingerprint,
+        _split_orderkey_layout,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    full = load_table(spark, sf_dir, "orders")
+    n_full = full.count()
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def slug_of(ns):
+        return hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{_SPLIT_FROM}:{ns}:"
+            f"{_layout_fingerprint(src)}".encode()
+        ).hexdigest()[:8]
+
+    # (a) half split.
+    ou = _split_orderkey_layout(spark, sf_dir, full_split=False,
+                                suffix="sph")
+    assert ou.count() == n_full, "a split is a pure physical rewrite"
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug_of("ipsph"))
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    half = list(range(_SPLIT_FROM // 2))
+    assert ptr["rebucket"] == {
+        "from": _SPLIT_FROM, "to": 2 * _SPLIT_FROM, "done": half,
+    }
+    vdir, _ = resolve_layout_rel(slug_dir, "orders_c")
+    files = bucket_files(vdir)
+    base_files = bucket_files(os.path.join(slug_dir, "orders_c"))
+    for p in half:
+        # split parents: their original file is gone from the live
+        # version; children carry ids p and p + n_from (fresh staged
+        # names, not the parent's).
+        assert files.get(p)
+        assert {os.path.basename(f) for f in files[p]} != {
+            os.path.basename(f) for f in base_files[p]
+        }
+        assert files.get(p + _SPLIT_FROM)
+    for p in range(_SPLIT_FROM // 2, _SPLIT_FROM):
+        # unsplit parents: exactly the base's file, hard-linked.
+        [f] = files[p]
+        [bf] = base_files[p]
+        assert os.path.basename(f) == os.path.basename(bf)
+        assert os.path.samefile(f, bf)
+        assert not files.get(p + _SPLIT_FROM)
+
+    # (b) complete split in its own namespace (two passes chained).
+    ou2 = _split_orderkey_layout(spark, sf_dir, full_split=True,
+                                 suffix="spf")
+    assert ou2.count() == n_full
+    slug2_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug_of("ipspf"))
+    ptr2 = load_layout_pointer(slug2_dir, "orders_c")
+    assert ptr2["rebucket"]["done"] == list(range(_SPLIT_FROM))
+    vdir2, _ = resolve_layout_rel(slug2_dir, "orders_c")
+    files2 = bucket_files(vdir2)
+    assert sorted(files2) == list(range(2 * _SPLIT_FROM))
+    assert all(len(fs) == 1 for fs in files2.values())
+    # Bucket trust at 16: the groupBy-on-bucket-key plan has no
+    # Exchange below the aggregate.
+    slug2 = slug_of("ipspf")
+    agg = spark.table(f"tpch_rb_orders_{slug2}").groupBy(
+        "o_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan_simple(agg)
+    assert "Exchange" not in plan, plan
+    # Idempotent re-derive: same states served warm.
+    assert _split_orderkey_layout(
+        spark, sf_dir, full_split=True, suffix="spf"
+    ).count() == n_full
+
+
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
     """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
     the arm when r14's canary-gated series flipped the default to the
