@@ -203,6 +203,8 @@ def gc_layout_versions(slug_dir: str) -> None:
         tomb = os.path.join(p, "_superseded.json")
         legacy_tomb = os.path.join(p, "superseded.json")
         if os.path.exists(tomb) or ("_old-" in d and os.path.exists(legacy_tomb)):
+            if _gc_retained(slug_dir, p, d):
+                continue  # pinned snapshot (time travel): never collect
             src = tomb if os.path.exists(tomb) else legacy_tomb
             try:
                 with open(src) as f:
@@ -225,6 +227,45 @@ def gc_layout_versions(slug_dir: str) -> None:
                 # No pointer at all: crashed before the rel's first
                 # publish — the plain dir is still the live state.
                 shutil.rmtree(p, ignore_errors=True)
+
+
+def _gc_retained(slug_dir: str, path: str, dirname: str) -> bool:
+    """True if ``dirname`` is a RETAINED version of its rel — pinned in
+    the pointer's ``retained`` list (time travel, r17): retention
+    overrides the tombstone, so a pinned snapshot stays readable past
+    the grace window until the pin is dropped (``unretain``)."""
+    m = _VDIR_RE.match(dirname)
+    if not m:
+        return False
+    ptr = load_layout_pointer(slug_dir, m.group(1))
+    return ptr is not None and int(m.group(2)) in (
+        ptr.get("retained") or ()
+    )
+
+
+def resolve_layout_rel_version(
+    slug_dir: str, rel: str, version: int
+) -> str:
+    """TIME TRAVEL: the data dir of a SPECIFIC committed version.
+    Version dirs are immutable once published, so any version still on
+    disk — the current one, a tombstoned one inside its grace window,
+    or a RETAINED one pinned in the pointer's ``retained`` list — reads
+    consistently. Raises FileNotFoundError for an expired (collected)
+    version: history retention is explicit, not unbounded."""
+    ptr = load_layout_pointer(slug_dir, rel)
+    if ptr is not None and ptr["version"] == version:
+        return os.path.join(slug_dir, ptr["dir"])
+    if version == 0:
+        path = os.path.join(slug_dir, rel)
+    else:
+        path = os.path.join(slug_dir, f"{rel}_v{version}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"version {version} of {rel} in {slug_dir} is not on disk "
+            "(expired past its grace window and not in the pointer's "
+            "retained list)"
+        )
+    return path
 
 
 # Ship by value: Spark workers cannot import pycaim_spark (driver-only

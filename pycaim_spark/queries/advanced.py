@@ -1105,7 +1105,21 @@ def _upserted_orderkey_layout(
             # carrying r16 legacy markers are mutated by the OLD
             # machinery: same remedy, then the markers are retired.
             if inplace and (
-                (ptr is not None and ptr.get("batch") is not None)
+                (
+                    ptr is not None
+                    and (
+                        ptr.get("batch") is not None
+                        # A rel mid-RE-BUCKET mixes two bucket schemes:
+                        # merging at the old count against it would read
+                        # only half of a split parent's key range and
+                        # resurrect deleted keys — never a valid merge
+                        # base (the fixtures keep split and CDC in
+                        # separate namespaces; this guard makes the
+                        # combination rebuild pristine instead of
+                        # silently corrupting).
+                        or ptr.get("rebucket")
+                    )
+                )
                 or (
                     ptr is None
                     and (
@@ -1249,6 +1263,7 @@ def _upsert_stream_inplace(
     batches: list[tuple[str, str, str, str | None]],
     suffix: str = "st",
     buckets: int = 32,
+    retain: bool = False,
 ):
     '''A STREAM of CDC batches applied IN PLACE to one bucketed table —
     the steady-state production shape: each batch ``(batch_key,
@@ -1274,7 +1289,16 @@ def _upsert_stream_inplace(
     the SAME two-batch oracle: `layout_upsert_inplace_stream` vs
     `layout_upsert_second_batch`. For the Structured Streaming
     foreachBatch driver over a file-source CDC feed, see
-    `stream_cdc_upsert` (same motion, micro-batch delivery).'''
+    `stream_cdc_upsert` (same motion, micro-batch delivery).
+
+    ``retain=True`` PINS every published version in the pointer's
+    ``retained`` list (and records each batch's version in its applied
+    entry), so displaced snapshots survive past the grace window for
+    TIME TRAVEL — `operators/layout.resolve_layout_rel_version` reads
+    any retained version consistently (immutable dirs); dropping a pin
+    is rewriting the pointer without that version, after which normal
+    tombstone+grace GC collects it. Retention covers versions >= 1;
+    the pre-history plain dir (version 0) expires on grace as always.'''
     import hashlib
     import shutil
 
@@ -1321,6 +1345,12 @@ def _upsert_stream_inplace(
     cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
     if (
         [a["batch"] for a in _applied(ptr)] == specs
+        # a non-None batch (single-batch spec or a force-rebuild
+        # sentinel) or a mid-re-bucket record disqualifies the warm
+        # claim even when the applied history matches
+        and ptr is not None
+        and ptr.get("batch") is None
+        and not ptr.get("rebucket")
         and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
         and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
         and _ATTACHED.get(tname) == cur_dir
@@ -1346,10 +1376,15 @@ def _upsert_stream_inplace(
         hist = [a["batch"] for a in applied]
         if (
             (hist and hist != specs[: len(hist)])
-            # a pointer committing a single-batch spec, or a pointer-less
-            # dir mutated by the r16 machinery (legacy manifest), is not
-            # a valid stream base either
-            or (ptr is not None and ptr.get("batch") is not None)
+            # a pointer committing a single-batch spec, a rel
+            # mid-re-bucket (mixed bucket schemes — merging at the old
+            # count against it would drop keys), or a pointer-less dir
+            # mutated by the r16 machinery (legacy manifest), is not a
+            # valid stream base either
+            or (
+                ptr is not None
+                and (ptr.get("batch") is not None or ptr.get("rebucket"))
+            )
             or (
                 ptr is None
                 and (
@@ -1378,7 +1413,9 @@ def _upsert_stream_inplace(
                 )
                 cdc_keys = cdc_keys.unionByName(ins_rows.select(key))
             touched = delta_touched_buckets(cdc_keys, key, buckets)
-            entry = {"key": batch_key, "batch": spec, "touched": touched}
+            cur_v = ptr["version"] if ptr else 0
+            entry = {"key": batch_key, "batch": spec, "touched": touched,
+                     "version": cur_v if not touched else cur_v + 1}
             if not touched:
                 newptr = dict(ptr) if ptr else {"version": 0, "dir": rel}
                 newptr.update(
@@ -1425,11 +1462,19 @@ def _upsert_stream_inplace(
                 for f in live.get(b, [])
             }
             old_dir = cur_dir
+            extra = {"applied": applied + [entry], "batch": None,
+                     "ddl": base_ddl}
+            prior_retained = list((ptr or {}).get("retained") or [])
+            if retain:
+                extra["retained"] = sorted(
+                    set(prior_retained) | {entry["version"]}
+                )
+            elif prior_retained:
+                extra["retained"] = prior_retained
             cur_dir, ptr = publish_layout_version(
                 slug_dir, rel, src_dir=cur_dir, skip_names=replaced,
                 staged_files=staged_flat,
-                extra={"applied": applied + [entry], "batch": None,
-                       "ddl": base_ddl},
+                extra=extra,
             )
             spark.sql(f"DROP TABLE IF EXISTS {sname}")
             shutil.rmtree(stage, ignore_errors=True)
@@ -1689,6 +1734,104 @@ def layout_upsert_inplace_stream(spark, sf_dir):
     )
 
 
+@register(
+    "layout_time_travel",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_ORDV_SQL + """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key,
+           COUNT(CASE WHEN o_orderkey >= 1000000000 THEN 1 END)
+               AS n_inserted
+    FROM ordv
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_time_travel(spark, sf_dir):
+    """TIME TRAVEL over the versioned layout (r17): after a two-batch
+    CDC stream with snapshot RETENTION, read the table AS OF the
+    post-batch-1 version — the oracle is the single-batch post-CDC
+    state, so the gate falsifies both failure modes: a time-travel read
+    that leaks batch 2's deletes (reading the current version) and one
+    that misses batch 1 (reading the pre-history). Mechanics: every
+    version dir is immutable once published, so "as of version N" is
+    one pointer-less parquet read of ``{rel}_v{N}``
+    (`operators/layout.resolve_layout_rel_version`); ``retain=True``
+    pins the displaced versions in the pointer's ``retained`` list,
+    which `gc_layout_versions` exempts from tombstone+grace collection —
+    bounded, explicit history like a table format's snapshot retention,
+    not an unbounded log. The version to read comes from the applied
+    manifest (each batch entry records the version it published), so
+    the query is stable across pristine rebuilds that shift version
+    numbers."""
+    import hashlib
+
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel_version,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    register_temp_views(spark, sf_dir)
+    _upsert_stream_inplace(
+        spark, sf_dir,
+        batches=[
+            ("b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS),
+            ("b2", "1 = 0", _UPSERT_B2_DEL, None),
+        ],
+        suffix="tt",
+        retain=True,
+    )
+    ns = "iptt"
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:{ns}:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    from pycaim_spark.operators.layout import rewrite_layout_pointer
+
+    def _as_of_b1_path():
+        ptr = load_layout_pointer(slug_dir, "orders_c")
+        [v] = [
+            a["version"] for a in ptr["applied"] if a["key"] == "b1"
+        ]
+        return ptr, resolve_layout_rel_version(slug_dir, "orders_c", v)
+
+    try:
+        _ptr, path = _as_of_b1_path()
+    except FileNotFoundError:
+        # The pinned snapshot was unpinned and collected (an operator
+        # dropped retention): self-heal by forcing a pristine replay of
+        # the stream — marking the pointer's batch invalid routes the
+        # next call through the rebuild-and-replay path, which
+        # republishes (and re-pins) every version.
+        ptr = load_layout_pointer(slug_dir, "orders_c")
+        ptr["batch"] = ["retained-snapshot-missing"]
+        rewrite_layout_pointer(slug_dir, "orders_c", ptr)
+        _upsert_stream_inplace(
+            spark, sf_dir,
+            batches=[
+                ("b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS),
+                ("b2", "1 = 0", _UPSERT_B2_DEL, None),
+            ],
+            suffix="tt",
+            retain=True,
+        )
+        _ptr, path = _as_of_b1_path()
+    as_of_b1 = spark.read.parquet(path)
+    return as_of_b1.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(
+            F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
+        ).alias("n_inserted"),
+    )
+
+
 def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
                               suffix: str = "cd"):
     """Structured Streaming foreachBatch CDC sink over the bucket-local
@@ -1773,6 +1916,9 @@ def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
     cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
     if (
         [a["batch"] for a in _applied(ptr)] == specs
+        and ptr is not None
+        and ptr.get("batch") is None
+        and not ptr.get("rebucket")
         and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
         and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
         # A missing checkpoint means the stream's cursor is gone — the
@@ -1803,7 +1949,10 @@ def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
                 cur_spec = None
         if (
             (hist and hist != specs[: len(hist)])
-            or (ptr is not None and ptr.get("batch") is not None)
+            or (
+                ptr is not None
+                and (ptr.get("batch") is not None or ptr.get("rebucket"))
+            )
             or (os.path.isdir(feed) and cur_spec != specs)
         ):
             # Divergent history or stale feed: pristine table rebuild

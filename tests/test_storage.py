@@ -575,7 +575,8 @@ def _reset_private_ns_layout(spark, sf_dir, ns, buckets=32):
         f"{os.path.abspath(sf_dir)}:{buckets}:{ns}:"
         f"{_layout_fingerprint(src)}".encode()
     ).hexdigest()[:8]
-    for t in (f"tpch_ia_orders_{slug}", f"tpch_ic_orders_{slug}"):
+    for t in (f"tpch_ia_orders_{slug}", f"tpch_ic_orders_{slug}",
+              f"tpch_rb_orders_{slug}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(
         os.path.join(_SCRATCH, "bucketed_tpch", slug), ignore_errors=True
@@ -1375,6 +1376,57 @@ def test_stream_cdc_sink_redelivery_and_twin(spark, sf_dir):
     )
 
 
+def test_upsert_refuses_mid_rebucket_base(spark, sf_dir):
+    """A rel MID-RE-BUCKET mixes two bucket schemes; merging a CDC batch
+    at the old count against it would read only half of a split parent's
+    key range. The staleness guard must treat a pointer carrying a
+    ``rebucket`` record as not-a-valid-merge-base and rebuild pristine
+    (tombstoned, grace-kept) before applying the batch."""
+    import hashlib
+    import os
+
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel,
+        rewrite_layout_pointer,
+    )
+    from pycaim_spark.queries.advanced import (
+        _layout_fingerprint,
+        _upserted_orderkey_layout,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    slug = _reset_private_ns_layout(spark, sf_dir, "iprb")
+    full = load_table(spark, sf_dir, "orders")
+    n_del = full.filter("o_orderkey % 401 = 0").count()
+    _, ou = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="rb", inplace=True, with_lineitem=False,
+        upd_pred="1 = 0", del_pred="o_orderkey % 401 = 0", ins_pred=None,
+    )
+    assert ou.count() == full.count() - n_del
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    mutated_dir, _ = resolve_layout_rel(slug_dir, "orders_c")
+
+    # Fabricate a mid-migration state: batch cleared, rebucket pending.
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    ptr["batch"] = None
+    ptr["rebucket"] = {"from": 32, "to": 64, "done": [0, 1]}
+    rewrite_layout_pointer(slug_dir, "orders_c", ptr)
+
+    _, ou2 = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="rb", inplace=True, with_lineitem=False,
+        upd_pred="1 = 0", del_pred="o_orderkey % 401 = 0", ins_pred=None,
+    )
+    # Rebuilt pristine THEN re-applied the batch — same correct result,
+    # not a merge on top of the fabricated mixed state; the displaced
+    # version is tombstoned with files intact.
+    assert ou2.count() == full.count() - n_del
+    ptr2 = load_layout_pointer(slug_dir, "orders_c")
+    assert not ptr2.get("rebucket")
+    assert ptr2["version"] > ptr["version"]
+    assert os.path.exists(os.path.join(mutated_dir, "_superseded.json"))
+
+
 def test_layout_bucket_split_locality_and_plan(spark, sf_dir):
     """The incremental re-bucket (VERDICT r16 #5) beyond the DuckDB
     gates: (a) HALF-SPLIT locality — splitting parents 0..3 touches
@@ -1408,6 +1460,14 @@ def test_layout_bucket_split_locality_and_plan(spark, sf_dir):
             f"{os.path.abspath(sf_dir)}:{_SPLIT_FROM}:{ns}:"
             f"{_layout_fingerprint(src)}".encode()
         ).hexdigest()[:8]
+
+    # Reset both namespaces: this test compares the migrated state
+    # against the PRISTINE base dir, which on a long-lived scratch is a
+    # displaced version that grace GC legitimately collects (it aged out
+    # between runs) — a fresh rebuild makes every file-identity assert
+    # well-defined.
+    _reset_private_ns_layout(spark, sf_dir, "ipsph", buckets=_SPLIT_FROM)
+    _reset_private_ns_layout(spark, sf_dir, "ipspf", buckets=_SPLIT_FROM)
 
     # (a) half split.
     ou = _split_orderkey_layout(spark, sf_dir, full_split=False,
@@ -1462,6 +1522,91 @@ def test_layout_bucket_split_locality_and_plan(spark, sf_dir):
     assert _split_orderkey_layout(
         spark, sf_dir, full_split=True, suffix="spf"
     ).count() == n_full
+
+
+def test_layout_time_travel_retention_and_unpin(spark, sf_dir):
+    """Snapshot retention (r17 time travel): a RETAINED displaced
+    version survives a zero-grace GC pass (the pin in the pointer's
+    ``retained`` list overrides its tombstone) while an unpinned
+    tombstoned dir is collected; UNPINNING it makes the same GC collect
+    it, resolve raises a clear FileNotFoundError, and the time-travel
+    query SELF-HEALS by replaying the stream pristine and re-pinning."""
+    import hashlib
+    import os
+
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        load_layout_pointer,
+        resolve_layout_rel_version,
+        rewrite_layout_pointer,
+        tombstone_layout_dir,
+    )
+    from pycaim_spark.queries.advanced import _layout_fingerprint
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    rows1 = sorted(
+        map(tuple, REGISTRY["layout_time_travel"].fn(spark, sf_dir)
+            .collect())
+    )
+    assert rows1
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:iptt:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    [v_b1] = [a["version"] for a in ptr["applied"] if a["key"] == "b1"]
+    assert v_b1 in ptr["retained"]
+    pinned = resolve_layout_rel_version(slug_dir, "orders_c", v_b1)
+    assert os.path.exists(os.path.join(pinned, "_superseded.json")), \
+        "the displaced snapshot is tombstoned AND pinned"
+
+    # Zero-grace GC: the pinned snapshot survives; an unpinned
+    # tombstoned junk dir is collected.
+    junk = os.path.join(slug_dir, "orders_c_old-424242")
+    os.makedirs(junk, exist_ok=True)
+    tombstone_layout_dir(junk)
+    os.rename(
+        os.path.join(junk, "_superseded.json"),
+        os.path.join(junk, "superseded.json"),
+    )
+    old_grace = os.environ.get("PYCAIM_LAYOUT_GC_GRACE")
+    os.environ["PYCAIM_LAYOUT_GC_GRACE"] = "0"
+    try:
+        gc_layout_versions(slug_dir)
+        assert os.path.isdir(pinned), "pinned snapshot must survive GC"
+        assert not os.path.exists(junk)
+
+        # Unpin -> the same GC collects it; resolve raises clearly.
+        ptr = load_layout_pointer(slug_dir, "orders_c")
+        ptr["retained"] = [v for v in ptr["retained"] if v != v_b1]
+        rewrite_layout_pointer(slug_dir, "orders_c", ptr)
+        gc_layout_versions(slug_dir)
+        assert not os.path.isdir(pinned)
+        import pytest
+
+        with pytest.raises(FileNotFoundError, match="retained"):
+            resolve_layout_rel_version(slug_dir, "orders_c", v_b1)
+    finally:
+        if old_grace is None:
+            os.environ.pop("PYCAIM_LAYOUT_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_LAYOUT_GC_GRACE"] = old_grace
+
+    # Self-heal: the query replays the stream pristine, re-pins, and
+    # returns the identical as-of-b1 result.
+    rows2 = sorted(
+        map(tuple, REGISTRY["layout_time_travel"].fn(spark, sf_dir)
+            .collect())
+    )
+    assert rows2 == rows1
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    [v_b1b] = [a["version"] for a in ptr["applied"] if a["key"] == "b1"]
+    assert v_b1b in ptr["retained"]
+    assert os.path.isdir(
+        resolve_layout_rel_version(slug_dir, "orders_c", v_b1b)
+    )
 
 
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):

@@ -151,6 +151,59 @@ def run_arm(spark, sf_dir, scratch, buckets, inplace):
     return m
 
 
+def run_split(spark, sf_dir, scratch, buckets=32):
+    """Half-split pass at sf10: parents 0..n/2-1 of a 32-bucket private
+    layout split into 64-bucket children. The scale claim measured:
+    bytes staged == the split parents' rows only; unsplit parents carry
+    forward as hard links (zero copy)."""
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel,
+    )
+    from pycaim_spark.operators.merge import bucket_files
+    from pycaim_spark.queries import advanced
+
+    suffix = f"sp{buckets}"
+    ns = f"ip{suffix}"
+    slug = _slug(sf_dir, buckets, ns)
+    slug_dir = os.path.join(scratch, "bucketed_tpch", slug)
+    if os.path.exists(os.path.join(slug_dir, "orders_c_current.json")):
+        shutil.rmtree(slug_dir, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS tpch_ia_orders_{slug}")
+        spark.sql(f"DROP TABLE IF EXISTS tpch_ic_orders_{slug}")
+    advanced._incremental_orderkey_layout(
+        spark, sf_dir, buckets=buckets, compacted=True, ns=ns,
+        tables=("orders",),
+    )
+    base_dir = os.path.join(slug_dir, "orders_c")
+    total_mb = _mb(
+        [p for fs in bucket_files(base_dir).values() for p in fs]
+    )
+    t0 = time.perf_counter()
+    ou = advanced._split_orderkey_layout(
+        spark, sf_dir, full_split=False, suffix=suffix, buckets=buckets,
+    )
+    wall = time.perf_counter() - t0
+    vdir, _ = resolve_layout_rel(slug_dir, "orders_c")
+    staged, linked = [], []
+    for fs in bucket_files(vdir).values():
+        for p in fs:
+            (linked if os.stat(p).st_nlink > 1 else staged).append(p)
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    return {
+        "arm": "rebucket_half_split",
+        "buckets_from": buckets,
+        "buckets_to": 2 * buckets,
+        "parents_split": len(ptr["rebucket"]["done"]),
+        "motion_sec": round(wall, 3),
+        "bytes_staged_written_mb": _mb(staged),
+        "bytes_linked_mb": _mb(linked),
+        "bytes_table_total_mb": total_mb,
+        "staged_fraction": round(_mb(staged) / total_mb, 4),
+        "rows_after": ou.count(),
+    }
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, ".scratch", "sf10")
@@ -187,6 +240,8 @@ def main():
     cloned32 = run_arm(spark, sf_dir, _SCRATCH, 32, False)
     for arm in (inplace32, inplace512, cloned32):
         assert arm["rows_after"] == want, (arm, want)
+    split32 = run_split(spark, sf_dir, _SCRATCH, 32)
+    assert split32["rows_after"] == n_full, split32
 
     result = {
         "note": (
@@ -211,6 +266,7 @@ def main():
         "inplace_32": inplace32,
         "inplace_512": inplace512,
         "cloned_32": cloned32,
+        "rebucket_half_32to64": split32,
     }
     print(json.dumps(result, indent=1), flush=True)
 
