@@ -834,16 +834,22 @@ def _incremental_orderkey_layout(
                 # A versioned compacted state may carry an EVOLVED schema
                 # (the schema-evolution MERGE arm records its DDL in the
                 # pointer); attach with it so the new column survives
-                # re-attachment from a fresh session. A rel under
-                # RE-BUCKET management (pointer carries ``rebucket``) may
-                # mix two bucket schemes mid-migration — attach PLAIN
-                # here (correct for any state; the split owner attaches
-                # its own bucketed table once migration completes).
+                # re-attachment from a fresh session. A rel MID-re-bucket
+                # mixes two bucket schemes — attach PLAIN (correct for
+                # any state); a COMPLETED re-bucket is a valid bucketed
+                # table at its finer count, so attach with that trust
+                # (the composed migrate-then-CDC lifecycle keeps its
+                # Exchange-free plans on warm serves).
+                crb = (cptr or {}).get("rebucket") or None
+                crb_done = bool(crb) and sorted(
+                    crb.get("done", [])
+                ) == list(range(crb["from"]))
                 _attach_rel_table(
                     spark, cname, cdir,
                     (cptr.get("ddl") if cptr else None) or base_ddl,
-                    key, buckets,
-                    bucketed=not (cptr and cptr.get("rebucket")),
+                    key,
+                    crb["to"] if crb_done else buckets,
+                    bucketed=crb_done or not crb,
                 )
             # Same resurrection rule as the one-shot layout: a slug this
             # call re-derived from the CURRENT fingerprint is valid by
@@ -1098,26 +1104,34 @@ def _upserted_orderkey_layout(
             legacy_pending = os.path.join(
                 slug_dir, f"upsert_pending{suffix}_orders.json"
             )
+            def _rb_state(p):
+                """(record, complete, effective bucket count) of a
+                source state. A COMPLETED re-bucket is a fully valid
+                merge base at its finer count — the composed
+                migrate-then-CDC lifecycle (`layout_split_then_upsert`);
+                an INCOMPLETE one mixes two bucket schemes: merging at
+                either count against it would read only half of a split
+                parent's key range and resurrect deleted keys — never a
+                valid base."""
+                rb = (p or {}).get("rebucket") or None
+                complete = bool(rb) and sorted(
+                    rb.get("done", [])
+                ) == list(range(rb["from"]))
+                return rb, complete, (rb["to"] if complete else buckets)
+
             # In-place staleness: a pointer committing a DIFFERENT batch
             # means the current version is a mutated state with no
             # pristine copy — rebuild pristine into a fresh version
             # (tombstone-not-rmtree, VERDICT r16 #2). Pointer-less dirs
             # carrying r16 legacy markers are mutated by the OLD
             # machinery: same remedy, then the markers are retired.
+            rb, rb_complete, _eff = _rb_state(ptr)
             if inplace and (
                 (
                     ptr is not None
                     and (
                         ptr.get("batch") is not None
-                        # A rel mid-RE-BUCKET mixes two bucket schemes:
-                        # merging at the old count against it would read
-                        # only half of a split parent's key range and
-                        # resurrect deleted keys — never a valid merge
-                        # base (the fixtures keep split and CDC in
-                        # separate namespaces; this guard makes the
-                        # combination rebuild pristine instead of
-                        # silently corrupting).
-                        or ptr.get("rebucket")
+                        or (rb and not rb_complete)
                     )
                 )
                 or (
@@ -1139,10 +1153,17 @@ def _upserted_orderkey_layout(
                 os.path.join(slug_dir, f"orders_u{suffix}_old-*")
             ):
                 shutil.rmtree(od, ignore_errors=True)
-            src_dir = (
-                cur_dir if inplace
-                else resolve_layout_rel(slug_dir, base_rel)[0]
-            )
+            if inplace:
+                src_dir, src_ptr = cur_dir, ptr
+            else:
+                src_dir, src_ptr = resolve_layout_rel(slug_dir, base_rel)
+            rb, rb_complete, eff_buckets = _rb_state(src_ptr)
+            if not inplace and rb and not rb_complete:
+                raise RuntimeError(
+                    f"base rel {base_rel} is mid-re-bucket "
+                    f"({rb}) — not a valid clone-merge base; finish or "
+                    "abandon the migration first"
+                )
             # DEMO SCAFFOLDING: derive the CDC batch from predicates
             # over the raw corpus so the DuckDB oracle can reproduce the
             # identical batch in SQL; production callers hand
@@ -1156,7 +1177,7 @@ def _upserted_orderkey_layout(
                     key, F.col(key) + F.lit(_UPSERT_INS_OFFSET)
                 )
                 cdc_keys = cdc_keys.unionByName(ins_rows.select(key))
-            touched = delta_touched_buckets(cdc_keys, key, buckets)
+            touched = delta_touched_buckets(cdc_keys, key, eff_buckets)
             if not touched:
                 # Empty CDC batch at this scale (ADVICE r15): commit the
                 # no-op so re-runs warm-path.
@@ -1174,11 +1195,14 @@ def _upserted_orderkey_layout(
                     )
                 else:
                     old_own = resolve_layout_rel(slug_dir, rel)[0]
+                    extra = {"batch": batch_spec, "touched": [],
+                             "ddl": base_ddl}
+                    if rb_complete:
+                        extra["rebucket"] = rb
                     cur_dir, ptr = publish_layout_version(
                         slug_dir, rel, src_dir=src_dir,
                         skip_names=set(), staged_files=[],
-                        extra={"batch": batch_spec, "touched": [],
-                               "ddl": base_ddl},
+                        extra=extra,
                     )
                     if os.path.isdir(old_own) and old_own != cur_dir:
                         tombstone_layout_dir(old_own)
@@ -1213,7 +1237,7 @@ def _upserted_orderkey_layout(
                     path=src_dir,
                     schema=full.schema,
                     key=key,
-                    buckets=buckets,
+                    buckets=eff_buckets,
                     upserts=upserts,
                     deletes=cur.filter(F.expr(del_pred)).select(key),
                     stage_path=stage,
@@ -1237,19 +1261,30 @@ def _upserted_orderkey_layout(
                     for f in live.get(b, [])
                 }
                 old_own = resolve_layout_rel(slug_dir, rel)[0]
+                extra = {"batch": batch_spec, "touched": touched,
+                         "ddl": ddl}
+                if rb_complete:
+                    # The completed migration record travels with the
+                    # table: attach logic keeps trusting the finer count
+                    # across sessions and further CDC batches.
+                    extra["rebucket"] = rb
                 cur_dir, ptr = publish_layout_version(
                     slug_dir, rel, src_dir=src_dir,
                     skip_names=replaced, staged_files=staged_flat,
-                    extra={"batch": batch_spec, "touched": touched,
-                           "ddl": ddl},
+                    extra=extra,
                 )
                 spark.sql(f"DROP TABLE IF EXISTS {sname}")
                 shutil.rmtree(stage, ignore_errors=True)
                 if os.path.isdir(old_own) and old_own != cur_dir:
                     tombstone_layout_dir(old_own)
+        final_rb = (ptr or {}).get("rebucket") or None
+        final_complete = bool(final_rb) and sorted(
+            final_rb.get("done", [])
+        ) == list(range(final_rb["from"]))
         _attach_rel_table(
             spark, uname, cur_dir,
-            (ptr or {}).get("ddl") or base_ddl, key, buckets,
+            (ptr or {}).get("ddl") or base_ddl, key,
+            final_rb["to"] if final_complete else buckets,
         )
         tomb = os.path.join(slug_dir, "superseded.json")
         if os.path.exists(tomb):
@@ -2448,6 +2483,74 @@ def tpch_q3_layout_split_full(spark, sf_dir):
                                 suffix="spf")
     li = load_table(spark, sf_dir, "lineitem")
     return _q3_over_layout(spark, sf_dir, li, ou)
+
+
+@register(
+    "layout_split_then_upsert",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_ORDV_SQL + """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key,
+           COUNT(CASE WHEN o_orderkey >= 1000000000 THEN 1 END)
+               AS n_inserted
+    FROM ordv
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_split_then_upsert(spark, sf_dir):
+    """The composed MIGRATE-THEN-CDC lifecycle: a completed re-bucket
+    (8 → 16, both split passes) followed by the standard CDC batch
+    MERGEd bucket-locally AT THE FINER COUNT — the gate that a migrated
+    table is a full CDC citizen, not merely queryable. The upsert arm
+    derives its effective bucket count from the pointer's completed
+    ``rebucket`` record (hash-routing, touched-bucket prediction, the
+    staged write and the bucketed attach all run at 16), and the
+    migration record travels forward in the post-merge pointer so later
+    batches and fresh sessions keep the finer-count trust. The oracle is
+    the single-batch post-CDC audit over the raw table: the migration
+    must be invisible, the merge exact. Guarded the other way too: an
+    INCOMPLETE re-bucket is never a valid merge base
+    (tests/test_storage.py test_upsert_refuses_mid_rebucket_base)."""
+    import hashlib
+
+    from pycaim_spark.operators.layout import load_layout_pointer
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    register_temp_views(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{_SPLIT_FROM}:ipspu:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    rb = (ptr or {}).get("rebucket") or None
+    rb_done = bool(rb) and sorted(rb.get("done", [])) == list(
+        range(rb["from"])
+    )
+    if not rb_done:
+        # (Re-)run the migration only when the composed state isn't
+        # already committed — the upsert's pointer carries the completed
+        # rebucket record forward, and re-running the split over a
+        # CDC-mutated table would (correctly) reset it pristine.
+        _split_orderkey_layout(
+            spark, sf_dir, full_split=True, suffix="spu"
+        )
+    _, ou = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="spu", inplace=True, with_lineitem=False,
+        buckets=_SPLIT_FROM,
+    )
+    return ou.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(
+            F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
+        ).alias("n_inserted"),
+    )
 
 
 @register(

@@ -1609,6 +1609,74 @@ def test_layout_time_travel_retention_and_unpin(spark, sf_dir):
     )
 
 
+def test_split_then_upsert_composed_state(spark, sf_dir):
+    """The composed migrate-then-CDC lifecycle (layout_split_then_upsert)
+    beyond its DuckDB gate: the post-merge pointer carries BOTH the
+    batch spec and the completed rebucket record; the merge ran at the
+    FINER count (touched buckets predicted mod 16, untouched 16-buckets
+    carried as hard links of the post-split version); and the attached
+    table keeps Exchange-free bucket trust at 16 across the CDC batch."""
+    import hashlib
+    import os
+
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel,
+    )
+    from pycaim_spark.operators.merge import bucket_files
+    from pycaim_spark.queries.advanced import (
+        _SPLIT_FROM,
+        _layout_fingerprint,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    slug = _reset_private_ns_layout(
+        spark, sf_dir, "ipspu", buckets=_SPLIT_FROM
+    )
+    rows1 = sorted(
+        map(tuple,
+            REGISTRY["layout_split_then_upsert"].fn(spark, sf_dir)
+            .collect())
+    )
+    assert rows1
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    n_to = 2 * _SPLIT_FROM
+    assert ptr["batch"] is not None, "CDC batch committed"
+    assert ptr["rebucket"]["to"] == n_to and sorted(
+        ptr["rebucket"]["done"]
+    ) == list(range(_SPLIT_FROM)), "migration record carried forward"
+    touched = set(ptr["touched"])
+    assert touched and max(touched) >= _SPLIT_FROM, \
+        "touched buckets predicted at the finer count"
+
+    vdir, _ = resolve_layout_rel(slug_dir, "orders_c")
+    files = bucket_files(vdir)
+    assert sorted(files) == list(range(n_to))
+    for b, fs in files.items():
+        assert len(fs) == 1, (b, fs)
+        nlink = os.stat(fs[0]).st_nlink
+        if b in touched:
+            assert nlink == 1, f"touched bucket {b} must be staged fresh"
+        else:
+            assert nlink > 1, \
+                f"untouched bucket {b} must be a zero-copy link"
+
+    # Bucket trust survives the CDC batch: agg on the key, no Exchange.
+    agg = spark.table(f"tpch_ic_orders_{slug}").groupBy(
+        "o_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert "Exchange" not in _plan_simple(agg)
+
+    # Warm idempotence.
+    rows2 = sorted(
+        map(tuple,
+            REGISTRY["layout_split_then_upsert"].fn(spark, sf_dir)
+            .collect())
+    )
+    assert rows2 == rows1
+
+
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
     """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
     the arm when r14's canary-gated series flipped the default to the
