@@ -205,6 +205,15 @@ def gc_layout_versions(slug_dir: str) -> None:
         if os.path.exists(tomb) or ("_old-" in d and os.path.exists(legacy_tomb)):
             if _gc_retained(slug_dir, p, d):
                 continue  # pinned snapshot (time travel): never collect
+            m = _VDIR_RE.match(d)
+            if m and os.path.exists(tomb):
+                ptr = load_layout_pointer(slug_dir, m.group(1))
+                if ptr is not None and ptr.get("dir") == d:
+                    # The rel's pointer still references this dir: the
+                    # tombstone is debris from an interrupted cleanup —
+                    # resurrect the LIVE state rather than collect it.
+                    os.remove(tomb)
+                    continue
             src = tomb if os.path.exists(tomb) else legacy_tomb
             try:
                 with open(src) as f:
@@ -213,6 +222,13 @@ def gc_layout_versions(slug_dir: str) -> None:
                 continue  # unreadable tombstone: leave for a later pass
             if now - ts > grace:
                 shutil.rmtree(p, ignore_errors=True)
+            continue
+        if d.endswith("_stage") or "_feed_tmp_" in d:
+            # Stage/scratch dirs only live inside a locked writer's own
+            # motion; one visible at lock-acquisition (gc always runs
+            # under the flock) is an orphan from a crashed motion —
+            # unpublished by construction, no reader ever resolves it.
+            shutil.rmtree(p, ignore_errors=True)
             continue
         m = _VDIR_RE.match(d)
         if m:

@@ -737,20 +737,20 @@ def _incremental_orderkey_layout(
                     os.remove(um)
                 # r17 snapshot-pointer era: the rebuild also invalidates
                 # rel POINTERS and version dirs derived from the old
-                # base. Pointers first (fail closed — no pointer means
-                # plain-dir resolution and a full re-derive), then the
-                # dirs, TOMBSTONED rather than rmtree'd: another
-                # session's lockless reader may still hold them
-                # (VERDICT r16 #2), and `gc_layout_versions` collects
-                # them after grace.
+                # base. Dirs are TOMBSTONED FIRST (never rmtree'd —
+                # another session's lockless reader may still hold
+                # them, VERDICT r16 #2; `gc_layout_versions` collects
+                # them after grace), and only then the pointers are
+                # removed: a crash between the two leaves tombstoned
+                # dirs with their grace window intact, whereas the
+                # reverse order would leave pointer-less untombstoned
+                # version dirs that the unpointed-sweep deletes
+                # immediately — under a reader that resolved them
+                # before the pointer vanished.
                 from pycaim_spark.operators.layout import (
                     tombstone_layout_dir as _tomb_dir,
                 )
 
-                for pf in _glob.glob(
-                    os.path.join(slug_dir, "*_current.json")
-                ):
-                    os.remove(pf)
                 for ud in _glob.glob(
                     os.path.join(slug_dir, f"{table}_c_v[0-9]*")
                 ) + _glob.glob(
@@ -758,6 +758,10 @@ def _incremental_orderkey_layout(
                 ) + _glob.glob(os.path.join(slug_dir, "orders_c_old-*")):
                     if os.path.isdir(ud):
                         _tomb_dir(ud)
+                for pf in _glob.glob(
+                    os.path.join(slug_dir, "*_current.json")
+                ):
+                    os.remove(pf)
                 (
                     full.filter(F.col(key) % 7 != 0)
                     .repartition(buckets, F.col(key))

@@ -1677,6 +1677,61 @@ def test_split_then_upsert_composed_state(spark, sf_dir):
     assert rows2 == rows1
 
 
+def test_gc_orphan_stage_sweep_and_pointed_tombstone_resurrect(
+    spark, sf_dir, tmp_path
+):
+    """Two gc_layout_versions refinements (r17): (a) orphaned stage /
+    feed-tmp dirs (a crashed motion's scratch — unpublished by
+    construction) are swept at the next locked pass; (b) a tombstoned
+    version dir that the rel's pointer still REFERENCES is cleanup-crash
+    debris — gc resurrects it (removes the tombstone) instead of
+    collecting the live state, even at zero grace."""
+    import json
+    import os
+
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        load_layout_pointer,
+        resolve_layout_rel,
+        tombstone_layout_dir,
+    )
+
+    slug_dir = str(tmp_path / "slug")
+    vdir = os.path.join(slug_dir, "orders_c_v1")
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "_SUCCESS"), "w"):
+        pass
+    with open(os.path.join(slug_dir, "orders_c_current.json"), "w") as f:
+        json.dump({"version": 1, "dir": "orders_c_v1"}, f)
+
+    for orphan in ("orders_ux_stage", "orders_c_rebuild_stage",
+                   "cdc_feed_tmp_0"):
+        os.makedirs(os.path.join(slug_dir, orphan))
+    # (b) fabricate the interrupted-cleanup state: live dir tombstoned,
+    # pointer still referencing it.
+    tombstone_layout_dir(vdir)
+
+    old = os.environ.get("PYCAIM_LAYOUT_GC_GRACE")
+    os.environ["PYCAIM_LAYOUT_GC_GRACE"] = "0"
+    try:
+        gc_layout_versions(slug_dir)
+    finally:
+        if old is None:
+            os.environ.pop("PYCAIM_LAYOUT_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_LAYOUT_GC_GRACE"] = old
+
+    for orphan in ("orders_ux_stage", "orders_c_rebuild_stage",
+                   "cdc_feed_tmp_0"):
+        assert not os.path.exists(os.path.join(slug_dir, orphan)), orphan
+    assert os.path.isdir(vdir), "pointed-at dir must survive"
+    assert not os.path.exists(
+        os.path.join(vdir, "_superseded.json")
+    ), "the debris tombstone must be removed (resurrection)"
+    assert resolve_layout_rel(slug_dir, "orders_c")[0] == vdir
+    assert load_layout_pointer(slug_dir, "orders_c")["version"] == 1
+
+
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
     """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
     the arm when r14's canary-gated series flipped the default to the
