@@ -847,7 +847,7 @@ def _incremental_orderkey_layout(
                 crb = (cptr or {}).get("rebucket") or None
                 crb_done = bool(crb) and sorted(
                     crb.get("done", [])
-                ) == list(range(crb["from"]))
+                ) == list(range(min(crb["from"], crb["to"])))
                 _attach_rel_table(
                     spark, cname, cdir,
                     (cptr.get("ddl") if cptr else None) or base_ddl,
@@ -1120,7 +1120,7 @@ def _upserted_orderkey_layout(
                 rb = (p or {}).get("rebucket") or None
                 complete = bool(rb) and sorted(
                     rb.get("done", [])
-                ) == list(range(rb["from"]))
+                ) == list(range(min(rb["from"], rb["to"])))
                 return rb, complete, (rb["to"] if complete else buckets)
 
             # In-place staleness: a pointer committing a DIFFERENT batch
@@ -1284,7 +1284,7 @@ def _upserted_orderkey_layout(
         final_rb = (ptr or {}).get("rebucket") or None
         final_complete = bool(final_rb) and sorted(
             final_rb.get("done", [])
-        ) == list(range(final_rb["from"]))
+        ) == list(range(min(final_rb["from"], final_rb["to"])))
         _attach_rel_table(
             spark, uname, cur_dir,
             (ptr or {}).get("ddl") or base_ddl, key,
@@ -2533,7 +2533,7 @@ def layout_split_then_upsert(spark, sf_dir):
     ptr = load_layout_pointer(slug_dir, "orders_c")
     rb = (ptr or {}).get("rebucket") or None
     rb_done = bool(rb) and sorted(rb.get("done", [])) == list(
-        range(rb["from"])
+        range(min(rb["from"], rb["to"]))
     )
     if not rb_done:
         # (Re-)run the migration only when the composed state isn't
@@ -2555,6 +2555,203 @@ def layout_split_then_upsert(spark, sf_dir):
             F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
         ).alias("n_inserted"),
     )
+
+
+def _coalesce_orderkey_layout(
+    spark, sf_dir, suffix: str, buckets: int = _SPLIT_FROM,
+    factor: int = _SPLIT_FACTOR,
+):
+    """Incremental bucket COALESCE — the inverse re-bucket motion
+    (merge-down, for a table left over-bucketed after data shrinks or a
+    too-aggressive split): output bucket p at count n gathers exactly
+    the files of buckets {p, p+n, ..., p+(factor-1)·n} at count
+    factor·n — pmod(hash, n) of every row in those children is p, so
+    coalescing output p reads only its children's files (asserted: a
+    staged file outside {p} aborts). Same snapshot-pointer commit and
+    progressive per-pass ``rebucket`` record as the split (units =
+    output buckets = min(from, to)); mid-migration attaches plain,
+    complete re-attaches CLUSTERED at the coarser count. REQUIRES its
+    base: a completed split to factor·n (or its own partial progress) —
+    anything else raises; the round-trip query orchestrates the
+    sequence."""
+    import hashlib
+    import shutil
+
+    from pycaim_spark.operators.dedup import _store_write_lock
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        publish_layout_version,
+        resolve_layout_rel,
+        tombstone_layout_dir,
+    )
+    from pycaim_spark.operators.merge import bucket_files
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    ns = f"ip{suffix}"
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{abs_sf}:{buckets}:{ns}:{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(layout_root, slug)
+    rel = "orders_c"
+    tname = f"tpch_rb_orders_{slug}"
+    n_from = buckets * factor  # coalescing FROM the split count
+    passes = [list(range(buckets // 2)),
+              list(range(buckets // 2, buckets))]
+    want_done = list(range(buckets))
+    key = "o_orderkey"
+    full = load_table(spark, sf_dir, "orders")
+    base_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in full.schema.fields
+    )
+
+    def _rb(p):
+        return (p or {}).get("rebucket") or {}
+
+    cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+    state = _rb(ptr)
+    if (
+        state.get("from") == n_from
+        and state.get("to") == buckets
+        and sorted(state.get("done", [])) == want_done
+        and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
+        and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+        and _ATTACHED.get(tname) == cur_dir
+        and spark.catalog.tableExists(tname)
+    ):
+        return spark.table(tname)
+
+    stage = os.path.join(slug_dir, f"orders_coalesce{suffix}_stage")
+    sname = f"tpch_rb{suffix}_cstage_orders_{slug}"
+    with _store_write_lock(layout_root):
+        gc_layout_versions(slug_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {sname}")
+        shutil.rmtree(stage, ignore_errors=True)
+        cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+        state = _rb(ptr)
+        if ptr is None or ptr.get("batch") is not None:
+            raise RuntimeError(
+                "coalesce requires a pure completed-split base "
+                f"(got pointer={ptr and ptr.get('batch')})"
+            )
+        if state.get("from") == buckets and state.get("to") == n_from \
+                and sorted(state.get("done", [])) == want_done:
+            done = []  # completed split: begin coalescing
+        elif state.get("from") == n_from and state.get("to") == buckets:
+            done = sorted(state.get("done", []))  # resume partial
+        else:
+            raise RuntimeError(
+                f"coalesce base must be a completed {buckets}->{n_from} "
+                f"split or a partial coalesce; got rebucket={state}"
+            )
+        for group in passes:
+            todo = sorted(p for p in group if p not in done)
+            if not todo:
+                continue
+            live = bucket_files(cur_dir)
+            child_files = [
+                f
+                for p in todo
+                for j in range(factor)
+                for f in live.get(p + j * buckets, [])
+            ]
+            (
+                spark.read.parquet(*child_files)
+                .repartition(buckets, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", stage)
+                .saveAsTable(sname)
+            )
+            staged = bucket_files(stage)
+            stray = sorted(set(staged) - set(todo))
+            if stray:
+                raise AssertionError(
+                    f"coalesce of outputs {todo} staged files in "
+                    f"unpredicted buckets {stray}: pmod(hash, "
+                    f"{buckets}) does not coarsen pmod(hash, {n_from}) "
+                    "— aborting before mis-placing rows"
+                )
+            done = sorted(done + todo)
+            old_dir = cur_dir
+            cur_dir, ptr = publish_layout_version(
+                slug_dir, rel, src_dir=cur_dir,
+                skip_names={os.path.basename(f) for f in child_files},
+                staged_files=[
+                    f for fs in staged.values() for f in fs
+                ],
+                extra={
+                    "batch": None, "ddl": base_ddl,
+                    "rebucket": {"from": n_from, "to": buckets,
+                                 "done": done},
+                },
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            shutil.rmtree(stage, ignore_errors=True)
+            if os.path.isdir(old_dir) and old_dir != cur_dir:
+                tombstone_layout_dir(old_dir)
+        complete = done == want_done
+        _attach_rel_table(
+            spark, tname, cur_dir, base_ddl, key,
+            buckets if complete else n_from, bucketed=complete,
+        )
+        tomb = os.path.join(slug_dir, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+    return spark.table(tname)
+
+
+@register(
+    "tpch_q3_layout_rebucket_roundtrip",
+    tags=("composite", "storage"),
+    oracle=_Q3_SQL,
+)
+def tpch_q3_layout_rebucket_roundtrip(spark, sf_dir):
+    """Re-bucket ROUND TRIP: split 8 -> 16 (two passes), then coalesce
+    16 -> 8 (two passes) — four progressive pointer commits on one rel,
+    ending back at one sorted file per original bucket with CLUSTERED-
+    BY-8 trust re-attached. The plain Q3 oracle gates the whole chain as
+    a pure physical no-op: any row lost, duplicated or mis-placed across
+    the four motions hash-fails. The coalesce is the inverse production
+    knob (a table left over-bucketed after shrink or an over-aggressive
+    split); its per-output locality (output p reads only children
+    {p, p+8}) is asserted in the motion and file-pinned in
+    tests/test_storage.py."""
+    import hashlib
+
+    from pycaim_spark.operators.layout import load_layout_pointer
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    register_temp_views(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{_SPLIT_FROM}:ipco:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    state = (ptr or {}).get("rebucket") or {}
+    roundtrip_done = (
+        state.get("from") == 2 * _SPLIT_FROM
+        and state.get("to") == _SPLIT_FROM
+        and sorted(state.get("done", [])) == list(range(_SPLIT_FROM))
+    )
+    if not roundtrip_done:
+        # Orchestrate the chain only when the final state isn't already
+        # committed (re-running the split over a coalesced table would
+        # correctly reset it pristine and redo the whole trip).
+        _split_orderkey_layout(
+            spark, sf_dir, full_split=True, suffix="co"
+        )
+        ou = _coalesce_orderkey_layout(spark, sf_dir, suffix="co")
+    else:
+        ou = _coalesce_orderkey_layout(spark, sf_dir, suffix="co")
+    li = load_table(spark, sf_dir, "lineitem")
+    return _q3_over_layout(spark, sf_dir, li, ou)
 
 
 @register(

@@ -1732,6 +1732,56 @@ def test_gc_orphan_stage_sweep_and_pointed_tombstone_resurrect(
     assert load_layout_pointer(slug_dir, "orders_c")["version"] == 1
 
 
+def test_layout_rebucket_roundtrip_state(spark, sf_dir):
+    """The re-bucket ROUND TRIP (split 8->16 then coalesce 16->8) beyond
+    its DuckDB gate: the final pointer records the completed coalesce,
+    the directory holds exactly one sorted file per ORIGINAL bucket, the
+    files are freshly staged (a coalesce rewrites every output), row
+    count is unchanged, and CLUSTERED-BY-8 trust is re-attached
+    (Exchange-free aggregate on the key). Mid-coalesce output locality
+    is asserted inside the motion itself (stray-output abort)."""
+    import hashlib
+    import os
+
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel,
+    )
+    from pycaim_spark.operators.merge import bucket_files
+    from pycaim_spark.queries.advanced import (
+        _SPLIT_FROM,
+        _layout_fingerprint,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    slug = _reset_private_ns_layout(
+        spark, sf_dir, "ipco", buckets=_SPLIT_FROM
+    )
+    df = REGISTRY["tpch_q3_layout_rebucket_roundtrip"].fn(spark, sf_dir)
+    assert df.count() > 0
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    assert ptr["rebucket"] == {
+        "from": 2 * _SPLIT_FROM, "to": _SPLIT_FROM,
+        "done": list(range(_SPLIT_FROM)),
+    }
+    vdir, _ = resolve_layout_rel(slug_dir, "orders_c")
+    files = bucket_files(vdir)
+    assert sorted(files) == list(range(_SPLIT_FROM))
+    assert all(len(fs) == 1 for fs in files.values())
+    full = load_table(spark, sf_dir, "orders")
+    assert spark.read.parquet(vdir).count() == full.count(), \
+        "the round trip is a pure physical no-op"
+    agg = spark.table(f"tpch_rb_orders_{slug}").groupBy(
+        "o_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert "Exchange" not in _plan_simple(agg)
+    # Warm idempotence: the committed round-trip state serves directly.
+    assert REGISTRY["tpch_q3_layout_rebucket_roundtrip"].fn(
+        spark, sf_dir
+    ).count() == df.count()
+
+
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
     """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
     the arm when r14's canary-gated series flipped the default to the
