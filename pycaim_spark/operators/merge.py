@@ -123,6 +123,11 @@ def plan_bucket_local_merge(
     bucket assignment ever diverged from ``pmod(hash(key), n)`` the
     motion aborts loudly instead of mis-placing rows.
 
+    ``schema`` is the base table's CURRENT committed schema (a
+    StructType or DDL string) — the touched files are read with it, not
+    by inference, so post-evolution merges keep evolved columns
+    null-filled on old files instead of losing them to a sampled footer.
+
     ``evolve_schema=True`` is the schema-evolution arm (VERDICT r16 #3):
     ``upserts`` may carry columns the base lacks; the merged output's
     schema is base ∪ delta with resident rows null-filled on the new
@@ -158,8 +163,15 @@ def plan_bucket_local_merge(
     live = bucket_files(path)
     assert_bucket_map(path, live)
     touched_files = [f for b in touched for f in live.get(b, [])]
+    # The base is read with the caller-committed ``schema`` (the table's
+    # current DDL), NEVER inferred: after a schema evolution the touched
+    # buckets can mix old- and new-schema files, and parquet inference
+    # samples one footer — picking an old file would silently DROP the
+    # evolved columns from every resident row (found live in r17:
+    # a delete batch chained on an evolved base lost o_channel
+    # entirely). Old files null-fill the evolved columns per the schema.
     cur = (
-        spark.read.parquet(*touched_files)
+        spark.read.schema(schema).parquet(*touched_files)
         if touched_files
         else spark.createDataFrame([], schema)
     )

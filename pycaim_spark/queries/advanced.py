@@ -1162,6 +1162,13 @@ def _upserted_orderkey_layout(
             else:
                 src_dir, src_ptr = resolve_layout_rel(slug_dir, base_rel)
             rb, rb_complete, eff_buckets = _rb_state(src_ptr)
+            # The source state's COMMITTED schema: a previously-evolved
+            # base carries extra columns that this batch must inherit
+            # (read the touched files with it, publish it forward) —
+            # inference over mixed-schema files would silently drop
+            # them (the composition bug the merge core now also guards).
+            src_ddl = (src_ptr or {}).get("ddl") or base_ddl
+            evolving = add_col is not None or src_ddl != base_ddl
             if not inplace and rb and not rb_complete:
                 raise RuntimeError(
                     f"base rel {base_rel} is mid-re-bucket "
@@ -1192,7 +1199,7 @@ def _upserted_orderkey_layout(
                     newptr.update(
                         {"batch": batch_spec, "touched": [],
                          "ddl": newptr.get("ddl") or base_ddl}
-                    )
+                    )  # in-place: own pointer already carries the DDL
                     rewrite_layout_pointer(slug_dir, rel, newptr)
                     ptr, cur_dir = newptr, os.path.join(
                         slug_dir, newptr["dir"]
@@ -1200,7 +1207,7 @@ def _upserted_orderkey_layout(
                 else:
                     old_own = resolve_layout_rel(slug_dir, rel)[0]
                     extra = {"batch": batch_spec, "touched": [],
-                             "ddl": base_ddl}
+                             "ddl": src_ddl}
                     if rb_complete:
                         extra["rebucket"] = rb
                     cur_dir, ptr = publish_layout_version(
@@ -1216,9 +1223,9 @@ def _upserted_orderkey_layout(
                     f for b in touched for f in live.get(b, [])
                 ]
                 cur = (
-                    spark.read.parquet(*touched_files)
+                    spark.read.schema(src_ddl).parquet(*touched_files)
                     if touched_files
-                    else spark.createDataFrame([], full.schema)
+                    else spark.createDataFrame([], src_ddl)
                 )
                 updates = cur.filter(F.expr(upd_pred)).withColumn(
                     "o_orderdate",
@@ -1234,12 +1241,17 @@ def _upserted_orderkey_layout(
                         )
                 upserts = (
                     updates if ins_rows is None
-                    else updates.unionByName(ins_rows)
+                    # inserts derive from the raw corpus (base schema);
+                    # on an evolved base they null-fill the evolved
+                    # columns, same posture as resident old-file rows
+                    else updates.unionByName(
+                        ins_rows, allowMissingColumns=evolving
+                    )
                 )
                 plan = plan_bucket_local_merge(
                     spark,
                     path=src_dir,
-                    schema=full.schema,
+                    schema=src_ddl,
                     key=key,
                     buckets=eff_buckets,
                     upserts=upserts,
@@ -1247,9 +1259,9 @@ def _upserted_orderkey_layout(
                     stage_path=stage,
                     stage_table=sname,
                     touched=touched,
-                    evolve_schema=add_col is not None,
+                    evolve_schema=evolving,
                 )
-                ddl = base_ddl
+                ddl = src_ddl
                 if add_col is not None:
                     newf = [
                         f for f in upserts.schema.fields
@@ -2183,7 +2195,7 @@ def stream_cdc_upsert(spark, sf_dir):
 #: would deliver — the new key's attribute).
 _UPSERT_EV_COL = ("o_channel", "concat('chan-', CAST(o_orderkey % 7 AS STRING))")
 
-_UPSERT_EV_SQL = """
+_UPSERT_EV_CTE = """
     WITH upd AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate + INTERVAL 30 DAY AS o_orderdate,
@@ -2209,6 +2221,9 @@ _UPSERT_EV_SQL = """
         UNION ALL
         SELECT * FROM ins
     )
+"""
+
+_UPSERT_EV_SQL = _UPSERT_EV_CTE + """
     SELECT o_channel,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
@@ -2248,6 +2263,49 @@ def layout_upsert_schema_evolve(spark, sf_dir):
         add_col=_UPSERT_EV_COL,
     )
     return ou.groupBy("o_channel").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "layout_upsert_evolve_second",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_EV_CTE + f"""
+    SELECT o_channel,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM ordv
+    WHERE NOT ({_UPSERT_B2_DEL})
+    GROUP BY o_channel
+    """,
+)
+def layout_upsert_evolve_second(spark, sf_dir):
+    """A SECOND CDC batch chained onto a SCHEMA-EVOLVED base — the
+    composition that found a real r17 bug: reading the touched buckets'
+    mixed-schema files by parquet inference sampled one footer, and an
+    old-schema footer silently DROPPED the evolved column from every
+    resident row (a delete batch lost o_channel entirely). The merge
+    core now reads the base with its COMMITTED schema and every batch
+    inherits the source state's evolved DDL forward, so batch 2's
+    deletes leave batch 1's channels intact and null-fills where they
+    were null. The oracle reproduces evolve-then-delete in SQL and
+    groups BY the evolved column — any dropped or nulled channel value
+    shifts the groups."""
+    register_temp_views(spark, sf_dir)
+    _upserted_orderkey_layout(
+        spark, sf_dir, suffix="ev", with_lineitem=False,
+        add_col=_UPSERT_EV_COL,
+    )
+    _, ou2 = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="evb2", base_rel="orders_uev",
+        upd_pred="1 = 0", del_pred=_UPSERT_B2_DEL, ins_pred=None,
+        with_lineitem=False,
+    )
+    return ou2.groupBy("o_channel").agg(
         F.count(F.lit(1)).alias("n_orders"),
         fsum(cents("o_totalprice"), 2, "total_price"),
         F.max("o_orderkey").alias("max_key"),
