@@ -557,7 +557,11 @@ def _rebuild_pristine_rel(
     stale-batch / divergent-history recovery on in-place arms: the
     stale version is tombstoned and grace-collected, so a lockless
     reader that resolved it keeps scanning intact files instead of
-    dying under an rmtree. Returns (new version dir, new pointer)."""
+    dying under an rmtree. Retention pins die with the abandoned
+    history BY DESIGN (the fresh pointer carries no ``retained`` list,
+    so previously-pinned snapshots become ordinary tombstones and
+    grace-collect; `layout_time_travel` self-heals by replaying and
+    re-pinning). Returns (new version dir, new pointer)."""
     import shutil
 
     from pycaim_spark.operators.layout import (
@@ -1208,6 +1212,12 @@ def _upserted_orderkey_layout(
                     old_own = resolve_layout_rel(slug_dir, rel)[0]
                     extra = {"batch": batch_spec, "touched": [],
                              "ddl": src_ddl}
+                    prior_ret = list(
+                        (load_layout_pointer(slug_dir, rel) or {})
+                        .get("retained") or []
+                    )
+                    if prior_ret:
+                        extra["retained"] = prior_ret
                     if rb_complete:
                         extra["rebucket"] = rb
                     cur_dir, ptr = publish_layout_version(
@@ -1279,6 +1289,15 @@ def _upserted_orderkey_layout(
                 old_own = resolve_layout_rel(slug_dir, rel)[0]
                 extra = {"batch": batch_spec, "touched": touched,
                          "ddl": ddl}
+                # Retention pins continue with the history they pin
+                # (time travel, r17): a CDC batch on top of a rel with
+                # retained snapshots must not unpin them.
+                prior_ret = list(
+                    (load_layout_pointer(slug_dir, rel) or {})
+                    .get("retained") or []
+                )
+                if prior_ret:
+                    extra["retained"] = prior_ret
                 if rb_complete:
                     # The completed migration record travels with the
                     # table: attach logic keeps trusting the finer count
@@ -2492,6 +2511,10 @@ def _split_orderkey_layout(
                     "batch": None, "ddl": base_ddl,
                     "rebucket": {"from": buckets, "to": n_to,
                                  "done": done},
+                    **(
+                        {"retained": ptr["retained"]}
+                        if (ptr or {}).get("retained") else {}
+                    ),
                 },
             )
             spark.sql(f"DROP TABLE IF EXISTS {sname}")
@@ -2746,6 +2769,10 @@ def _coalesce_orderkey_layout(
                     "batch": None, "ddl": base_ddl,
                     "rebucket": {"from": n_from, "to": buckets,
                                  "done": done},
+                    **(
+                        {"retained": ptr["retained"]}
+                        if (ptr or {}).get("retained") else {}
+                    ),
                 },
             )
             spark.sql(f"DROP TABLE IF EXISTS {sname}")

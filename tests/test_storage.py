@@ -1608,6 +1608,26 @@ def test_layout_time_travel_retention_and_unpin(spark, sf_dir):
         resolve_layout_rel_version(slug_dir, "orders_c", v_b1b)
     )
 
+    # Pins survive OTHER motions on the same rel: a single-batch CDC
+    # upsert on top of the streamed state must carry the retained list
+    # forward in its own pointer (r17: every publish propagates pins).
+    from pycaim_spark.queries.advanced import _upserted_orderkey_layout
+
+    _upserted_orderkey_layout(
+        spark, sf_dir, suffix="tt", inplace=True, with_lineitem=False,
+        upd_pred="1 = 0", del_pred="o_orderkey % 601 = 0",
+        ins_pred=None,
+    )
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    assert v_b1b in (ptr.get("retained") or ()), \
+        "a CDC publish must not unpin retained snapshots"
+    assert os.path.isdir(
+        resolve_layout_rel_version(slug_dir, "orders_c", v_b1b)
+    )
+    # Leave the namespace consistent for the registered query's next
+    # run: the upsert committed a batch spec, which layout_time_travel's
+    # stream treats as divergence and self-heals by replaying pristine.
+
 
 def test_split_then_upsert_composed_state(spark, sf_dir):
     """The composed migrate-then-CDC lifecycle (layout_split_then_upsert)
