@@ -1802,6 +1802,53 @@ def test_layout_rebucket_roundtrip_state(spark, sf_dir):
     ).count() == df.count()
 
 
+def test_upsert_schema_evolution_inplace_arm(spark, sf_dir):
+    """Schema evolution on the IN-PLACE arm (the registered gate covers
+    the cloned arm; the mechanics are shared but the attach path
+    differs): the evolved DDL commits into the orders_c pointer of the
+    private namespace, and a FRESH session's builder re-attach
+    (`_incremental_orderkey_layout`'s compacted branch, which reads the
+    pointer's DDL) keeps the evolved column and its values."""
+    import hashlib
+    import os
+
+    from pycaim_spark.queries import advanced as _adv
+    from pycaim_spark.queries.advanced import (
+        _UPSERT_EV_COL,
+        _incremental_orderkey_layout,
+        _layout_fingerprint,
+        _upserted_orderkey_layout,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    slug = _reset_private_ns_layout(spark, sf_dir, "ipevt")
+    full = load_table(spark, sf_dir, "orders")
+    n_upd = full.filter(
+        "o_orderkey % 83 = 0 AND o_orderkey % 503 <> 0"
+    ).count()
+    n_ins = full.filter("o_orderkey % 113 = 0").count()
+    _, ou = _upserted_orderkey_layout(
+        spark, sf_dir, suffix="evt", inplace=True, with_lineitem=False,
+        add_col=_UPSERT_EV_COL,
+    )
+    assert "o_channel" in ou.columns
+    assert (
+        ou.filter("o_channel IS NOT NULL").count() == n_upd + n_ins
+    )
+
+    # Fresh "session": builder re-attach must carry the evolved DDL
+    # from the pointer (pre-r17 it would have rebuilt from full.schema).
+    _adv._ATTACHED.pop(f"tpch_ic_orders_{slug}", None)
+    spark.sql(f"DROP TABLE IF EXISTS tpch_ic_orders_{slug}")
+    _, oc = _incremental_orderkey_layout(
+        spark, sf_dir, compacted=True, ns="ipevt", tables=("orders",)
+    )
+    assert "o_channel" in oc.columns
+    assert (
+        oc.filter("o_channel IS NOT NULL").count() == n_upd + n_ins
+    )
+
+
 def test_tpch_q21_bucketed_diamond_arm_matches(spark):
     """PYCAIM_Q21_SHAPE=diamond (the r13 two-aggregate shape, demoted to
     the arm when r14's canary-gated series flipped the default to the
