@@ -54,6 +54,61 @@ from pycaim_spark.operators.merge import mv_with_crc
 _VDIR_RE = re.compile(r"^(.+)_v(\d+)$")
 
 
+class slug_write_lock:
+    """Exclusive advisory lock on ONE layout slug (r18, VERDICT r17
+    #3): mutating motions (CDC merge, stream sink, split/coalesce,
+    time-travel heal) serialize per SLUG instead of on the whole
+    layout root, so CDC streams to different tables run concurrently.
+    The lock FILE lives in the PARENT dir (``.lock_{slug}`` next to
+    the slug dir), never inside it: cross-slug GC rmtree's a
+    collected slug while holding this lock, and deleting a held lock
+    file would let a blocked waiter acquire the orphaned inode while
+    a newcomer acquires a fresh one — two concurrent "owners" (the
+    classic flock-file-deletion hazard). Parent-dir lock files are
+    tiny, bounded by live slug count, and never collected.
+
+    ``blocking=False`` (GC's phase-2 sweep) try-acquires:
+    ``acquired`` is False when a live writer holds the slug, and the
+    caller must skip it. Lock ORDER is root → slug (builders hold the
+    root flock for cross-slug GC, then nest the slug lock; motions
+    take only their slug; GC only ever TRY-locks other slugs) — no
+    cycle is possible."""
+
+    def __init__(self, slug_dir: str, blocking: bool = True):
+        parent = os.path.dirname(os.path.abspath(slug_dir))
+        os.makedirs(parent, exist_ok=True)
+        self._path = os.path.join(
+            parent, f".lock_{os.path.basename(os.path.abspath(slug_dir))}"
+        )
+        self._blocking = blocking
+        self.acquired = False
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "w")
+        try:
+            fcntl.flock(
+                self._f,
+                fcntl.LOCK_EX
+                | (0 if self._blocking else fcntl.LOCK_NB),
+            )
+            self.acquired = True
+        except BlockingIOError:
+            self._f.close()
+            self._f = None
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        if self._f is not None:
+            fcntl.flock(self._f, fcntl.LOCK_UN)
+            self._f.close()
+        self.acquired = False
+        return False
+
+
 def _pointer_path(slug_dir: str, rel: str) -> str:
     return os.path.join(slug_dir, f"{rel}_current.json")
 
@@ -91,6 +146,50 @@ def _link_or_copy(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
+def _stat_json(v):
+    """JSON-encode one footer statistic. Timestamps/dates become ISO
+    strings — fixed-format same-zone ISO-8601 compares lexicographically
+    in chronological order, so the pruning comparison needs no parse."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _file_column_stats(path: str, cols) -> dict:
+    """Per-column ``[min, max]`` of ONE parquet file from its FOOTER
+    row-group statistics — a metadata-only read (no data pages), the
+    same numbers a table format folds into its manifest at commit time.
+    Columns missing from the file (pre-evolution old-schema files) or
+    lacking min/max in any row group are omitted — the pruning reader
+    treats absence as "may contain anything" and keeps the file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {
+        md.schema.column(i).path: i for i in range(md.num_columns)
+    }
+    out = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if ok and mn is not None:
+            out[c] = [_stat_json(mn), _stat_json(mx)]
+    return out
+
+
 def publish_layout_version(
     slug_dir: str,
     rel: str,
@@ -100,6 +199,8 @@ def publish_layout_version(
     staged_files: list[str] | None = None,
     extra: dict | None = None,
     prebuilt_dir: str | None = None,
+    stats_cols=None,
+    carry_stats: dict | None = None,
 ) -> tuple[str, dict]:
     """Publish the next version of ``rel`` and atomically flip its
     pointer — the caller MUST hold the layout flock (publishes are
@@ -115,11 +216,25 @@ def publish_layout_version(
     into place as the new version instead of link-assembled.
 
     The pointer carries ``extra`` verbatim (batch spec / applied
-    manifest / split progress — the commit record). Returns
-    (version dir, new pointer). Never touches the previous version's
-    files: tombstoning the displaced dir is the CALLER's decision
-    (`tombstone_layout_dir`), because the source may be another rel's
-    live state."""
+    manifest / split progress — the commit record).
+
+    PER-FILE COLUMN STATS (r18, VERDICT r17 #1 — manifest-based data
+    skipping): when ``stats_cols`` is given, or the displaced pointer
+    already recorded ``stats_cols`` (stats enablement is STICKY per
+    rel — every later motion maintains them without each call site
+    opting in), the pointer's manifest gains ``files``:
+    ``{filename: {col: [min, max]}}``. Stats come from each file's
+    parquet FOOTER (metadata-only read); hard-linked carryover files
+    reuse the displaced pointer's entries by name (publish stays
+    O(delta) — only staged files' footers are read), and a clone from
+    another rel passes that rel's map as ``carry_stats``. The pruning
+    reader is `prune_layout_files`. Timestamps are committed as ISO
+    strings (lexicographic == chronological), ints/floats as numbers.
+
+    Returns (version dir, new pointer). Never touches the previous
+    version's files: tombstoning the displaced dir is the CALLER's
+    decision (`tombstone_layout_dir`), because the source may be
+    another rel's live state."""
     old = load_layout_pointer(slug_dir, rel)
     n = (old["version"] + 1) if old else 1
     vname = f"{rel}_v{n}"
@@ -151,8 +266,62 @@ def publish_layout_version(
     from pycaim_spark.operators.dedup import _write_json_atomic
 
     ptr = {"version": n, "dir": vname, **(extra or {})}
+    cols = stats_cols if stats_cols is not None else (
+        (old or {}).get("stats_cols")
+    )
+    if cols:
+        carry = dict(carry_stats or {})
+        carry.update((old or {}).get("files") or {})
+        files = {}
+        for fn in sorted(os.listdir(vdir)):
+            if fn.startswith(".") or not fn.endswith(".parquet"):
+                continue
+            files[fn] = carry.get(fn) or _file_column_stats(
+                os.path.join(vdir, fn), cols
+            )
+        ptr["files"] = files
+        ptr["stats_cols"] = list(cols)
     _write_json_atomic(_pointer_path(slug_dir, rel), ptr)
     return vdir, ptr
+
+
+def prune_layout_files(
+    slug_dir: str, rel: str, col: str, lo=None, hi=None
+) -> tuple[list[str], list[str], dict | None]:
+    """Manifest-based FILE SKIPPING (r18): resolve the rel's CURRENT
+    version through one atomic pointer parse and split its data files
+    into (kept, skipped) for the predicate ``lo <= col <= hi`` (either
+    bound None = unbounded), using the per-file ``[min, max]`` the
+    publish committed into the pointer — the scan never opens a
+    skipped file, which is the single biggest scan-cost lever for a
+    selective non-clustering-key predicate at 100 TB (a real table
+    format prunes the manifest before planning the scan; this is that
+    motion on the snapshot pointer). Bounds use the committed
+    representation: ISO strings for timestamps (lexicographic ==
+    chronological), numbers for numerics.
+
+    CONSERVATIVE by construction: a file with no committed stats for
+    ``col`` (no manifest, pre-stats version, old-schema file after an
+    evolution) is KEPT — skipping is an optimization, never a
+    correctness dependency; callers re-apply the predicate in the
+    query so a kept-but-unqualifying file contributes nothing.
+    Returns (kept paths, skipped paths, pointer)."""
+    vdir, ptr = resolve_layout_rel(slug_dir, rel)
+    stats = (ptr or {}).get("files") or {}
+    kept, skipped = [], []
+    for fn in sorted(os.listdir(vdir)):
+        if fn.startswith(".") or not fn.endswith(".parquet"):
+            continue
+        full = os.path.join(vdir, fn)
+        s = (stats.get(fn) or {}).get(col)
+        if s is not None and (
+            (lo is not None and s[1] < lo)
+            or (hi is not None and s[0] > hi)
+        ):
+            skipped.append(full)
+        else:
+            kept.append(full)
+    return kept, skipped, ptr
 
 
 def rewrite_layout_pointer(slug_dir: str, rel: str, ptr: dict) -> None:
@@ -182,13 +351,19 @@ def gc_layout_versions(slug_dir: str) -> None:
     - any dir carrying ``_superseded.json`` older than
       ``$PYCAIM_LAYOUT_GC_GRACE`` (default 900 s) is deleted — a
       displaced version past every reader's grace window;
-    - any ``{rel}_v{N}`` dir the rel's pointer does not reference and
-      that is not tombstoned is a CRASHED PARTIAL PUBLISH (publishes
-      happen under the lock we hold; a committed-then-displaced version
-      is always tombstoned first) — deleted immediately, no reader can
-      hold a dir that was never pointer-visible. A pointer FILE that
-      exists but fails to parse makes us skip the rel entirely
-      (fail-safe: never delete on ambiguity);
+    - an untombstoned ``{rel}_v{N}`` dir the rel's pointer does not
+      reference is classified BY VERSION NUMBER (ADVICE r17 #1):
+      ``N > pointer`` is a CRASHED PARTIAL PUBLISH — publishes happen
+      under the lock we hold and always target version pointer+1, so a
+      dir above the pointer was never pointer-visible and is deleted
+      immediately; ``N < pointer`` is a DISPLACED version whose caller
+      crashed in the window between the pointer flip and
+      `tombstone_layout_dir` — a lockless reader may have resolved it
+      while it was current, so it is TOMBSTONED here (entering the
+      normal grace window, retention pins respected at collection)
+      rather than deleted. A pointer FILE that exists but fails to
+      parse makes us skip the rel entirely (fail-safe: never delete on
+      ambiguity);
     - legacy r16 undo dirs (``*_old-*`` with a bare ``superseded.json``)
       are collected past the same grace.
     """
@@ -238,7 +413,14 @@ def gc_layout_versions(slug_dir: str) -> None:
                 if ptr is None:
                     continue  # unparseable pointer: fail safe, skip rel
                 if ptr["dir"] != d:
-                    shutil.rmtree(p, ignore_errors=True)
+                    if int(m.group(2)) > ptr["version"]:
+                        # Above the pointer: never pointer-visible.
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        # Below the pointer: displaced version whose
+                        # tombstone write was lost to a crash — readers
+                        # may hold it; grace-collect, never rmtree.
+                        tombstone_layout_dir(p)
             else:
                 # No pointer at all: crashed before the rel's first
                 # publish — the plain dir is still the live state.

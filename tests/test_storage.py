@@ -1864,3 +1864,275 @@ def test_tpch_q21_bucketed_diamond_arm_matches(spark):
         finally:
             del os.environ["PYCAIM_Q21_SHAPE"]
         assert dia == shipped and shipped, d
+
+
+def test_gc_crash_window_tombstones_displaced_deletes_partial(tmp_path):
+    """ADVICE r17 #1: the unpointed sweep classifies by VERSION NUMBER.
+    A crash between pointer flip and tombstone leaves the formerly-live
+    dir unpointed+untombstoned BELOW the pointer — GC must tombstone it
+    into the grace window (a lockless reader that resolved it while it
+    was current may still be scanning), while an unpointed dir ABOVE
+    the pointer (a crashed partial publish, never pointer-visible) is
+    deleted immediately. Retention pins must survive the tombstoning:
+    once the displaced dir is tombstoned, a pinned version stays on
+    disk past zero grace until unpinned."""
+    import json
+    import os
+
+    from pycaim_spark.operators.layout import gc_layout_versions
+
+    slug_dir = str(tmp_path / "slug")
+    for v in (1, 2, 3):
+        d = os.path.join(slug_dir, f"orders_c_v{v}")
+        os.makedirs(d)
+        with open(os.path.join(d, "_SUCCESS"), "w"):
+            pass
+    with open(os.path.join(slug_dir, "orders_c_current.json"), "w") as f:
+        json.dump({"version": 2, "dir": "orders_c_v2",
+                   "retained": [1]}, f)
+
+    old = os.environ.get("PYCAIM_LAYOUT_GC_GRACE")
+    os.environ["PYCAIM_LAYOUT_GC_GRACE"] = "0"
+    try:
+        gc_layout_versions(slug_dir)
+        v1 = os.path.join(slug_dir, "orders_c_v1")
+        v2 = os.path.join(slug_dir, "orders_c_v2")
+        v3 = os.path.join(slug_dir, "orders_c_v3")
+        assert not os.path.exists(v3), \
+            "above-pointer dir is a crashed partial publish: deleted"
+        assert os.path.isdir(v2), "pointed (live) dir untouched"
+        assert os.path.isdir(v1), \
+            "below-pointer displaced dir must survive the sweep"
+        assert os.path.exists(os.path.join(v1, "_superseded.json")), \
+            "displaced dir enters the grace window via a tombstone"
+        # Second pass at zero grace: the pin (retained=[1]) must hold.
+        gc_layout_versions(slug_dir)
+        assert os.path.isdir(v1), "retention pin overrides expiry"
+        # Unpin: now the tombstone collects at zero grace.
+        with open(
+            os.path.join(slug_dir, "orders_c_current.json"), "w"
+        ) as f:
+            json.dump({"version": 2, "dir": "orders_c_v2"}, f)
+        gc_layout_versions(slug_dir)
+        assert not os.path.exists(v1), "unpinned tombstone collects"
+    finally:
+        if old is None:
+            os.environ.pop("PYCAIM_LAYOUT_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_LAYOUT_GC_GRACE"] = old
+
+
+def test_cdc_sink_multi_file_micro_batch_grouping(spark, sf_dir, tmp_path):
+    """ADVICE r17 #2: a micro-batch carrying TWO feed files must apply
+    as two sequential merges in spec order, not one merged pass. The
+    discriminating key is updated by batch 1 and deleted by batch 2: a
+    single-pass merge applies upserts AFTER deletes, so the key would
+    survive; sequential application deletes it. Also asserts the
+    manifest gains one ordered entry per batch and that redelivering
+    the same micro-batch is a no-op."""
+    import os
+
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        resolve_layout_rel,
+    )
+    from pycaim_spark.queries.advanced import _cdc_sink_apply_micro_batch
+
+    full = load_table(spark, sf_dir, "orders")
+    slug_dir = str(tmp_path / "slug")
+    rel_path = os.path.join(slug_dir, "orders_c")
+    name = "tpch_sink_group_base"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        full.repartition(8, F.col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", rel_path)
+        .saveAsTable(name)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    specs = [["b1", "u1", "d1", "i1"], ["b2", "u2", "d2", None]]
+    k7 = full.filter("o_orderkey = 7")
+    b1 = (
+        k7.withColumn("o_totalprice", F.lit(1111.11))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            full.filter("o_orderkey = 11").withColumn("op", F.lit("D"))
+        )
+        .unionByName(
+            k7.withColumn(
+                "o_orderkey", F.lit(10_000_000).cast("long")
+            ).withColumn("op", F.lit("I"))
+        )
+        .withColumn("batch_key", F.lit("b1"))
+    )
+    b2 = (
+        full.filter("o_orderkey = 13")
+        .withColumn("o_totalprice", F.lit(2222.22))
+        .withColumn("op", F.lit("U"))
+        .unionByName(k7.withColumn("op", F.lit("D")))
+        .withColumn("batch_key", F.lit("b2"))
+    )
+    # b2 first in the union: grouping must order by SPEC, not arrival.
+    bdf = b2.unionByName(b1)
+
+    kw = dict(
+        layout_root=str(tmp_path), slug_dir=slug_dir, rel="orders_c",
+        specs=specs, stage=os.path.join(slug_dir, "stage"),
+        sname="tpch_sink_group_stage", buckets=8, key="o_orderkey",
+        columns=full.columns, schema=full.schema,
+        base_ddl="ignored-ddl",
+    )
+    _cdc_sink_apply_micro_batch(spark, bdf, **kw)
+
+    ptr = load_layout_pointer(slug_dir, "orders_c")
+    assert [a["key"] for a in ptr["applied"]] == ["b1", "b2"]
+    assert [a["batch"] for a in ptr["applied"]] == specs
+    cur_dir, _ = resolve_layout_rel(slug_dir, "orders_c")
+    # r18: every production publish folds per-file stats into the
+    # pointer manifest; the insert's offset key is visible in some
+    # file's committed o_orderkey max.
+    import glob
+
+    names = {
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(cur_dir, "*.parquet"))
+        if not os.path.basename(f).startswith(".")
+    }
+    assert set(ptr["files"]) == names
+    assert set(ptr["stats_cols"]) == {"o_orderkey", "o_orderdate"}
+    assert max(
+        s["o_orderkey"][1] for s in ptr["files"].values()
+    ) >= 10_000_000
+    got = spark.read.parquet(cur_dir)
+    assert got.filter("o_orderkey = 7").count() == 0, \
+        "update-then-delete across the two batches must delete the key"
+    assert got.filter("o_orderkey = 11").count() == 0
+    assert got.filter("o_orderkey = 10000000").count() == 1
+    assert (
+        got.filter("o_orderkey = 13").collect()[0].o_totalprice
+        == 2222.22
+    )
+    assert got.count() == full.count() - 2 + 1
+    # Redelivery of the SAME coalesced micro-batch: manifest guard
+    # no-ops both keys; version unchanged.
+    _cdc_sink_apply_micro_batch(spark, bdf, **kw)
+    assert load_layout_pointer(slug_dir, "orders_c")["version"] \
+        == ptr["version"]
+
+
+def test_time_travel_heal_runs_under_flock_and_rechecks(tmp_path):
+    """VERDICT r17 #2: the time-travel self-heal's pointer rewrite runs
+    UNDER the layout flock with a re-check after acquiring. While a
+    concurrent writer holds the flock, the heal must block; if that
+    writer restores the missing snapshot before releasing, the heal
+    must return the healed resolution WITHOUT touching the pointer —
+    the lost-update interleaving (stale load overwriting a concurrent
+    publish) is structurally impossible once the read-modify-write is
+    inside the lock."""
+    import json
+    import os
+    import threading
+    import time
+
+    from pycaim_spark.operators.dedup import _store_write_lock
+    from pycaim_spark.operators.layout import load_layout_pointer
+    from pycaim_spark.queries.advanced import _heal_or_invalidate
+
+    root = str(tmp_path)
+    slug_dir = os.path.join(root, "slug")
+    os.makedirs(slug_dir)
+    committed = {"version": 2, "dir": "orders_c_v2", "batch": None,
+                 "applied": [{"key": "b1", "version": 1}]}
+    with open(os.path.join(slug_dir, "orders_c_current.json"), "w") as f:
+        json.dump(committed, f)
+
+    healed_dir = os.path.join(slug_dir, "orders_c_v1")
+
+    def resolve():
+        if not os.path.isdir(healed_dir):
+            raise FileNotFoundError(healed_dir)
+        return healed_dir
+
+    def writer():
+        with _store_write_lock(root):
+            time.sleep(0.4)  # the heal must be blocked on the flock now
+            os.makedirs(healed_dir)  # concurrent writer heals the rel
+
+    t = threading.Thread(target=writer)
+    t.start()
+    time.sleep(0.1)  # let the writer take the lock first
+    got = _heal_or_invalidate(root, slug_dir, "orders_c", resolve)
+    t.join()
+    assert got == healed_dir, "re-check under the lock sees the heal"
+    assert load_layout_pointer(slug_dir, "orders_c") == committed, \
+        "a healed rel's pointer is not rewritten (no lost update)"
+
+    # And the invalidation path itself: no concurrent heal -> pointer
+    # marked for replay, under the same lock.
+    import shutil
+
+    shutil.rmtree(healed_dir)
+    got = _heal_or_invalidate(root, slug_dir, "orders_c", resolve)
+    assert got is None
+    assert load_layout_pointer(slug_dir, "orders_c")["batch"] \
+        == ["retained-snapshot-missing"]
+
+
+def test_layout_file_skipping_prunes_scan(spark, sf_dir):
+    """Manifest-based file skipping (r18) at the FILE level — the claim
+    the DuckDB gate can't see: the pruning reader's kept set is a
+    STRICT subset of the version's files, every file is covered by the
+    committed manifest, and the skipped files genuinely contain no
+    qualifying rows (re-scanned here with the predicate — the converse
+    of the oracle's completeness check). Also pins O(query) manifest
+    use: pruning resolves from the pointer alone, no footer reads."""
+    import os
+
+    from pycaim_spark.operators.layout import prune_layout_files
+    from pycaim_spark.queries.advanced import (
+        _SKIP_HI,
+        _SKIP_LO,
+        _date_clustered_orders_layout,
+    )
+
+    slug_dir, ddl = _date_clustered_orders_layout(spark, sf_dir)
+    kept, skipped, ptr = prune_layout_files(
+        slug_dir, "orders_d", "o_orderdate", lo=_SKIP_LO, hi=_SKIP_HI
+    )
+    assert skipped, "a one-year predicate must skip files"
+    assert kept, "and keep some"
+    assert set(ptr["stats_cols"]) == {"o_orderdate", "o_orderkey"}
+    names = {os.path.basename(f) for f in kept + skipped}
+    assert names == set(ptr["files"]), \
+        "the committed manifest covers exactly the version's data files"
+    assert all(
+        set(s) == {"o_orderdate", "o_orderkey"}
+        for s in ptr["files"].values()
+    )
+
+    pred = (
+        (F.col("o_orderdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    assert (
+        spark.read.schema(ddl).parquet(*skipped).filter(pred).count()
+        == 0
+    ), "skipped files must contain no qualifying rows"
+    full = load_table(spark, sf_dir, "orders").filter(pred)
+    got = spark.read.schema(ddl).parquet(*kept).filter(pred)
+    assert got.count() == full.count(), \
+        "kept files must contain every qualifying row"
+
+    # An unbounded probe keeps everything (conservative fallback), and
+    # a column with no committed stats keeps everything too.
+    k2, s2, _ = prune_layout_files(slug_dir, "orders_d", "o_orderdate")
+    assert not s2 and set(k2) == set(kept) | set(skipped)
+    k3, s3, _ = prune_layout_files(
+        slug_dir, "orders_d", "o_totalprice", lo=0.0, hi=1.0
+    )
+    assert not s3, "no stats for the column -> keep every file"
