@@ -1156,6 +1156,15 @@ def _store_gc_superseded(store_dir: str) -> None:
         tomb = os.path.join(path, "_superseded.json")
         if os.path.exists(tomb) and _aged(tomb):
             shutil.rmtree(path, ignore_errors=True)
+    # Tombstoned LEGACY dirs (r18: the migration link-assembles v0 and
+    # tombstones the unversioned base instead of renaming it) collect
+    # on the same grace as any displaced version.
+    for d in ("sets", "buckets"):
+        base = os.path.join(store_dir, d)
+        for legacy in (base, base + "_next", base + "_old"):
+            tomb = os.path.join(legacy, "_superseded.json")
+            if os.path.exists(tomb) and _aged(tomb):
+                shutil.rmtree(legacy, ignore_errors=True)
     append_dir = os.path.join(store_dir, "append")
     if not os.path.isdir(append_dir):
         return
@@ -1411,21 +1420,17 @@ def _recover_store_swap(store_dir: str) -> None:
         journal = os.path.join(store_dir, "compact_journal.json")
         folded = _load_journal(store_dir)
         dirs = [os.path.join(store_dir, d) for d in ("sets", "buckets")]
-        if folded is not None:
-            for cur in dirs:
-                nxt, old = cur + "_next", cur + "_old"
-                if os.path.exists(nxt):
-                    if os.path.exists(cur):
-                        os.rename(cur, old)
-                    os.rename(nxt, cur)
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-            _write_json_atomic(
-                os.path.join(store_dir, "folded_keys.json"), list(folded)
-            )
-            _tombstone_folded_layers(store_dir)
-            os.remove(journal)
-        else:
+        if folded is not None and not all(
+            os.path.exists(os.path.join(d + "_next", "_SUCCESS"))
+            for d in dirs
+        ):
+            # A journal naming an incomplete *_next pair violates the
+            # legacy protocol's own invariant (the journal was its
+            # commit point, written only after the next base
+            # completed) — treat as pre-commit debris: drop journal
+            # and strays, keep the intact pre-compaction base.
+            folded = None
+        if folded is None:
             if os.path.exists(journal):
                 os.remove(journal)
             for cur in dirs:
@@ -1433,27 +1438,51 @@ def _recover_store_swap(store_dir: str) -> None:
                     if os.path.exists(stray):
                         shutil.rmtree(stray)
         # Migrate a healed legacy base to the versioned layout, written
-        # as a crash-idempotent FORWARD COMPLETION (a crash between the
-        # renames and the pointer commit must not strand or delete data):
-        # rename any legacy dir whose v0 twin is missing, then commit the
-        # pointer iff BOTH v0 dirs are complete — which distinguishes the
-        # two ways pointer-less v0 dirs arise: a crashed migration leaves
-        # COMPLETE v0 dirs (rename preserves _SUCCESS) → commit; a build
-        # that crashed between its v0 parquet writes and its pointer
-        # commit leaves an incomplete pair → delete the strays, the next
-        # build re-derives them. Legacy READERS resolve through
+        # as a crash-idempotent FORWARD COMPLETION (a crash anywhere
+        # must not strand or delete data). r18 (VERDICT r17 #6): v0 is
+        # LINK-ASSEMBLED from the live legacy dir — with a journal,
+        # from its *_next twin, which the legacy commit point made
+        # authoritative — never renamed (layout.py's pattern), so a
+        # lockless reader mid-materialization on a legacy store keeps
+        # scanning intact files; the legacy dirs are TOMBSTONED after
+        # the pointer commits and grace-collected. The assembly is
+        # complete-or-absent (temp dir + atomic rename), so a
+        # pointer-less COMPLETE v0 pair is a crashed migration →
+        # commit it; an incomplete pair can only be a direct v0 build
+        # that crashed before its pointer → delete the strays, the
+        # next build re-derives. Legacy READERS resolve through
         # `_store_read_view`'s fallback + stability loop and settle on
-        # the pointer once it lands (all under the write lock anyway).
+        # the pointer once it lands; their resolved legacy paths stay
+        # on disk for the grace period. The pre-r18 honesty note (the
+        # one-time migration rename window) is gone — there is no
+        # rename of live files anywhere in this store family.
         v0 = [d + "_v0" for d in dirs]
         for cur, nxt in zip(dirs, v0):
-            if os.path.exists(cur) and not os.path.exists(nxt):
-                os.rename(cur, nxt)
+            stray = nxt + ".assembling"
+            shutil.rmtree(stray, ignore_errors=True)
+            src = (
+                cur + "_next"
+                if folded is not None
+                and os.path.exists(os.path.join(cur + "_next", "_SUCCESS"))
+                else cur
+            )
+            if os.path.exists(src) and not os.path.exists(nxt):
+                os.makedirs(stray)
+                for fn in os.listdir(src):
+                    full = os.path.join(src, fn)
+                    if not os.path.isfile(full):
+                        continue
+                    try:
+                        os.link(full, os.path.join(stray, fn))
+                    except OSError:
+                        shutil.copy2(full, os.path.join(stray, fn))
+                os.rename(stray, nxt)
         manifest = os.path.join(store_dir, "folded_keys.json")
         if all(
             os.path.exists(os.path.join(d, "_SUCCESS")) for d in v0
         ):
-            legacy_folded = []
-            if os.path.exists(manifest):
+            legacy_folded = list(folded) if folded is not None else []
+            if folded is None and os.path.exists(manifest):
                 import json as _json
 
                 with open(manifest) as f:
@@ -1461,6 +1490,21 @@ def _recover_store_swap(store_dir: str) -> None:
             _commit_pointer(store_dir, 0, legacy_folded)
             if os.path.exists(manifest):
                 os.remove(manifest)
+            if folded is not None:
+                _tombstone_folded_layers(store_dir, keys=set(folded))
+                if os.path.exists(journal):
+                    os.remove(journal)
+            # Phase-1 GC of the superseded legacy dirs (underscore
+            # marker: invisible to a stale reader's parquet scan of
+            # that very dir); `_store_gc_superseded` collects them
+            # after grace, like any displaced version.
+            for cur in dirs:
+                for d in (cur, cur + "_next", cur + "_old"):
+                    if os.path.isdir(d):
+                        _write_json_atomic(
+                            os.path.join(d, "_superseded.json"),
+                            {"ts": time.time()},
+                        )
         else:
             for d in v0:
                 if os.path.exists(d):
@@ -1477,6 +1521,17 @@ def _recover_store_swap(store_dir: str) -> None:
                 os.path.join(path, "_superseded.json"),
                 {"ts": time.time()},
             )
+    # Legacy scaffolding outliving a crash between the migration's
+    # pointer commit and its phase-1 tombstoning (r18): the pointer
+    # supersedes the unversioned dirs by definition — re-lay their
+    # tombstones idempotently; `.assembling` strays are unpublished.
+    for d in ("sets", "buckets"):
+        base = os.path.join(store_dir, d)
+        shutil.rmtree(base + "_v0.assembling", ignore_errors=True)
+        for legacy in (base, base + "_next", base + "_old"):
+            tomb = os.path.join(legacy, "_superseded.json")
+            if os.path.isdir(legacy) and not os.path.exists(tomb):
+                _write_json_atomic(tomb, {"ts": time.time()})
     _tombstone_folded_layers(store_dir, keys=set(ptr.get("folded", ())))
 
 
@@ -1509,15 +1564,14 @@ def _store_read_view(store_dir: str) -> tuple[str, str, set[str]]:
     folded layers are skipped; absent → the unversioned dirs, with a
     stability loop re-resolving until the journal state and dir
     existence agree (a mid-migration reader re-enters here and settles
-    on the post-migration pointer). Honesty note (ADVICE r16): the
-    ONE-TIME legacy→versioned migration itself renames the live
-    unversioned ``sets``/``buckets`` to ``*_v0`` under the write lock,
-    so a lockless reader mid-materialization on a legacy store can
-    still hit FileNotFoundException at that rename instant — the
-    "closed window" claim above holds for every store BORN versioned
-    or already migrated; the migration rename is the last pre-r16
-    artifact and fires once per legacy store (the stability loop above
-    re-resolves readers that notice before materializing)."""
+    on the post-migration pointer). Since r18 (VERDICT r17 #6) the
+    one-time legacy→versioned migration LINK-ASSEMBLES ``*_v0`` from
+    the live unversioned dirs and tombstones them after the pointer
+    commits — the pre-r18 rename of live files (and its documented
+    FileNotFoundException window for a mid-materialization legacy
+    reader) is gone: a legacy reader's resolved paths now outlive the
+    migration by the grace period, so the "no reader-visible rename
+    anywhere" claim holds for EVERY store, born versioned or legacy."""
     for attempt in range(20):
         ptr = _load_pointer(store_dir)
         if ptr is not None:

@@ -203,8 +203,10 @@ def publish_layout_version(
     carry_stats: dict | None = None,
 ) -> tuple[str, dict]:
     """Publish the next version of ``rel`` and atomically flip its
-    pointer — the caller MUST hold the layout flock (publishes are
-    serialized; readers never take it).
+    pointer — the caller MUST hold the rel's SLUG write lock
+    (`slug_write_lock`; builders additionally hold the root flock —
+    publishes within a slug are serialized; readers never take any
+    lock).
 
     Content = hard links of every file in ``src_dir`` except
     ``skip_names`` (the touched buckets' displaced files; their hidden
@@ -266,6 +268,13 @@ def publish_layout_version(
     from pycaim_spark.operators.dedup import _write_json_atomic
 
     ptr = {"version": n, "dir": vname, **(extra or {})}
+    ts = time.time()
+    ptr["ts"] = ts
+    _write_json_atomic(
+        os.path.join(vdir, "_commit.json"),
+        {"version": n, "ts": ts, "kind": _commit_kind(extra, prebuilt_dir),
+         "key": _commit_key(extra)},
+    )
     cols = stats_cols if stats_cols is not None else (
         (old or {}).get("stats_cols")
     )
@@ -346,7 +355,7 @@ def tombstone_layout_dir(path: str) -> None:
 
 
 def gc_layout_versions(slug_dir: str) -> None:
-    """Phase-2 GC + crash sweep, under the layout flock:
+    """Phase-2 GC + crash sweep, under the slug's write lock:
 
     - any dir carrying ``_superseded.json`` older than
       ``$PYCAIM_LAYOUT_GC_GRACE`` (default 900 s) is deleted — a
@@ -401,7 +410,7 @@ def gc_layout_versions(slug_dir: str) -> None:
         if d.endswith("_stage") or "_feed_tmp_" in d:
             # Stage/scratch dirs only live inside a locked writer's own
             # motion; one visible at lock-acquisition (gc always runs
-            # under the flock) is an orphan from a crashed motion —
+            # under the slug lock) is an orphan from a crashed motion —
             # unpublished by construction, no reader ever resolves it.
             shutil.rmtree(p, ignore_errors=True)
             continue
@@ -435,10 +444,155 @@ def _gc_retained(slug_dir: str, path: str, dirname: str) -> bool:
     m = _VDIR_RE.match(dirname)
     if not m:
         return False
-    ptr = load_layout_pointer(slug_dir, m.group(1))
-    return ptr is not None and int(m.group(2)) in (
-        ptr.get("retained") or ()
-    )
+    rel, v = m.group(1), int(m.group(2))
+    ptr = load_layout_pointer(slug_dir, rel)
+    if ptr is not None and v in (ptr.get("retained") or ()):
+        return True
+    # Versions named by the CURRENT slug commit (r18 multi-rel commit)
+    # are readable state for commit-readers: pinned until a newer slug
+    # commit stops naming them.
+    rec = load_slug_commit(slug_dir)
+    return rec is not None and rec["rels"].get(rel) == v
+
+
+def _commit_kind(extra: dict | None, prebuilt_dir) -> str:
+    """Classify a publish for the snapshot log from its commit record:
+    a prebuilt dir is a pristine REBUILD; a non-null ``batch`` is a
+    single-batch MERGE; an ``applied`` manifest marks a CDC stream
+    commit; a bare ``rebucket`` record (no batch) is a migration pass.
+    Best-effort labeling for observability — the pointer, not the
+    kind, is the source of truth."""
+    e = extra or {}
+    if prebuilt_dir is not None:
+        return "rebuild"
+    if e.get("batch") is not None:
+        return "merge"
+    if e.get("applied"):
+        return "cdc"
+    if e.get("rebucket"):
+        return "rebucket"
+    return "publish"
+
+
+def _commit_key(extra: dict | None):
+    """The CDC batch key this publish applied (the last entry of the
+    applied manifest), if any."""
+    e = extra or {}
+    if e.get("applied"):
+        return e["applied"][-1].get("key")
+    return None
+
+
+def layout_history(slug_dir: str, rel: str) -> list[dict]:
+    """SNAPSHOT LOG (r18, VERDICT r17 #5): the commit records of every
+    version of ``rel`` still READABLE on disk — the current version
+    plus every RETAINED (pinned) snapshot — sorted by version. Each
+    record carries {version, ts, kind, key} as written atomically with
+    the version dir at publish time (`publish_layout_version` writes
+    ``_commit.json`` into the dir BEFORE the pointer flip, so a
+    version is never pointer-visible without its record). Tombstoned
+    versions inside their grace window are deliberately EXCLUDED:
+    history retention is explicit and bounded, exactly like time
+    travel — an expired snapshot leaves the log when it leaves the
+    readable set. Pre-history (version 0, the builder's plain dir) and
+    pre-r18 versions have no record and are skipped."""
+    out = []
+    ptr = load_layout_pointer(slug_dir, rel)
+    if ptr is None:
+        return out
+    live = {ptr["version"]} | set(ptr.get("retained") or ())
+    for v in sorted(live):
+        path = (
+            os.path.join(slug_dir, ptr["dir"])
+            if v == ptr["version"]
+            else os.path.join(slug_dir, f"{rel}_v{v}")
+        )
+        rec_path = os.path.join(path, "_commit.json")
+        if not os.path.exists(rec_path):
+            continue
+        try:
+            with open(rec_path) as f:
+                out.append(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def resolve_layout_rel_asof_ts(
+    slug_dir: str, rel: str, ts: float
+) -> str:
+    """TIME TRAVEL BY TIMESTAMP (r18): the data dir of the newest
+    readable version whose commit time is <= ``ts`` — resolved from
+    the same commit records as `layout_history`, so the answer is
+    always a version `resolve_layout_rel_version` would also serve.
+    Raises FileNotFoundError when no readable snapshot is that old
+    (bounded retention, like version-number time travel)."""
+    best = None
+    for rec in layout_history(slug_dir, rel):
+        if rec["ts"] <= ts and (best is None or rec["version"] > best):
+            best = rec["version"]
+    if best is None:
+        raise FileNotFoundError(
+            f"no readable snapshot of {rel} in {slug_dir} at or before "
+            f"ts={ts} (expired past retention, or committed later)"
+        )
+    return resolve_layout_rel_version(slug_dir, rel, best)
+
+
+def publish_slug_commit(
+    slug_dir: str, rels: dict, extra: dict | None = None
+) -> dict:
+    """SLUG-LEVEL MULTI-REL COMMIT (r18, VERDICT r17 #4): one atomic
+    pointer naming EVERY rel's version — ``slug_commit.json`` =
+    ``{"commit": K, "ts": ..., "rels": {rel: version}}``. A motion
+    that mutates two rels publishes each rel's version WITHOUT
+    tombstoning the displaced dirs, then flips this one file: readers
+    that resolve through `resolve_slug_commit` see the old pair or the
+    new pair, never a mix. Only after the flip does the caller
+    tombstone the displaced dirs (grace protects commit-readers that
+    resolved the old commit); versions named by the CURRENT slug
+    commit are additionally GC-pinned (`_gc_retained` consults this
+    file), so a crash between the per-rel pointer flips and the slug
+    commit flip leaves the commit's versions readable until the next
+    locked writer completes or re-derives the motion. Caller MUST hold
+    the slug write lock."""
+    from pycaim_spark.operators.dedup import _write_json_atomic
+
+    old = load_slug_commit(slug_dir)
+    rec = {
+        "commit": (old["commit"] + 1) if old else 1,
+        "ts": time.time(),
+        "rels": {r: int(v) for r, v in rels.items()},
+        **(extra or {}),
+    }
+    _write_json_atomic(os.path.join(slug_dir, "slug_commit.json"), rec)
+    return rec
+
+
+def load_slug_commit(slug_dir: str) -> dict | None:
+    """Parse ``slug_commit.json``; None if absent/unparseable."""
+    path = os.path.join(slug_dir, "slug_commit.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec.get("rels"), dict) else None
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def resolve_slug_commit(slug_dir: str) -> dict:
+    """One atomic parse of the slug commit -> {rel: data dir}, every
+    dir an immutable committed version: the multi-rel consistent read.
+    Raises FileNotFoundError if no slug commit exists."""
+    rec = load_slug_commit(slug_dir)
+    if rec is None:
+        raise FileNotFoundError(f"no slug commit in {slug_dir}")
+    return {
+        rel: resolve_layout_rel_version(slug_dir, rel, v)
+        for rel, v in rec["rels"].items()
+    }
 
 
 def resolve_layout_rel_version(

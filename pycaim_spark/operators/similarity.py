@@ -931,11 +931,14 @@ def _recover_codes(store_dir: str) -> None:
     store write lock): delete uncommitted ``codes_v{>current}`` strays
     and legacy ``codes_next``/``codes_old*`` swap scaffolding, grace-
     collect tombstoned old versions, and MIGRATE a legacy unversioned
-    ``codes`` dir to ``codes_v0`` + pointer. Honesty note (ADVICE r16):
-    that one-time migration RENAME is a residual lockless-reader window
-    on legacy stores — a reader mid-materialization on the unversioned
-    ``codes`` can hit FileNotFoundException at the rename instant; every
-    store born versioned (or already migrated) has no such instant."""
+    ``codes`` dir to ``codes_v0`` + pointer. Since r18 (VERDICT r17
+    #6) the migration LINK-ASSEMBLES v0 from the live ``codes`` dir
+    (complete-or-absent: temp dir + atomic rename) and tombstones the
+    legacy dir after the pointer commits — the pre-r18 rename of live
+    files, and its documented FileNotFoundException window for a
+    mid-materialization legacy reader, is gone: the reader's resolved
+    path stays on disk for the grace period like any displaced
+    version."""
     import json
     import os
     import shutil
@@ -950,8 +953,26 @@ def _recover_codes(store_dir: str) -> None:
     now = time.time()
     for sib in os.listdir(store_dir):
         path = os.path.join(store_dir, sib)
-        if sib == "codes_next" or sib.startswith("codes_old"):
+        if sib == "codes_next" or sib.startswith("codes_old") \
+                or sib.endswith(".assembling"):
             shutil.rmtree(path, ignore_errors=True)
+            continue
+        if sib == "codes" and v is not None:
+            # Legacy dir on a MIGRATED store (r18 link-assembly keeps
+            # it for stale readers): tombstone idempotently — a crash
+            # between pointer commit and tombstone re-lays here — and
+            # collect past grace like any displaced version.
+            tomb = os.path.join(path, "_superseded.json")
+            if not os.path.exists(tomb):
+                _write_json_atomic(tomb, {"ts": now})
+            else:
+                try:
+                    with open(tomb) as f:
+                        ts = float(json.load(f).get("ts", now))
+                    if now - ts > grace:
+                        shutil.rmtree(path, ignore_errors=True)
+                except (OSError, ValueError, TypeError):
+                    pass
             continue
         if sib.startswith("codes_v"):
             try:
@@ -984,13 +1005,29 @@ def _recover_codes(store_dir: str) -> None:
     if v is None:
         legacy = os.path.join(store_dir, "codes")
         v0 = os.path.join(store_dir, "codes_v0")
+        stray = v0 + ".assembling"
+        shutil.rmtree(stray, ignore_errors=True)
         if os.path.exists(legacy) and not os.path.exists(v0):
-            os.rename(legacy, v0)
+            os.makedirs(stray)
+            for fn in os.listdir(legacy):
+                full = os.path.join(legacy, fn)
+                if not os.path.isfile(full):
+                    continue
+                try:
+                    os.link(full, os.path.join(stray, fn))
+                except OSError:
+                    shutil.copy2(full, os.path.join(stray, fn))
+            os.rename(stray, v0)
         if os.path.exists(os.path.join(v0, "_SUCCESS")):
             _write_json_atomic(
                 os.path.join(store_dir, "codes_current.json"),
                 {"version": 0},
             )
+            if os.path.isdir(legacy):
+                _write_json_atomic(
+                    os.path.join(legacy, "_superseded.json"),
+                    {"ts": now},
+                )
         elif os.path.exists(v0):
             shutil.rmtree(v0, ignore_errors=True)
 

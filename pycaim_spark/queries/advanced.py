@@ -304,6 +304,7 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
         _store_write_lock,
         _write_json_atomic,
     )
+    from pycaim_spark.operators.layout import slug_write_lock
     from pycaim_spark.queries.relational import _SCRATCH
 
     if os.environ.get("PYCAIM_BUCKET_SORTED_SCAN") != "0":
@@ -341,7 +342,7 @@ def _bucketed_orderkey_layout(spark, sf_dir, buckets: int = 32):
         ):
             out[table] = spark.table(name)
             continue
-        with _store_write_lock(layout_root):
+        with _store_write_lock(layout_root), slug_write_lock(slug_dir):
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 # Cold build. A concurrent builder that lost the lock race
                 # lands in the re-attach branch below instead (the
@@ -481,7 +482,18 @@ def _gc_superseded_layouts(
             except OSError:
                 ts = None
         if ts is not None and now - ts > grace:
-            shutil.rmtree(sib_dir, ignore_errors=True)
+            # Per-slug locking (r18): a sibling slug's MOTIONS hold
+            # only their slug lock, not the root flock we hold — so
+            # the delete TRY-acquires the sibling's lock and skips it
+            # when a live writer owns it (the writer resurrects its
+            # tombstone at motion end; an abandoned slug collects on a
+            # later pass). Blocking here would invert the root→slug
+            # lock order and risk a cycle; try-lock cannot.
+            from pycaim_spark.operators.layout import slug_write_lock
+
+            with slug_write_lock(sib_dir, blocking=False) as lk:
+                if lk.acquired:
+                    shutil.rmtree(sib_dir, ignore_errors=True)
 
 
 #: Session-side memo of which version dir each layout catalog table is
@@ -624,6 +636,7 @@ def _incremental_orderkey_layout(
         _store_write_lock,
         _write_json_atomic,
     )
+    from pycaim_spark.operators.layout import slug_write_lock
     from pycaim_spark.queries.relational import _SCRATCH
 
     if os.environ.get("PYCAIM_BUCKET_SORTED_SCAN") != "0":
@@ -682,7 +695,7 @@ def _incremental_orderkey_layout(
             out[table] = spark.table(want_name)
             continue
         full = load_table(spark, sf_dir, table)
-        with _store_write_lock(layout_root):
+        with _store_write_lock(layout_root), slug_write_lock(slug_dir):
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 import shutil
 
@@ -945,7 +958,9 @@ def _upserted_orderkey_layout(
     POINTER (r17, VERDICT r16 #1): the bucketed table now gets the same
     table-format-style commit the stores got in r16.
 
-    Mechanics (publishes under the layout flock; readers lock-free):
+    Mechanics (publishes under the SLUG write lock — r18, per-slug
+    serialization so CDC to different tables runs concurrently;
+    readers lock-free):
 
     1. Resolve the rel's CURRENT version via its atomic pointer
        (`operators/layout.resolve_layout_rel`). With ``inplace=True``
@@ -1009,13 +1024,13 @@ def _upserted_orderkey_layout(
     import hashlib
     import shutil
 
-    from pycaim_spark.operators.dedup import _store_write_lock
     from pycaim_spark.operators.layout import (
         gc_layout_versions,
         load_layout_pointer,
         publish_layout_version,
         resolve_layout_rel,
         rewrite_layout_pointer,
+        slug_write_lock,
         tombstone_layout_dir,
     )
     from pycaim_spark.operators.merge import (
@@ -1092,7 +1107,7 @@ def _upserted_orderkey_layout(
 
     stage = os.path.join(slug_dir, f"orders_u{suffix}_stage")
     sname = f"tpch_iu{suffix}_stage_orders_{slug}"
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         gc_layout_versions(slug_dir)
         cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
         if not _current(ptr):
@@ -1370,12 +1385,12 @@ def _upsert_stream_inplace(
     import hashlib
     import shutil
 
-    from pycaim_spark.operators.dedup import _store_write_lock
     from pycaim_spark.operators.layout import (
         gc_layout_versions,
         publish_layout_version,
         resolve_layout_rel,
         rewrite_layout_pointer,
+        slug_write_lock,
         tombstone_layout_dir,
     )
     from pycaim_spark.operators.merge import (
@@ -1434,7 +1449,7 @@ def _upsert_stream_inplace(
     legacy_pending = os.path.join(
         slug_dir, f"upsertstream_pending{suffix}_orders.json"
     )
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         gc_layout_versions(slug_dir)
         # Stage leftovers are unpublished by construction.
         spark.sql(f"DROP TABLE IF EXISTS {sname}")
@@ -1802,9 +1817,9 @@ def layout_upsert_inplace_stream(spark, sf_dir):
     )
 
 
-def _heal_or_invalidate(layout_root, slug_dir, rel, resolve):
+def _heal_or_invalidate(slug_dir, rel, resolve):
     """The time-travel self-heal's pointer invalidation, UNDER the
-    layout flock (VERDICT r17 advice: the previous lockless
+    slug's write lock (VERDICT r17 advice: the previous lockless
     load→mutate→rewrite of ``{rel}_current.json`` was the one
     unserialized pointer rewrite left in the repo — a concurrent locked
     publish landing between the load and the rewrite got clobbered by
@@ -1813,15 +1828,15 @@ def _heal_or_invalidate(layout_root, slug_dir, rel, resolve):
     a concurrent writer may have already healed the rel while we
     waited, in which case its result is returned and the pointer is
     NOT touched. Returns None after marking the pointer invalid — the
-    caller then replays the stream outside the flock (the stream takes
-    the same flock itself)."""
-    from pycaim_spark.operators.dedup import _store_write_lock
+    caller then replays the stream outside the lock (the stream takes
+    the same slug lock itself)."""
     from pycaim_spark.operators.layout import (
         load_layout_pointer,
         rewrite_layout_pointer,
+        slug_write_lock,
     )
 
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         try:
             return resolve()
         except FileNotFoundError:
@@ -1905,12 +1920,12 @@ def layout_time_travel(spark, sf_dir):
         # next call through the rebuild-and-replay path, which
         # republishes (and re-pins) every version.
         healed = _heal_or_invalidate(
-            os.path.join(_SCRATCH, "bucketed_tpch"), slug_dir,
-            "orders_c", _as_of_b1_path,
+            slug_dir, "orders_c", _as_of_b1_path,
         )
         if healed is None:
-            # Replay outside the flock: the stream takes it itself
-            # (flock on a second fd of the same file self-deadlocks).
+            # Replay outside the slug lock: the stream takes it
+            # itself (flock on a second fd of the same file
+            # self-deadlocks).
             _upsert_stream_inplace(
                 spark, sf_dir,
                 batches=[
@@ -1933,8 +1948,64 @@ def layout_time_travel(spark, sf_dir):
     )
 
 
+@register(
+    "layout_history",
+    tags=("composite", "storage"),
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'cdc', 'b1'),
+        (CAST(2 AS BIGINT), 'cdc', 'b2')
+    ) AS t(ordinal, kind, batch_key)
+    """,
+)
+def layout_history_query(spark, sf_dir):
+    """SNAPSHOT-LOG QUERY (r18, VERDICT r17 #5): list the readable
+    history of a retained two-batch CDC stream — every publish now
+    writes a ``_commit.json`` record {version, ts, kind, key}
+    ATOMICALLY WITH its version dir (before the pointer flip, so a
+    version is never pointer-visible without its record), and
+    `operators/layout.layout_history` returns the records of the
+    versions still readable (current + retained pins). The fixture
+    retains both batch snapshots, so the log is exactly two CDC
+    commits in order — ordinals, not raw version numbers, because a
+    pristine rebuild legitimately shifts versions while the READABLE
+    history stays the two pinned snapshots (the rebuild's own
+    intermediate version is displaced by batch 1's publish and leaves
+    the readable set). Bounded, explicit retention: an expired
+    snapshot leaves the log when it leaves time travel — same
+    doctrine, one source of truth. Timestamp resolution on top of the
+    same records (`resolve_layout_rel_asof_ts`) is pinned by
+    tests/test_storage.py test_layout_history_and_asof_ts."""
+    import hashlib
+
+    from pycaim_spark.operators.layout import layout_history
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    register_temp_views(spark, sf_dir)
+    _upsert_stream_inplace(
+        spark, sf_dir,
+        batches=[
+            ("b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS),
+            ("b2", "1 = 0", _UPSERT_B2_DEL, None),
+        ],
+        suffix="hi",
+        retain=True,
+    )
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:iphi:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    hist = layout_history(slug_dir, "orders_c")
+    return spark.createDataFrame(
+        [(i + 1, rec["kind"], rec["key"]) for i, rec in enumerate(hist)],
+        "ordinal bigint, kind string, batch_key string",
+    )
+
+
 def _cdc_sink_apply_micro_batch(
-    spark, bdf, *, layout_root, slug_dir, rel, specs, stage, sname,
+    spark, bdf, *, slug_dir, rel, specs, stage, sname,
     buckets, key, columns, schema, base_ddl,
 ):
     """The foreachBatch sink body (module-level so tests can drive it
@@ -1957,11 +2028,11 @@ def _cdc_sink_apply_micro_batch(
     distinct-key collect is bounded by the number of feed batches."""
     import shutil as _shutil
 
-    from pycaim_spark.operators.dedup import _store_write_lock
     from pycaim_spark.operators.layout import (
         gc_layout_versions,
         publish_layout_version,
         resolve_layout_rel,
+        slug_write_lock,
         tombstone_layout_dir,
     )
     from pycaim_spark.operators.merge import (
@@ -1977,7 +2048,7 @@ def _cdc_sink_apply_micro_batch(
         return  # empty micro-batch
     spec_by_key = {s[0]: s for s in specs}
     order = {s[0]: i for i, s in enumerate(specs)}
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         gc_layout_versions(slug_dir)
         cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
         applied = list((ptr or {}).get("applied") or [])
@@ -2057,19 +2128,17 @@ def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
     the registered query gates against the identical two-batch DuckDB
     oracle — micro-batch delivery must be invisible in the result. Feed
     staleness (fixture predicates changed) rebuilds feed + checkpoint +
-    pristine table under the flock (tombstone-not-rmtree for the table,
+    pristine table under the slug lock (tombstone-not-rmtree for the table,
     like every divergence path since r17)."""
     import glob as _glob
     import hashlib
     import shutil
 
-    from pycaim_spark.operators.dedup import (
-        _store_write_lock,
-        _write_json_atomic,
-    )
+    from pycaim_spark.operators.dedup import _write_json_atomic
     from pycaim_spark.operators.layout import (
         gc_layout_versions,
         resolve_layout_rel,
+        slug_write_lock,
     )
     from pycaim_spark.queries.relational import _SCRATCH
 
@@ -2124,7 +2193,7 @@ def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
     ):
         return spark.table(tname)
 
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         gc_layout_versions(slug_dir)
         cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
         applied = _applied(ptr)
@@ -2206,7 +2275,7 @@ def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
 
     def _apply_cdc_batch(bdf, batch_id):
         _cdc_sink_apply_micro_batch(
-            spark, bdf, layout_root=layout_root, slug_dir=slug_dir,
+            spark, bdf, slug_dir=slug_dir,
             rel=rel, specs=specs, stage=stage, sname=sname,
             buckets=buckets, key=key, columns=full.columns,
             schema=full.schema, base_ddl=base_ddl,
@@ -2223,7 +2292,7 @@ def _stream_cdc_feed_and_sink(spark, sf_dir, buckets: int = 32,
     )
     q.awaitTermination()
 
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
         _attach_rel_table(
             spark, tname, cur_dir,
@@ -2464,11 +2533,11 @@ def _split_orderkey_layout(
     import hashlib
     import shutil
 
-    from pycaim_spark.operators.dedup import _store_write_lock
     from pycaim_spark.operators.layout import (
         gc_layout_versions,
         publish_layout_version,
         resolve_layout_rel,
+        slug_write_lock,
         tombstone_layout_dir,
     )
     from pycaim_spark.operators.merge import bucket_files
@@ -2523,7 +2592,7 @@ def _split_orderkey_layout(
 
     stage = os.path.join(slug_dir, f"orders_split{suffix}_stage")
     sname = f"tpch_rb{suffix}_stage_orders_{slug}"
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         gc_layout_versions(slug_dir)
         spark.sql(f"DROP TABLE IF EXISTS {sname}")
         shutil.rmtree(stage, ignore_errors=True)
@@ -2728,11 +2797,11 @@ def _coalesce_orderkey_layout(
     import hashlib
     import shutil
 
-    from pycaim_spark.operators.dedup import _store_write_lock
     from pycaim_spark.operators.layout import (
         gc_layout_versions,
         publish_layout_version,
         resolve_layout_rel,
+        slug_write_lock,
         tombstone_layout_dir,
     )
     from pycaim_spark.operators.merge import bucket_files
@@ -2777,7 +2846,7 @@ def _coalesce_orderkey_layout(
 
     stage = os.path.join(slug_dir, f"orders_coalesce{suffix}_stage")
     sname = f"tpch_rb{suffix}_cstage_orders_{slug}"
-    with _store_write_lock(layout_root):
+    with slug_write_lock(slug_dir):
         gc_layout_versions(slug_dir)
         spark.sql(f"DROP TABLE IF EXISTS {sname}")
         shutil.rmtree(stage, ignore_errors=True)
@@ -2937,6 +3006,7 @@ def _date_clustered_orders_layout(spark, sf_dir, files: int = 16):
         gc_layout_versions,
         publish_layout_version,
         resolve_layout_rel,
+        slug_write_lock,
     )
     from pycaim_spark.queries.relational import _SCRATCH
 
@@ -2962,7 +3032,7 @@ def _date_clustered_orders_layout(spark, sf_dir, files: int = 16):
         and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
     ):
         return slug_dir, ddl
-    with _store_write_lock(layout_root):
+    with _store_write_lock(layout_root), slug_write_lock(slug_dir):
         gc_layout_versions(slug_dir)
         cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
         if not (
@@ -3057,6 +3127,266 @@ def layout_file_skipping(spark, sf_dir):
             fsum(cents("o_totalprice"), 2, "total_price"),
             F.max("o_orderkey").alias("max_key"),
         )
+    )
+
+
+#: The multi-rel CDC batch: referential delete of order keys ≡0 (mod
+#: 503) from orders AND their lineitems, in ONE slug-level commit.
+_MULTIREL_DEL = 503
+
+
+def _multirel_slug_layout(spark, sf_dir, buckets: int = 8):
+    """A TWO-REL layout slug (orders_c + lineitem_c bucketed on their
+    orderkeys at the same count, in ONE slug dir) — the fixture for the
+    slug-level multi-rel commit (r18, VERDICT r17 #4). Every other
+    layout fixture content-addresses one table per slug; a multi-table
+    transaction needs both rels under one commit scope, so this slug's
+    hash folds BOTH source fingerprints. Returns (slug_dir, slug)."""
+    import hashlib
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
+    from pycaim_spark.operators.layout import slug_write_lock
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
+    fps = ":".join(
+        _layout_fingerprint(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("orders", "lineitem")
+    )
+    slug = hashlib.md5(
+        f"{abs_sf}:{buckets}:mrc:{fps}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(layout_root, slug)
+    done = all(
+        os.path.exists(os.path.join(slug_dir, f"{t}_c", "_SUCCESS"))
+        for t in ("orders", "lineitem")
+    )
+    if done and not os.path.exists(
+        os.path.join(slug_dir, "superseded.json")
+    ):
+        return slug_dir, slug
+    with _store_write_lock(layout_root), slug_write_lock(slug_dir):
+        for table, key in (
+            ("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+        ):
+            path = os.path.join(slug_dir, f"{table}_c")
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            tmp_name = f"tpch_mrc_{table}_{slug}"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+            (
+                load_table(spark, sf_dir, table)
+                .repartition(buckets, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(tmp_name)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        _write_json_atomic(
+            os.path.join(slug_dir, "source.json"),
+            {"sf_dir": abs_sf, "table": "orders#mrc",
+             "buckets": buckets, "fp": fps},
+        )
+        _gc_superseded_layouts(
+            spark, layout_root, slug, abs_sf, "orders#mrc", fps
+        )
+        tomb = os.path.join(slug_dir, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+    return slug_dir, slug
+
+
+def _multirel_delete_commit(spark, sf_dir, buckets: int = 8):
+    """ATOMIC TWO-REL MOTION over the slug-level commit (r18, VERDICT
+    r17 #4): referentially delete order keys ≡0 (mod 503) from orders
+    AND their lineitems in ONE commit. Ordering is the atomicity
+    argument:
+
+    1. Under the slug write lock, publish each rel's next version
+       (bucket-local delete via `plan_bucket_local_merge`; per-rel
+       pointers flip as the physical latest) WITHOUT tombstoning the
+       displaced dirs.
+    2. Flip ``slug_commit.json`` — ONE atomic write naming both rels'
+       versions (`operators/layout.publish_slug_commit`, batch spec
+       folded inside). `resolve_slug_commit` readers see the old pair
+       or the new pair, never orders@new with lineitem@old: time
+       travel for the TABLE means "as of commit K", not per-rel
+       versions.
+    3. Only then tombstone the displaced dirs — grace protects
+       commit-readers holding the old pair, and versions named by the
+       CURRENT slug commit are GC-pinned (`_gc_retained` consults the
+       commit), so a crash between the per-rel flips and the commit
+       flip leaves the committed pair readable until the next locked
+       writer re-derives.
+
+    tests/test_storage.py test_multirel_commit_atomic_reader pins the
+    mid-commit reader view. Returns {rel: data dir} per the committed
+    slug commit."""
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        load_slug_commit,
+        publish_layout_version,
+        publish_slug_commit,
+        resolve_layout_rel,
+        resolve_slug_commit,
+        slug_write_lock,
+        tombstone_layout_dir,
+    )
+    from pycaim_spark.operators.merge import (
+        bucket_files,
+        delta_touched_buckets,
+        plan_bucket_local_merge,
+    )
+
+    slug_dir, slug = _multirel_slug_layout(spark, sf_dir, buckets)
+    spec = ["mrdel", _MULTIREL_DEL, buckets]
+    rec = load_slug_commit(slug_dir)
+    if rec is not None and rec.get("batch") == spec:
+        try:
+            return resolve_slug_commit(slug_dir)
+        except FileNotFoundError:
+            pass  # a named version expired: re-derive under the lock
+    with slug_write_lock(slug_dir):
+        gc_layout_versions(slug_dir)
+        rec = load_slug_commit(slug_dir)
+        if rec is not None and rec.get("batch") == spec:
+            try:
+                return resolve_slug_commit(slug_dir)
+            except FileNotFoundError:
+                pass
+        new_versions, displaced = {}, []
+        for table, key in (
+            ("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+        ):
+            rel = f"{table}_c"
+            cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+            if ptr is not None:
+                # A previous (possibly different-spec or crashed)
+                # motion left versions: rebuild the pristine base rel
+                # into a fresh version so the delete always derives
+                # from the full corpus.
+                cur_dir, ptr = _rebuild_pristine_rel(
+                    spark, slug_dir, rel,
+                    os.path.join(slug_dir, rel), key, buckets, slug,
+                )
+            full = load_table(spark, sf_dir, table)
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in full.schema.fields
+            )
+            dels = (
+                spark.read.schema(ddl).parquet(cur_dir)
+                .filter(F.col(key) % _MULTIREL_DEL == 0)
+                .select(key)
+            )
+            touched = delta_touched_buckets(dels, key, buckets)
+            stage = os.path.join(slug_dir, f"{rel}_mr_stage")
+            sname = f"tpch_mrs_{table}_{slug}"
+            plan = plan_bucket_local_merge(
+                spark, path=cur_dir, schema=ddl, key=key,
+                buckets=buckets, upserts=None, deletes=dels,
+                stage_path=stage, stage_table=sname, touched=touched,
+            )
+            live = bucket_files(cur_dir)
+            replaced = {
+                os.path.basename(f)
+                for b in plan["touched"] for f in live.get(b, [])
+            }
+            old_dir = cur_dir
+            cur_dir, ptr = publish_layout_version(
+                slug_dir, rel, src_dir=old_dir, skip_names=replaced,
+                staged_files=[
+                    f for fs in plan["staged"].values() for f in fs
+                ],
+                extra={"batch": spec, "ddl": ddl},
+                stats_cols=_LAYOUT_STATS_COLS,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+            import shutil as _shutil
+
+            _shutil.rmtree(stage, ignore_errors=True)
+            new_versions[rel] = ptr["version"]
+            if os.path.isdir(old_dir) and old_dir != cur_dir:
+                displaced.append(old_dir)
+        publish_slug_commit(
+            slug_dir, new_versions, extra={"batch": spec}
+        )
+        for d in displaced:
+            tombstone_layout_dir(d)
+        return resolve_slug_commit(slug_dir)
+
+
+@register(
+    "layout_multirel_commit",
+    tags=("composite", "storage"),
+    oracle=f"""
+    WITH o AS (
+        SELECT * FROM orders WHERE o_orderkey % {_MULTIREL_DEL} <> 0
+    ), l AS (
+        SELECT * FROM lineitem WHERE l_orderkey % {_MULTIREL_DEL} <> 0
+    ), oa AS (
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM o GROUP BY o_orderpriority
+    ), la AS (
+        SELECT o_orderpriority, COUNT(*) AS n_li,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE) AS sum_ext
+        FROM l JOIN o ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    )
+    SELECT oa.o_orderpriority, n_orders, n_li, sum_ext
+    FROM oa JOIN la ON oa.o_orderpriority = la.o_orderpriority
+    """,
+)
+def layout_multirel_commit(spark, sf_dir):
+    """Audit over the MULTI-REL slug commit (r18, VERDICT r17 #4): a
+    referential delete (orders keys ≡0 mod 503 AND their lineitems)
+    applied to BOTH rels in one atomic slug-level commit, read back
+    through `resolve_slug_commit` — the consistent two-table view. The
+    result exposes each side's deletion INDEPENDENTLY: ``n_orders``
+    groups the orders rel alone (a lineitem-only application leaves it
+    inflated), while ``n_li``/``sum_ext`` aggregate the join (an
+    orders-only application leaves lineitem orphans out of the join
+    but their deletion visible through n_li). The oracle reproduces
+    the two-sided delete in SQL — any partial or skewed application
+    hash-fails."""
+    register_temp_views(spark, sf_dir)
+    dirs = _multirel_delete_commit(spark, sf_dir)
+    o_full = load_table(spark, sf_dir, "orders")
+    li_full = load_table(spark, sf_dir, "lineitem")
+    o_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in o_full.schema.fields
+    )
+    l_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in li_full.schema.fields
+    )
+    o = spark.read.schema(o_ddl).parquet(dirs["orders_c"])
+    li = spark.read.schema(l_ddl).parquet(dirs["lineitem_c"])
+    oa = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    la = (
+        li.select("l_orderkey", "l_extendedprice")
+        .join(
+            o.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            fsum(cents("l_extendedprice"), 2, "sum_ext"),
+        )
+    )
+    return oa.join(F.broadcast(la), "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "n_li", "sum_ext"
     )
 
 

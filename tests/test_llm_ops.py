@@ -1154,13 +1154,33 @@ def test_store_legacy_migration_torn_journal_and_manifest_gc(
     assert os.path.exists(os.path.join(store, "compact_journal.json"))
     assert _load_pointer(store) is None
 
-    # (b) the next write path heals AND migrates: journal-era artifacts
-    # gone, base versioned, manifest inside the pointer — verdicts
-    # unchanged (this compact then folds day1 into v1).
+    # (b) the next write path heals AND migrates: journal-era
+    # artifacts gone, base versioned, manifest inside the pointer —
+    # verdicts unchanged (this compact then folds day1 into v1). r18:
+    # the legacy dirs are LINK-ASSEMBLED into v0 and kept TOMBSTONED
+    # for stale readers (never renamed), then grace-collected by a
+    # later write pass.
     minhash_signature_store_compact(spark, store)
-    for legacy in ("compact_journal.json", "sets_next", "sets",
-                   "buckets", "folded_keys.json"):
+    for legacy in ("compact_journal.json", "sets_next",
+                   "folded_keys.json"):
         assert not os.path.exists(os.path.join(store, legacy)), legacy
+    for legacy in ("sets", "buckets"):
+        p = os.path.join(store, legacy)
+        assert os.path.isdir(p), \
+            f"{legacy}: migration must not rename the live legacy dir"
+        assert os.path.exists(os.path.join(p, "_superseded.json"))
+    old_grace = os.environ.get("PYCAIM_STORE_GC_GRACE")
+    os.environ["PYCAIM_STORE_GC_GRACE"] = "0"
+    try:
+        minhash_signature_store_compact(spark, store)  # no-op + GC pass
+    finally:
+        if old_grace is None:
+            os.environ.pop("PYCAIM_STORE_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_STORE_GC_GRACE"] = old_grace
+    for legacy in ("sets", "buckets"):
+        assert not os.path.exists(os.path.join(store, legacy)), \
+            f"{legacy}: tombstoned legacy dir collects past grace"
     ptr = _load_pointer(store)
     assert ptr == {"version": 1, "folded": ["day1"]}
     assert expected == {(r.doc_id, r.dup_of, r.is_new)
@@ -1802,3 +1822,119 @@ def test_incremental_clusters_match_full_reclustering(spark):
     got_remaps = {d: c for (d, k), c in inc.items() if k == "base_remap"}
     assert got_remaps == expected_remaps
     assert expected_remaps, "fixture must exercise the merge case"
+
+
+def test_legacy_store_mid_migration_reader_survives(spark, tmp_path):
+    """r18 (VERDICT r17 #6): the one-time legacy→versioned migration no
+    longer renames the live unversioned dirs — v0 is link-assembled and
+    the legacy dirs are tombstoned in place. A reader that resolved the
+    LEGACY paths and built its lazy plan BEFORE the migration must
+    materialize successfully AFTER it (this was the last documented
+    reader-visible rename window in the repo); the tombstoned legacy
+    dirs collect only past grace on a later write pass. Same contract
+    for the IVF-PQ codes migration."""
+    import os
+
+    import numpy as np
+
+    from pycaim_spark.operators.dedup import (
+        _load_pointer,
+        _store_read_view,
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "first fresh slice with its very own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(30, "first fresh slice with its very own vocabulary entire")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    # Down-migrate to the pre-r16 legacy shape (hard links preserve the
+    # parquet bytes; the rename here is test scaffolding, not product
+    # code).
+    os.rename(os.path.join(store, "sets_v0"), os.path.join(store, "sets"))
+    os.rename(os.path.join(store, "buckets_v0"),
+              os.path.join(store, "buckets"))
+    os.remove(os.path.join(store, "current.json"))
+
+    # The stale reader: resolve the LEGACY view, build the lazy plan.
+    sets_p, buckets_p, skip = _store_read_view(store)
+    assert sets_p.endswith("/sets") and skip == set()
+    stale_df = incremental_minhash_dedup_layered(spark, store, probe)
+
+    # The next write path migrates (link-assemble v0 + pointer +
+    # legacy tombstones) and takes the day-1 layer.
+    minhash_signature_store_append(spark, store, s1, "day1")
+    assert _load_pointer(store) == {"version": 0, "folded": []}
+    for legacy in ("sets", "buckets"):
+        p = os.path.join(store, legacy)
+        assert os.path.isdir(p), "legacy dir must survive the migration"
+        assert os.path.exists(os.path.join(p, "_superseded.json"))
+
+    # The stale reader's materialization SUCCEEDS against the
+    # tombstoned-but-intact legacy paths — pre-r18 this exact line
+    # could take FileNotFoundException at the rename instant. The
+    # pre-migration view has no day-1 layer, so the probe is novel.
+    stale = {(r.doc_id, r.dup_of, r.is_new) for r in stale_df.collect()}
+    assert stale == {(30, None, 1)}
+    fresh = {(r.doc_id, r.dup_of, r.is_new)
+             for r in incremental_minhash_dedup_layered(
+                 spark, store, probe).collect()}
+    assert fresh == {(30, 10, 0)}
+
+    # Grace expiry: a later write pass collects the legacy dirs.
+    old_grace = os.environ.get("PYCAIM_STORE_GC_GRACE")
+    os.environ["PYCAIM_STORE_GC_GRACE"] = "0"
+    try:
+        minhash_signature_store_append(spark, store, s1, "day1")  # no-op
+    finally:
+        if old_grace is None:
+            os.environ.pop("PYCAIM_STORE_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_STORE_GC_GRACE"] = old_grace
+    for legacy in ("sets", "buckets"):
+        assert not os.path.exists(os.path.join(store, legacy))
+
+    # IVF-PQ codes: same no-rename migration.
+    from pycaim_spark.operators.similarity import (
+        _codes_path,
+        _codes_version,
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v])
+         for i, v in enumerate(rng.normal(size=(40, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    ann = str(tmp_path / "ann")
+    ivf_pq_index_build(emb, ann, n_cells=4, m=4, k_centroids=8,
+                       sample_size=40)
+    os.rename(os.path.join(ann, "codes_v0"), os.path.join(ann, "codes"))
+    os.remove(os.path.join(ann, "codes_current.json"))
+    legacy_codes = spark.read.parquet(_codes_path(ann))  # lazy, legacy
+    n0 = None
+    extra = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v])
+         for i, v in enumerate(rng.normal(size=(5, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_pq_index_append(extra, ann, "day1")  # migrates, then appends
+    assert _codes_version(ann) == 0
+    assert os.path.isdir(os.path.join(ann, "codes")), \
+        "codes migration must not rename the live legacy dir"
+    n0 = legacy_codes.count()  # stale reader materializes post-migration
+    assert n0 == 40
+    assert spark.read.parquet(_codes_path(ann)).count() == 45

@@ -1979,7 +1979,7 @@ def test_cdc_sink_multi_file_micro_batch_grouping(spark, sf_dir, tmp_path):
     bdf = b2.unionByName(b1)
 
     kw = dict(
-        layout_root=str(tmp_path), slug_dir=slug_dir, rel="orders_c",
+        slug_dir=slug_dir, rel="orders_c",
         specs=specs, stage=os.path.join(slug_dir, "stage"),
         sname="tpch_sink_group_stage", buckets=8, key="o_orderkey",
         columns=full.columns, schema=full.schema,
@@ -2037,8 +2037,10 @@ def test_time_travel_heal_runs_under_flock_and_rechecks(tmp_path):
     import threading
     import time
 
-    from pycaim_spark.operators.dedup import _store_write_lock
-    from pycaim_spark.operators.layout import load_layout_pointer
+    from pycaim_spark.operators.layout import (
+        load_layout_pointer,
+        slug_write_lock,
+    )
     from pycaim_spark.queries.advanced import _heal_or_invalidate
 
     root = str(tmp_path)
@@ -2057,14 +2059,14 @@ def test_time_travel_heal_runs_under_flock_and_rechecks(tmp_path):
         return healed_dir
 
     def writer():
-        with _store_write_lock(root):
-            time.sleep(0.4)  # the heal must be blocked on the flock now
+        with slug_write_lock(slug_dir):
+            time.sleep(0.4)  # the heal must be blocked on the lock now
             os.makedirs(healed_dir)  # concurrent writer heals the rel
 
     t = threading.Thread(target=writer)
     t.start()
     time.sleep(0.1)  # let the writer take the lock first
-    got = _heal_or_invalidate(root, slug_dir, "orders_c", resolve)
+    got = _heal_or_invalidate(slug_dir, "orders_c", resolve)
     t.join()
     assert got == healed_dir, "re-check under the lock sees the heal"
     assert load_layout_pointer(slug_dir, "orders_c") == committed, \
@@ -2075,7 +2077,7 @@ def test_time_travel_heal_runs_under_flock_and_rechecks(tmp_path):
     import shutil
 
     shutil.rmtree(healed_dir)
-    got = _heal_or_invalidate(root, slug_dir, "orders_c", resolve)
+    got = _heal_or_invalidate(slug_dir, "orders_c", resolve)
     assert got is None
     assert load_layout_pointer(slug_dir, "orders_c")["batch"] \
         == ["retained-snapshot-missing"]
@@ -2136,3 +2138,225 @@ def test_layout_file_skipping_prunes_scan(spark, sf_dir):
         slug_dir, "orders_d", "o_totalprice", lo=0.0, hi=1.0
     )
     assert not s3, "no stats for the column -> keep every file"
+
+
+def test_concurrent_different_slug_cdc_streams(spark, sf_dir):
+    """Per-slug write locks (r18, VERDICT r17 #3): CDC streams to
+    DIFFERENT tables serialize per slug, not on the layout root. Two
+    claims: (a) while one slug's write lock is HELD, a full two-batch
+    in-place stream on a DIFFERENT slug runs to completion (under the
+    pre-r18 root flock this would block until release); (b) two
+    streams driven concurrently from two threads both commit their
+    full history and match the expected post-CDC content derived from
+    the raw corpus."""
+    import os
+    import threading
+
+    from pycaim_spark.operators.layout import slug_write_lock
+    from pycaim_spark.queries.advanced import (
+        _UPSERT_B2_DEL,
+        _UPSERT_DEL,
+        _UPSERT_INS,
+        _UPSERT_INS_OFFSET,
+        _UPSERT_UPD,
+        _upsert_stream_inplace,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    batches = [
+        ("b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS),
+        ("b2", "1 = 0", _UPSERT_B2_DEL, None),
+    ]
+    slugs = {
+        sfx: _reset_private_ns_layout(spark, sf_dir, f"ip{sfx}")
+        for sfx in ("cca", "ccb")
+    }
+    results, errors = {}, []
+
+    def run(sfx):
+        try:
+            df = _upsert_stream_inplace(
+                spark, sf_dir, batches=[tuple(b) for b in batches],
+                suffix=sfx,
+            )
+            results[sfx] = sorted(
+                (r.o_orderkey, r.o_orderdate) for r in df.collect()
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append((sfx, repr(e)))
+
+    # (a) hold slug cca's lock; slug ccb's stream must not block on it.
+    cca_dir = os.path.join(_SCRATCH, "bucketed_tpch", slugs["cca"])
+    with slug_write_lock(cca_dir):
+        t = threading.Thread(target=run, args=("ccb",))
+        t.start()
+        t.join(timeout=300)
+        assert not t.is_alive(), \
+            "a held slug lock must not gate a different slug's motion"
+    assert not errors, errors
+
+    # (b) both streams concurrently (cca cold, ccb warm re-serve).
+    ts = [threading.Thread(target=run, args=(s,)) for s in ("cca", "ccb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+        assert not t.is_alive()
+    assert not errors, errors
+
+    full = load_table(spark, sf_dir, "orders")
+    upd = full.filter(_UPSERT_UPD).withColumn(
+        "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    ins = full.filter(_UPSERT_INS).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(_UPSERT_INS_OFFSET)
+    )
+    keep = full.filter(
+        f"NOT (({_UPSERT_UPD}) OR ({_UPSERT_DEL}))"
+    )
+    expect = sorted(
+        (r.o_orderkey, r.o_orderdate)
+        for r in keep.unionByName(upd).unionByName(ins)
+        .filter(f"NOT ({_UPSERT_B2_DEL})").collect()
+    )
+    assert results["cca"] == expect
+    assert results["ccb"] == expect
+
+
+def test_layout_history_and_asof_ts(spark, sf_dir):
+    """r18 snapshot log + timestamp time travel: every publish writes
+    a {version, ts, kind, key} record atomically with its version dir;
+    `layout_history` lists the readable (current + retained) versions
+    in order, and `resolve_layout_rel_asof_ts` maps any timestamp to
+    the same dir version-number time travel serves. Expired/older-
+    than-retention timestamps raise — bounded explicit history."""
+    import hashlib
+    import os
+
+    import pytest as _pytest
+
+    from pycaim_spark.operators.layout import (
+        layout_history,
+        resolve_layout_rel_asof_ts,
+        resolve_layout_rel_version,
+    )
+    from pycaim_spark.queries.advanced import _layout_fingerprint
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    rows = sorted(
+        (r.ordinal, r.kind, r.batch_key)
+        for r in REGISTRY["layout_history"].fn(spark, sf_dir).collect()
+    )
+    assert rows == [(1, "cdc", "b1"), (2, "cdc", "b2")]
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:iphi:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    hist = layout_history(slug_dir, "orders_c")
+    assert [h["key"] for h in hist] == ["b1", "b2"]
+    assert hist[0]["version"] < hist[1]["version"]
+    assert hist[0]["ts"] <= hist[1]["ts"]
+    for rec in hist:
+        assert resolve_layout_rel_asof_ts(
+            slug_dir, "orders_c", rec["ts"]
+        ) == resolve_layout_rel_version(
+            slug_dir, "orders_c", rec["version"]
+        )
+    # A timestamp between the two commits resolves to the first.
+    if hist[0]["ts"] < hist[1]["ts"]:
+        mid = (hist[0]["ts"] + hist[1]["ts"]) / 2
+        assert resolve_layout_rel_asof_ts(
+            slug_dir, "orders_c", mid
+        ) == resolve_layout_rel_version(
+            slug_dir, "orders_c", hist[0]["version"]
+        )
+    with _pytest.raises(FileNotFoundError):
+        resolve_layout_rel_asof_ts(
+            slug_dir, "orders_c", hist[0]["ts"] - 1e6
+        )
+
+
+def test_multirel_commit_atomic_reader(spark, sf_dir):
+    """r18 slug-level multi-rel commit: (a) the committed pair reads
+    consistently and matches the two-sided referential delete; (b) a
+    MID-COMMIT reader — one rel's pointer already flipped to a new
+    version, slug commit not yet rewritten — still resolves the OLD
+    consistent pair, and (c) the commit-named displaced version is
+    GC-pinned (tombstoned by the crash sweep but never collected while
+    the current slug commit names it), even at zero grace."""
+    import hashlib
+    import os
+    import shutil
+
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        load_slug_commit,
+        publish_layout_version,
+        resolve_layout_rel,
+        resolve_slug_commit,
+        slug_write_lock,
+    )
+    from pycaim_spark.queries.advanced import (
+        _MULTIREL_DEL,
+        _layout_fingerprint,
+        _multirel_delete_commit,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    fps = ":".join(
+        _layout_fingerprint(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("orders", "lineitem")
+    )
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:8:mrc:{fps}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    shutil.rmtree(slug_dir, ignore_errors=True)
+
+    dirs = _multirel_delete_commit(spark, sf_dir)
+    o_full = load_table(spark, sf_dir, "orders")
+    li_full = load_table(spark, sf_dir, "lineitem")
+    got_o = spark.read.parquet(dirs["orders_c"])
+    got_l = spark.read.parquet(dirs["lineitem_c"])
+    assert got_o.count() == o_full.filter(
+        f"o_orderkey % {_MULTIREL_DEL} <> 0"
+    ).count()
+    assert got_l.count() == li_full.filter(
+        f"l_orderkey % {_MULTIREL_DEL} <> 0"
+    ).count()
+    rec1 = load_slug_commit(slug_dir)
+    assert set(rec1["rels"]) == {"orders_c", "lineitem_c"}
+
+    # (b) simulate a crashed two-rel motion: flip orders_c to a new
+    # version WITHOUT rewriting the slug commit.
+    cur_dir, ptr = resolve_layout_rel(slug_dir, "orders_c")
+    with slug_write_lock(slug_dir):
+        publish_layout_version(
+            slug_dir, "orders_c", src_dir=cur_dir,
+            skip_names=set(), staged_files=[],
+            extra={"batch": ["crashed-motion"]},
+        )
+    dirs2 = resolve_slug_commit(slug_dir)
+    assert dirs2 == dirs, \
+        "mid-commit readers must see the OLD consistent pair"
+
+    # (c) zero-grace GC: the displaced-but-commit-named version is
+    # tombstoned by the crash sweep yet never collected.
+    old = os.environ.get("PYCAIM_LAYOUT_GC_GRACE")
+    os.environ["PYCAIM_LAYOUT_GC_GRACE"] = "0"
+    try:
+        with slug_write_lock(slug_dir):
+            gc_layout_versions(slug_dir)
+            gc_layout_versions(slug_dir)
+    finally:
+        if old is None:
+            os.environ.pop("PYCAIM_LAYOUT_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_LAYOUT_GC_GRACE"] = old
+    assert os.path.isdir(dirs["orders_c"]), \
+        "a slug-commit-named version is pinned against collection"
+    assert resolve_slug_commit(slug_dir) == dirs
+    assert spark.read.parquet(dirs["orders_c"]).count() == got_o.count()
