@@ -973,10 +973,117 @@ def incremental_minhash_dedup_stored(
     sets_path, buckets_path, _ = _store_read_view(store_dir)
     b_sets = spark.read.parquet(sets_path)
     store_buckets = spark.read.parquet(buckets_path)
+    # Pending deletions (r18) apply logically: a deleted id absent from
+    # the sets side can never verify as a match, whatever stale bucket
+    # arrays still list it. Broadcast-bounded by deletes since the last
+    # compaction (which applies them physically).
+    dels = _store_deleted_ids(spark, store_dir)
+    if dels is not None:
+        b_sets = b_sets.join(F.broadcast(dels), "id", "left_anti")
     return _incremental_probe(
         b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
     )
+
+
+def _store_delete_dirs(store_dir: str) -> list[str]:
+    """Live DELETE layers (r18): ``deletes/<key>/ids`` parquet dirs,
+    complete (``ids/_SUCCESS``) and not tombstoned — same liveness rule
+    as the append layers, same write-aside swap scaffolding exclusions."""
+    del_dir = os.path.join(store_dir, "deletes")
+    if not os.path.isdir(del_dir):
+        return []
+    return sorted(
+        os.path.join(del_dir, k)
+        for k in os.listdir(del_dir)
+        if not k.endswith(".next")
+        and ".old-" not in k
+        and os.path.exists(os.path.join(del_dir, k, "ids", "_SUCCESS"))
+        and not os.path.exists(
+            os.path.join(del_dir, k, "superseded.json")
+        )
+    )
+
+
+def _store_deleted_ids(spark, store_dir: str):
+    """The union of every live delete layer's ids as a one-column
+    ``id`` DataFrame, or None when no deletes are pending. Bounded by
+    deletions since the last compaction (compaction applies them
+    physically and retires the layers), so probes can broadcast it."""
+    dirs = _store_delete_dirs(store_dir)
+    if not dirs:
+        return None
+    out = None
+    for d in dirs:
+        ids = spark.read.parquet(os.path.join(d, "ids"))
+        out = ids if out is None else out.unionByName(ids)
+    return out.distinct()
+
+
+def _store_del_manifest(store_dir: str) -> list[str]:
+    """Delete keys already APPLIED by a compaction, in fold order —
+    the replay-idempotency manifest for deletions, carried inside the
+    snapshot pointer (``del_folded``) like the append manifest."""
+    ptr = _load_pointer(store_dir)
+    if ptr is not None:
+        return list(ptr.get("del_folded", ()))
+    return []
+
+
+def minhash_signature_store_delete(
+    spark,
+    store_dir: str,
+    doc_ids: DataFrame,
+    delete_key: str,
+    id_col: str = "doc_id",
+) -> None:
+    """DELETE documents from a persisted signature store (r18) — the
+    right-to-be-forgotten motion a production corpus needs: after this
+    commit, deleted docs are never again returned as dedup targets, and
+    a new document identical to a deleted one is NOVEL.
+
+    LSM shape, mirroring the append path: the ids land as a DELETE
+    LAYER ``deletes/<key>/ids`` (write-aside + rename swap, ADVICE r15
+    discipline — a redelivered key never mutates files a lockless
+    reader resolved). Probes apply live delete layers LOGICALLY by
+    anti-joining the store's shingle-set side (a candidate id missing
+    from the sets inner join can never verify as a match — the bucket
+    arrays may keep stale ids until compaction, costing at most
+    candidate slots, never a wrong verdict). The next compaction
+    applies deletions PHYSICALLY — sets rows dropped, bucket member
+    arrays filtered — retires the layers (two-phase tombstone+grace),
+    and records the key in the pointer's ``del_folded`` manifest so a
+    replayed delete is a no-op, the same batch-key discipline as every
+    other sink in the repo. Idempotent before compaction too: the
+    layer is keyed, and deletion is monotone.
+
+    Deleting an id that was never in the store is a harmless no-op
+    row. Cost: O(delete batch) now, O(store) at the next compaction
+    (the physical pass — at 100 TB the same rewrite a table-format
+    purge pays)."""
+    import shutil
+
+    with _store_write_lock(store_dir):
+        _recover_store_swap(store_dir)
+        _store_gc_superseded(store_dir)
+        if delete_key in _store_del_manifest(store_dir):
+            return  # already physically applied by a compaction
+        layer = os.path.join(store_dir, "deletes", delete_key)
+        fresh = layer + ".next"
+        shutil.rmtree(fresh, ignore_errors=True)
+        (
+            doc_ids.select(F.col(id_col).cast("long").alias("id"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(fresh, "ids"))
+        )
+        if os.path.exists(layer):
+            old = f"{layer}.old-{int(time.time() * 1000)}"
+            os.rename(layer, old)
+            _write_json_atomic(
+                os.path.join(old, "superseded.json"), {"ts": time.time()}
+            )
+        os.rename(fresh, layer)
 
 
 def _store_manifest_ordered(store_dir: str) -> list[str]:
@@ -1165,20 +1272,23 @@ def _store_gc_superseded(store_dir: str) -> None:
             tomb = os.path.join(legacy, "_superseded.json")
             if os.path.exists(tomb) and _aged(tomb):
                 shutil.rmtree(legacy, ignore_errors=True)
-    append_dir = os.path.join(store_dir, "append")
-    if not os.path.isdir(append_dir):
-        return
-    for k in os.listdir(append_dir):
-        tomb = os.path.join(append_dir, k, "superseded.json")
-        if os.path.exists(tomb) and _aged(tomb):
-            shutil.rmtree(os.path.join(append_dir, k), ignore_errors=True)
-    # Drop the append/ parent once everything under it is collected, so
-    # "no append dir at all" stays the fully-quiesced steady state.
-    try:
-        if not os.listdir(append_dir):
-            os.rmdir(append_dir)
-    except OSError:
-        pass
+    for root in ("append", "deletes"):
+        layer_root = os.path.join(store_dir, root)
+        if not os.path.isdir(layer_root):
+            continue
+        for k in os.listdir(layer_root):
+            tomb = os.path.join(layer_root, k, "superseded.json")
+            if os.path.exists(tomb) and _aged(tomb):
+                shutil.rmtree(
+                    os.path.join(layer_root, k), ignore_errors=True
+                )
+        # Drop the parent once everything under it is collected, so "no
+        # layer dir at all" stays the fully-quiesced steady state.
+        try:
+            if not os.listdir(layer_root):
+                os.rmdir(layer_root)
+        except OSError:
+            pass
 
 
 def _merge_bucket_layers(
@@ -1299,17 +1409,24 @@ def _load_pointer(store_dir: str) -> dict | None:
         return None
 
 
-def _commit_pointer(store_dir: str, version: int, folded: list[str]) -> None:
+def _commit_pointer(
+    store_dir: str, version: int, folded: list[str],
+    del_folded: list[str] | None = None,
+) -> None:
     """Atomically publish a new base snapshot: one fsynced rename flips
     every reader from (sets_v{N}, buckets_v{N}, folded_N) to version
     N+1's triple — base paths and the folded-layer skip set travel in
     the SAME document, so no interleaving can pair a new base with a
     stale skip set (the double-count mode the old journal stability loop
-    defended against)."""
-    _write_json_atomic(
-        os.path.join(store_dir, "current.json"),
-        {"version": version, "folded": list(folded)},
-    )
+    defended against). ``del_folded`` (r18) is the applied-deletion
+    manifest — delete keys a compaction has folded physically, the
+    replay-idempotency guard for `minhash_signature_store_delete` —
+    carried in the same atomic document; omitted while empty so
+    pre-r18 pointer shapes stay bit-stable."""
+    doc = {"version": version, "folded": list(folded)}
+    if del_folded:
+        doc["del_folded"] = list(del_folded)
+    _write_json_atomic(os.path.join(store_dir, "current.json"), doc)
 
 
 def _versioned(store_dir: str, name: str, version: int) -> str:
@@ -1367,25 +1484,27 @@ def _recover_layer_swaps(store_dir: str) -> None:
     grace GC collects it. Caller holds the store write lock."""
     import shutil
 
-    append_dir = os.path.join(store_dir, "append")
-    if not os.path.isdir(append_dir):
-        return
-    for k in os.listdir(append_dir):
-        d = os.path.join(append_dir, k)
-        if k.endswith(".next"):
-            layer = d[: -len(".next")]
-            if not os.path.exists(layer) and os.path.exists(
-                os.path.join(d, "bands", "_SUCCESS")
+    for root, marker in (("append", "bands"), ("deletes", "ids")):
+        layer_root = os.path.join(store_dir, root)
+        if not os.path.isdir(layer_root):
+            continue
+        for k in os.listdir(layer_root):
+            d = os.path.join(layer_root, k)
+            if k.endswith(".next"):
+                layer = d[: -len(".next")]
+                if not os.path.exists(layer) and os.path.exists(
+                    os.path.join(d, marker, "_SUCCESS")
+                ):
+                    os.rename(d, layer)
+                else:
+                    shutil.rmtree(d, ignore_errors=True)
+            elif ".old-" in k and not os.path.exists(
+                os.path.join(d, "superseded.json")
             ):
-                os.rename(d, layer)
-            else:
-                shutil.rmtree(d, ignore_errors=True)
-        elif ".old-" in k and not os.path.exists(
-            os.path.join(d, "superseded.json")
-        ):
-            _write_json_atomic(
-                os.path.join(d, "superseded.json"), {"ts": time.time()}
-            )
+                _write_json_atomic(
+                    os.path.join(d, "superseded.json"),
+                    {"ts": time.time()},
+                )
 
 
 def _recover_store_swap(store_dir: str) -> None:
@@ -1627,7 +1746,8 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         _recover_store_swap(store_dir)
         _store_gc_superseded(store_dir)
         layers = _store_layer_dirs(store_dir)
-        if not layers:
+        del_layers = _store_delete_dirs(store_dir)
+        if not layers and not del_layers:
             return
         ptr = _load_pointer(store_dir)
         if ptr is None:
@@ -1653,9 +1773,61 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
             )
             bands = spark.read.parquet(os.path.join(l, "bands"))
             pending = bands if pending is None else pending.unionByName(bands)
-        merged_buckets = _merge_bucket_layers(
-            spark.read.parquet(buckets_dir), pending
+        merged_buckets = (
+            _merge_bucket_layers(spark.read.parquet(buckets_dir), pending)
+            if pending is not None
+            else spark.read.parquet(buckets_dir)
         )
+        if del_layers:
+            # PHYSICAL deletion fold (r18): drop deleted docs from the
+            # sets side and filter them out of every bucket's member
+            # array (explode → anti-mark → re-aggregate under the same
+            # merge-stable min-id-prefix cap; width decremented by the
+            # members actually removed — beyond-cap width remains the
+            # conservative collision count it always was). A bucket
+            # whose members are all deleted vanishes. After this pass
+            # the store is byte-equivalent to one built without the
+            # deleted docs, except where a deleted id had evicted
+            # another past BUCKET_STORE_CAP (cap 1024 — a documented,
+            # fixture-unreachable approximation).
+            dels = None
+            for dl in del_layers:
+                ids = spark.read.parquet(os.path.join(dl, "ids"))
+                dels = ids if dels is None else dels.unionByName(ids)
+            dels = dels.distinct()
+            merged_sets = merged_sets.join(
+                F.broadcast(dels), "id", "left_anti"
+            )
+            mark = dels.select(F.col("id").alias("_did")).withColumn(
+                "_del", F.lit(1)
+            )
+            merged_buckets = (
+                merged_buckets.select(
+                    "table_id", "mh", "width",
+                    F.explode("ids").alias("_did"),
+                )
+                .join(F.broadcast(mark), "_did", "left")
+                .groupBy("table_id", "mh")
+                .agg(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_del").isNull(),
+                                    F.col("_did"),
+                                )
+                            )
+                        ),
+                        1,
+                        BUCKET_STORE_CAP,
+                    ).alias("ids"),
+                    (
+                        F.first("width")
+                        - F.coalesce(F.sum("_del"), F.lit(0))
+                    ).cast("long").alias("width"),
+                )
+                .filter(F.size("ids") > 0)
+            )
         merged_sets.write.mode("overwrite").parquet(
             _versioned(store_dir, "sets", v + 1)
         )
@@ -1673,8 +1845,18 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         ]
         prior = _store_manifest_ordered(store_dir)
         folded = prior + [k for k in new_keys if k not in prior]
-        # THE commit: new base + new manifest become visible together.
-        _commit_pointer(store_dir, v + 1, folded)
+        new_del_keys = [
+            os.path.basename(l)
+            for l in sorted(
+                del_layers, key=lambda p: (os.path.getmtime(p), p)
+            )
+        ]
+        prior_del = _store_del_manifest(store_dir)
+        del_folded = prior_del + [
+            k for k in new_del_keys if k not in prior_del
+        ]
+        # THE commit: new base + both manifests become visible together.
+        _commit_pointer(store_dir, v + 1, folded, del_folded=del_folded)
         # Two-phase GC (r15): the old immediate `rmtree(append)` here
         # crashed a concurrent lockless reader mid-scan (reproduced:
         # pytest's dedup_stream_ingest PATH_NOT_FOUND while verify_sweep
@@ -1683,6 +1865,11 @@ def minhash_signature_store_compact(spark, store_dir: str) -> None:
         # write passes.
         _tombstone_folded_layers(store_dir, keys=set(new_keys))
         now = time.time()
+        # Applied delete layers retire on the same two-phase contract.
+        for dl in del_layers:
+            _write_json_atomic(
+                os.path.join(dl, "superseded.json"), {"ts": now}
+            )
         for old in (sets_dir, buckets_dir):
             _write_json_atomic(
                 os.path.join(old, "_superseded.json"), {"ts": now}
@@ -1780,6 +1967,12 @@ def incremental_minhash_dedup_layered(
         )
         bands = spark.read.parquet(os.path.join(l, "bands"))
         pending = bands if pending is None else pending.unionByName(bands)
+    # Pending deletions (r18): anti-join the sets side — see
+    # `incremental_minhash_dedup_stored`. Applies to base AND layer
+    # signatures (a doc appended then deleted must not match either).
+    dels = _store_deleted_ids(spark, store_dir)
+    if dels is not None:
+        b_sets = b_sets.join(F.broadcast(dels), "id", "left_anti")
     return _incremental_probe(
         b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,

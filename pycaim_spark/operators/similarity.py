@@ -993,15 +993,50 @@ def _recover_codes(store_dir: str) -> None:
                             shutil.rmtree(path, ignore_errors=True)
                     except (OSError, ValueError, TypeError):
                         pass
+    # Delete-layer swap scaffolding + two-phase retirement (r18),
+    # mirroring the minhash store's layer recovery: roll a complete
+    # orphaned ``<key>.next`` forward, drop incomplete ones, re-lay
+    # missing ``.old-`` tombstones, collect tombstoned layers past
+    # grace.
+    del_root = os.path.join(store_dir, "codes_deletes")
+    if os.path.isdir(del_root):
+        for k in os.listdir(del_root):
+            d = os.path.join(del_root, k)
+            if k.endswith(".next"):
+                layer = d[: -len(".next")]
+                if not os.path.exists(layer) and os.path.exists(
+                    os.path.join(d, "ids", "_SUCCESS")
+                ):
+                    os.rename(d, layer)
+                else:
+                    shutil.rmtree(d, ignore_errors=True)
+                continue
+            tomb = os.path.join(d, "superseded.json")
+            if ".old-" in k and not os.path.exists(tomb):
+                _write_json_atomic(tomb, {"ts": now})
+            elif os.path.exists(tomb):
+                try:
+                    with open(tomb) as f:
+                        ts = float(json.load(f).get("ts", now))
+                    if now - ts > grace:
+                        shutil.rmtree(d, ignore_errors=True)
+                except (OSError, ValueError, TypeError):
+                    pass
+        try:
+            if not os.listdir(del_root):
+                os.rmdir(del_root)
+        except OSError:
+            pass
     # Pointer-less stores: crash-idempotent forward completion (mirrors
-    # the minhash base migration). A legacy ``codes`` dir renames to
-    # ``codes_v0``; a COMPLETE pointer-less v0 (crashed migration — or a
-    # build that crashed between its v0 write and its pointer commit)
-    # gets the pointer it was about to receive; an INCOMPLETE one is a
-    # build stray — delete it, the next build re-derives. The old rule
-    # here deleted every pointer-less codes_v* dir, which turned a crash
-    # between the migration's rename and its pointer write into DATA
-    # LOSS of the only coded corpus.
+    # the minhash base migration). A legacy ``codes`` dir is
+    # LINK-ASSEMBLED into ``codes_v0`` (r18 — never renamed); a
+    # COMPLETE pointer-less v0 (crashed migration — or a build that
+    # crashed between its v0 write and its pointer commit) gets the
+    # pointer it was about to receive; an INCOMPLETE one is a build
+    # stray — delete it, the next build re-derives. The pre-fix rule
+    # deleted every pointer-less codes_v* dir, which turned a crash
+    # between the migration and its pointer write into DATA LOSS of
+    # the only coded corpus.
     if v is None:
         legacy = os.path.join(store_dir, "codes")
         v0 = os.path.join(store_dir, "codes_v0")
@@ -1258,6 +1293,166 @@ def ivf_pq_index_append(
         _write_json_atomic(manifest, sorted(set(done) | {ingest_key}))
 
 
+def _codes_delete_dirs(store_dir: str) -> list[str]:
+    """Live delete layers of the coded corpus (r18):
+    ``codes_deletes/<key>/ids`` — complete and untombstoned, same
+    liveness rule as every layer family in the repo."""
+    root = os.path.join(store_dir, "codes_deletes")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, k)
+        for k in os.listdir(root)
+        if not k.endswith(".next")
+        and ".old-" not in k
+        and os.path.exists(os.path.join(root, k, "ids", "_SUCCESS"))
+        and not os.path.exists(os.path.join(root, k, "superseded.json"))
+    )
+
+
+def _codes_deleted_ids(spark, store_dir: str):
+    """Union of live delete layers' ids as a one-column
+    ``neighbor_id`` DataFrame (the codes table's id column), or None.
+    Bounded by deletions since the last vacuum."""
+    dirs = _codes_delete_dirs(store_dir)
+    if not dirs:
+        return None
+    out = None
+    for d in dirs:
+        ids = spark.read.parquet(os.path.join(d, "ids"))
+        out = ids if out is None else out.unionByName(ids)
+    return out.distinct()
+
+
+def _codes_del_manifest(store_dir: str) -> list[str]:
+    """Delete keys a vacuum has applied physically — the
+    replay-idempotency manifest, carried in ``codes_current.json``."""
+    import json
+
+    path = os.path.join(store_dir, "codes_current.json")
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            return list(json.load(f).get("del_folded", ()))
+    except (OSError, ValueError, AttributeError):
+        return []
+
+
+def ivf_pq_index_delete(
+    spark,
+    store_dir: str,
+    vec_ids: DataFrame,
+    delete_key: str,
+    id_col: str = "vec_id",
+) -> None:
+    """DELETE vectors from a persisted IVF-PQ index (r18) — the ANN
+    twin of `operators/dedup.minhash_signature_store_delete`: after
+    this commit the vectors are never returned as neighbors. The ids
+    land as a keyed delete layer (write-aside + rename, ADVICE r15
+    discipline); probes apply them logically (anti-join the codes
+    scan), `ivf_pq_codes_vacuum` applies them physically and records
+    the key in the pointer's ``del_folded`` manifest so a replayed
+    delete is a no-op. Note the scope: this guards the STORE — a
+    later RETRAIN re-encodes whatever corpus it is given, so purge the
+    source corpus too (the layout's CDC delete) before retraining."""
+    import shutil
+    import time
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
+
+    with _store_write_lock(store_dir):
+        _recover_codes(store_dir)
+        if delete_key in _codes_del_manifest(store_dir):
+            return
+        layer = os.path.join(store_dir, "codes_deletes", delete_key)
+        fresh = layer + ".next"
+        shutil.rmtree(fresh, ignore_errors=True)
+        (
+            vec_ids.select(
+                F.col(id_col).cast("long").alias("neighbor_id")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(fresh, "ids"))
+        )
+        if os.path.exists(layer):
+            old = f"{layer}.old-{int(time.time() * 1000)}"
+            os.rename(layer, old)
+            _write_json_atomic(
+                os.path.join(old, "superseded.json"),
+                {"ts": time.time()},
+            )
+        os.rename(fresh, layer)
+
+
+def ivf_pq_codes_vacuum(spark, store_dir: str) -> None:
+    """Apply pending deletions PHYSICALLY: publish ``codes_v{N+1}`` =
+    the live codes minus every live delete layer's ids, flip the
+    pointer with the applied delete keys folded into ``del_folded``,
+    tombstone the displaced version and the applied layers (two-phase
+    grace GC, collected by `_recover_codes` on later write passes). A
+    lockless reader that resolved version N keeps its files for the
+    grace period — the same snapshot-commit contract as every store."""
+    import time
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
+
+    with _store_write_lock(store_dir):
+        _recover_codes(store_dir)
+        del_layers = _codes_delete_dirs(store_dir)
+        if not del_layers:
+            return
+        v = _codes_version(store_dir)
+        if v is None:
+            raise RuntimeError(
+                f"IVF-PQ store at {store_dir} has delete layers but no "
+                "committed codes pointer — build the index first"
+            )
+        dels = None
+        for d in del_layers:
+            ids = spark.read.parquet(os.path.join(d, "ids"))
+            dels = ids if dels is None else dels.unionByName(ids)
+        cur = spark.read.parquet(_codes_path(store_dir))
+        (
+            cur.join(F.broadcast(dels.distinct()), "neighbor_id",
+                     "left_anti")
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"codes_v{v + 1}"))
+        )
+        new_keys = [
+            os.path.basename(d)
+            for d in sorted(
+                del_layers, key=lambda p: (os.path.getmtime(p), p)
+            )
+        ]
+        prior = _codes_del_manifest(store_dir)
+        _write_json_atomic(
+            os.path.join(store_dir, "codes_current.json"),
+            {"version": v + 1,
+             "del_folded": prior + [
+                 k for k in new_keys if k not in prior
+             ]},
+        )
+        now = time.time()
+        _write_json_atomic(
+            os.path.join(
+                store_dir, f"codes_v{v}", "_superseded.json"
+            ),
+            {"ts": now},
+        )
+        for d in del_layers:
+            _write_json_atomic(
+                os.path.join(d, "superseded.json"), {"ts": now}
+            )
+
+
 def ivf_pq_topk_stored(
     emb: DataFrame,
     store_dir: str,
@@ -1285,6 +1480,12 @@ def ivf_pq_topk_stored(
         emb, store_dir, n_cells, m, k_centroids, sample_size, iters, seed
     )
     coded = emb.sparkSession.read.parquet(_codes_path(store_dir))
+    # Pending deletions (r18) apply logically until a vacuum folds
+    # them: a deleted vector filtered from the codes scan can never be
+    # a candidate, whatever version the pointer serves.
+    dels = _codes_deleted_ids(emb.sparkSession, store_dir)
+    if dels is not None:
+        coded = coded.join(F.broadcast(dels), "neighbor_id", "left_anti")
     return _ivf_pq_query(
         emb, coded, centroids, codebooks, nprobe, k, n_queries, n_candidates
     )

@@ -2004,6 +2004,73 @@ def layout_history_query(spark, sf_dir):
     )
 
 
+@register(
+    "layout_time_travel_ts",
+    tags=("composite", "storage"),
+    oracle=_UPSERT_ORDV_SQL + """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key,
+           COUNT(CASE WHEN o_orderkey >= 1000000000 THEN 1 END)
+               AS n_inserted
+    FROM ordv
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_time_travel_ts(spark, sf_dir):
+    """TIME TRAVEL BY TIMESTAMP (r18, VERDICT r17 #5): read the
+    retained two-batch stream's table AS OF batch 1's COMMIT TIME —
+    `resolve_layout_rel_asof_ts` maps the timestamp (taken from the
+    snapshot log's own commit record, so the query is stable across
+    pristine rebuilds that shift versions and clocks) to the newest
+    readable version committed at or before it. The oracle is the
+    single-batch post-CDC state — identical to `layout_time_travel`'s
+    version-number gate, so the two resolution paths are pinned to the
+    same frame: a timestamp resolution that leaks batch 2's deletes
+    (rounding up) or misses batch 1 (rounding down) hash-fails."""
+    import hashlib
+
+    from pycaim_spark.operators.layout import (
+        layout_history,
+        resolve_layout_rel_asof_ts,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    register_temp_views(spark, sf_dir)
+    _upsert_stream_inplace(
+        spark, sf_dir,
+        batches=[
+            ("b1", _UPSERT_UPD, _UPSERT_DEL, _UPSERT_INS),
+            ("b2", "1 = 0", _UPSERT_B2_DEL, None),
+        ],
+        suffix="hi",
+        retain=True,
+    )
+    src = os.path.join(sf_dir, "orders.parquet")
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:32:iphi:"
+        f"{_layout_fingerprint(src)}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(_SCRATCH, "bucketed_tpch", slug)
+    [b1_ts] = [
+        rec["ts"] for rec in layout_history(slug_dir, "orders_c")
+        if rec["key"] == "b1"
+    ]
+    as_of = spark.read.parquet(
+        resolve_layout_rel_asof_ts(slug_dir, "orders_c", b1_ts)
+    )
+    return as_of.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fsum(cents("o_totalprice"), 2, "total_price"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(
+            F.when(F.col("o_orderkey") >= _UPSERT_INS_OFFSET, 1)
+        ).alias("n_inserted"),
+    )
+
+
 def _cdc_sink_apply_micro_batch(
     spark, bdf, *, slug_dir, rel, specs, stage, sname,
     buckets, key, columns, schema, base_ddl,
@@ -3120,6 +3187,217 @@ def layout_file_skipping(spark, sf_dir):
              >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("o_orderdate")
                < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fsum(cents("o_totalprice"), 2, "total_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+def _zvalue(x, y, bits: int = 16):
+    """Morton/Z-value of two ``bits``-bit non-negative ints, as a pure
+    JVM column expression (16 shift/mask/or terms per column — inside
+    whole-stage codegen, no UDF): bit i of ``x`` lands at position 2i,
+    bit i of ``y`` at 2i+1. Interleaving makes a range sort on the
+    z-value cluster BOTH dimensions at once — each file covers a small
+    rectangle of (x, y) space, so per-file min/max stats prune on
+    EITHER column's predicate (the table-format Z-ORDER motion)."""
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column.bitwiseAND/OR, not Python &/| (those are LOGICAL
+        # and/or on Spark Columns and fail analysis on BIGINT).
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return z
+
+
+def _zorder_orders_layout(spark, sf_dir, files: int = 16):
+    """A Z-ORDERED orders layout published with per-file stats on BOTH
+    clustering dimensions (r18): rows are range-partitioned on the
+    Morton interleave of (o_custkey, o_orderdate), so every file covers
+    a compact rectangle of customer × date space and the pointer
+    manifest's min/max prune files for predicates on EITHER column —
+    where the single-column date-clustered rel
+    (`_date_clustered_orders_layout`) prunes nothing on a customer
+    predicate (its files span the full custkey range; measured in
+    tests/test_storage.py test_layout_zorder_two_dimensional_skipping).
+    Both dimensions normalize to 16-bit grid coordinates from their
+    corpus min/max (two driver scalars — one tiny agg at build time).
+    Returns (slug_dir, ddl)."""
+    import hashlib
+
+    from pycaim_spark.operators.dedup import (
+        _store_write_lock,
+        _write_json_atomic,
+    )
+    from pycaim_spark.operators.layout import (
+        gc_layout_versions,
+        publish_layout_version,
+        resolve_layout_rel,
+        slug_write_lock,
+    )
+    from pycaim_spark.queries.relational import _SCRATCH
+
+    ns = "zo"
+    layout_root = os.path.join(_SCRATCH, "bucketed_tpch")
+    abs_sf = os.path.abspath(sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    fp = _layout_fingerprint(src)
+    slug = hashlib.md5(
+        f"{abs_sf}:{files}:{ns}:{fp}".encode()
+    ).hexdigest()[:8]
+    slug_dir = os.path.join(layout_root, slug)
+    rel = "orders_z"
+    full = load_table(spark, sf_dir, "orders")
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in full.schema.fields
+    )
+    cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+    if (
+        ptr is not None
+        and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
+        and not os.path.exists(os.path.join(slug_dir, "superseded.json"))
+    ):
+        return slug_dir, ddl
+    with _store_write_lock(layout_root), slug_write_lock(slug_dir):
+        gc_layout_versions(slug_dir)
+        cur_dir, ptr = resolve_layout_rel(slug_dir, rel)
+        if not (
+            ptr is not None
+            and os.path.exists(os.path.join(cur_dir, "_SUCCESS"))
+        ):
+            import shutil
+
+            lo = full.agg(
+                F.min("o_custkey").alias("cmin"),
+                F.max("o_custkey").alias("cmax"),
+                F.min(F.unix_date(F.col("o_orderdate").cast("date")))
+                .alias("dmin"),
+                F.max(F.unix_date(F.col("o_orderdate").cast("date")))
+                .alias("dmax"),
+            ).first()
+            cspan = max(int(lo.cmax - lo.cmin), 1)
+            dspan = max(int(lo.dmax - lo.dmin), 1)
+            cx = (
+                (F.col("o_custkey") - F.lit(int(lo.cmin)))
+                * F.lit(65535) / F.lit(cspan)
+            ).cast("long")
+            dy = (
+                (
+                    F.unix_date(F.col("o_orderdate").cast("date"))
+                    - F.lit(int(lo.dmin))
+                )
+                * F.lit(65535) / F.lit(dspan)
+            ).cast("long")
+            stage = os.path.join(slug_dir, f"{rel}_stage")
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(slug_dir, exist_ok=True)
+            (
+                full.withColumn("_z", _zvalue(cx, dy))
+                .repartitionByRange(files, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            publish_layout_version(
+                slug_dir, rel, src_dir=None, prebuilt_dir=stage,
+                extra={"batch": None, "ddl": ddl},
+                stats_cols=("o_custkey", "o_orderdate", "o_orderkey"),
+            )
+            _write_json_atomic(
+                os.path.join(slug_dir, "source.json"),
+                {"sf_dir": abs_sf, "table": f"orders#{ns}",
+                 "buckets": files, "fp": fp},
+            )
+            _gc_superseded_layouts(
+                spark, layout_root, slug, abs_sf, f"orders#{ns}", fp
+            )
+        tomb = os.path.join(slug_dir, "superseded.json")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+    return slug_dir, ddl
+
+
+#: The z-order demo rectangle: the lower quarter of the customer range
+#: crossed with two mid-corpus years. Bounds derive from corpus min/max
+#: in BOTH engines so the gate compares identical predicates.
+_ZO_DATE_LO = "1994-01-01 00:00:00"
+_ZO_DATE_HI = "1996-01-01 00:00:00"
+
+
+@register(
+    "layout_zorder_skipping",
+    tags=("composite", "storage"),
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(o_custkey)
+               + CAST(FLOOR((MAX(o_custkey) - MIN(o_custkey)) / 4.0)
+                      AS BIGINT) AS cmax
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM orders, b
+    WHERE o_custkey <= b.cmax
+      AND o_orderdate >= TIMESTAMP '{_ZO_DATE_LO}'
+      AND o_orderdate < TIMESTAMP '{_ZO_DATE_HI}'
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_zorder_skipping(spark, sf_dir):
+    """TWO-DIMENSIONAL FILE SKIPPING over the Z-ORDERED layout (r18):
+    a rectangle predicate (lower quarter of the customer range × two
+    mid-corpus years) resolves its scan file set by intersecting the
+    manifest prunes of BOTH columns — possible only because the Morton
+    sort gives every file a compact rectangle in (custkey, date) space;
+    a single-column clustering prunes on its own column and nothing
+    else (measured against the date-clustered rel in
+    tests/test_storage.py). Correctness never rests on the stats: the
+    rectangle is re-applied over the kept files and the oracle runs the
+    identical predicate on the raw table — a wrongly skipped file
+    hash-fails, a wrongly kept one contributes nothing."""
+    from pycaim_spark.operators.layout import prune_layout_files
+
+    register_temp_views(spark, sf_dir)
+    slug_dir, ddl = _zorder_orders_layout(spark, sf_dir)
+    full = load_table(spark, sf_dir, "orders")
+    mm = full.agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax")
+    ).first()
+    import math
+
+    cbound = int(mm.cmin) + int(
+        math.floor((int(mm.cmax) - int(mm.cmin)) / 4.0)
+    )
+    kept_c, _sc, _ = prune_layout_files(
+        slug_dir, "orders_z", "o_custkey", lo=None, hi=cbound
+    )
+    kept_d, _sd, _ = prune_layout_files(
+        slug_dir, "orders_z", "o_orderdate",
+        lo=_ZO_DATE_LO.replace(" ", "T"),
+        hi=_ZO_DATE_HI.replace(" ", "T"),
+    )
+    kept = sorted(set(kept_c) & set(kept_d))
+    df = spark.read.schema(ddl).parquet(*kept)
+    return (
+        df.filter(
+            (F.col("o_custkey") <= F.lit(cbound))
+            & (F.col("o_orderdate")
+               >= F.lit(_ZO_DATE_LO).cast("timestamp_ntz"))
+            & (F.col("o_orderdate")
+               < F.lit(_ZO_DATE_HI).cast("timestamp_ntz"))
         )
         .groupBy("o_orderpriority")
         .agg(

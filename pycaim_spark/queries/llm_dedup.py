@@ -575,6 +575,60 @@ def dedup_incremental_append(spark, sf_dir):
 
 
 @register(
+    "dedup_store_delete",
+    tags=("llm", "dedup", "incremental", "sink"),
+    rows_only_reason="minhash verdicts are LSH-approximate and probe a "
+    "persisted side-effect store mutated by a delete batch; "
+    "tests/test_llm_ops.py test_store_delete_lifecycle pins the "
+    "semantics (a doc identical to a deleted doc is novel, the "
+    "physical fold equals a fresh build without the deleted docs, "
+    "replayed delete keys no-op, layers retire on tombstone+grace)",
+)
+def dedup_store_delete(spark, sf_dir):
+    """Dedup probe against a signature store AFTER A DELETION BATCH
+    (r18) — the right-to-be-forgotten motion a production corpus needs:
+    a deterministic slice of the base corpus (``doc_id % 9 = 2``) is
+    deleted from the persisted store
+    (`operators/dedup.minhash_signature_store_delete` — an LSM delete
+    layer, applied logically by probe-time anti-join of the sets side,
+    physically by the next compaction which drops the ids from sets
+    and bucket arrays and records the key in the pointer's
+    ``del_folded`` manifest), then the daily delta (``doc_id % 10 =
+    0``) probes the folded store. Verdicts that previously matched a
+    deleted base doc flip to novel; every motion is idempotent so
+    re-runs serve the committed state (build skipped by pointer,
+    delete no-op'd by manifest, compaction no-op with nothing
+    pending)."""
+    import os
+
+    from pycaim_spark.catalog import parquet_row_count
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+        minhash_signature_store_delete,
+    )
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 >= 2)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    store = os.path.join(
+        _SCRATCH,
+        f"delstore_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{parquet_row_count(sf_dir, 'documents')}",
+    )
+    minhash_signature_store_build(base, store)
+    minhash_signature_store_delete(
+        spark, store,
+        base.filter(F.col("doc_id") % 9 == 2).select("doc_id"),
+        "del-batch-1",
+    )
+    minhash_signature_store_compact(spark, store)
+    return incremental_minhash_dedup_layered(spark, store, delta)
+
+
+@register(
     "dedup_stream_ingest",
     tags=("llm", "dedup", "incremental", "streaming", "sink"),
     rows_only_reason="Structured Streaming foreachBatch over side-effect "
@@ -914,6 +968,63 @@ def sim_ivf_pq_stored(spark, sf_dir):
         f"ivfpq_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{parquet_row_count(sf_dir, 'embeddings')}_c32m8k32",
     )
+    return ivf_pq_topk_stored(
+        emb, store, n_cells=32, nprobe=12, m=8, k_centroids=32, k=5,
+        n_queries=10,
+    )
+
+
+@register(
+    "sim_ivf_pq_deleted",
+    tags=("llm", "similarity", "sink"),
+    rows_only_reason="IVF-PQ is doubly approximate and this mutates a "
+    "persisted side-effect index with a delete batch + vacuum; "
+    "tests/test_llm_ops.py test_ivf_pq_delete_and_vacuum pins the "
+    "semantics (deleted vectors never returned, vacuumed verdicts "
+    "equal the filtered probe, replayed delete keys no-op, two-phase "
+    "layer retirement)",
+)
+def sim_ivf_pq_deleted(spark, sf_dir):
+    """IVF-PQ top-k AFTER A VECTOR DELETION BATCH (r18) — the ANN twin
+    of `dedup_store_delete`: a deterministic slice of the corpus
+    (``vec_id % 11 = 3``) is deleted from a persisted index
+    (`operators/similarity.ivf_pq_index_delete` — keyed delete layer,
+    probe-time anti-join) and physically vacuumed
+    (`ivf_pq_codes_vacuum` — codes version bump, del_folded manifest),
+    then the standard query runs: no deleted vector ever appears as a
+    neighbor, and re-runs serve the committed state idempotently
+    (build skipped by pointer, delete no-op'd by manifest, vacuum
+    no-op with nothing pending). At 100 TB this is the
+    right-to-be-forgotten path for embedding indexes: O(batch) now,
+    one codes rewrite at vacuum, retrain unaffected."""
+    import os
+
+    from pycaim_spark.catalog import parquet_row_count
+    from pycaim_spark.operators.similarity import (
+        ivf_pq_codes_vacuum,
+        ivf_pq_index_delete,
+        ivf_pq_topk_stored,
+    )
+    from pycaim_spark.streaming.runner import _SCRATCH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        _SCRATCH,
+        f"ivfpqdel_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{parquet_row_count(sf_dir, 'embeddings')}_c32m8k32",
+    )
+    # Build (idempotent) BEFORE deleting so the delete layer targets a
+    # committed index.
+    ivf_pq_topk_stored(
+        emb, store, n_cells=32, nprobe=12, m=8, k_centroids=32, k=5,
+        n_queries=2,
+    ).collect()
+    ivf_pq_index_delete(
+        spark, store,
+        emb.filter(F.col("vec_id") % 11 == 3).select("vec_id"),
+        "del-batch-1",
+    )
+    ivf_pq_codes_vacuum(spark, store)
     return ivf_pq_topk_stored(
         emb, store, n_cells=32, nprobe=12, m=8, k_centroids=32, k=5,
         n_queries=10,

@@ -1938,3 +1938,235 @@ def test_legacy_store_mid_migration_reader_survives(spark, tmp_path):
     n0 = legacy_codes.count()  # stale reader materializes post-migration
     assert n0 == 40
     assert spark.read.parquet(_codes_path(ann)).count() == 45
+
+
+def test_store_delete_lifecycle(spark, tmp_path):
+    """r18 signature-store DELETION (the right-to-be-forgotten motion):
+    logical phase — a probe never returns a deleted doc as dup target,
+    and a doc identical to a deleted one is NOVEL while untouched docs
+    still match; physical phase — compaction drops the ids from sets
+    AND bucket member arrays, records the delete key in the pointer's
+    del_folded manifest (replayed delete = no-op), and the folded
+    store's probe verdicts equal a store built fresh on the corpus
+    minus the deleted docs (the twin falsifier); delete layers retire
+    on the two-phase tombstone+grace contract."""
+    import os
+
+    from pycaim_spark.operators.dedup import (
+        _load_pointer,
+        _store_delete_dirs,
+        _store_read_view,
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+        minhash_signature_store_compact,
+        minhash_signature_store_delete,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    probe1 = spark.createDataFrame(
+        [(30, "alpha beta gamma delta epsilon zeta eta theta iota kapp")],
+        "doc_id long, text string",
+    )
+    probe2 = spark.createDataFrame(
+        [(31, "one two three four five six seven eight nine ten twelve")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+
+    def verdicts(p):
+        return {
+            (r.doc_id, r.dup_of, r.is_new)
+            for r in incremental_minhash_dedup_layered(
+                spark, store, p
+            ).collect()
+        }
+
+    assert verdicts(probe1) == {(30, 1, 0)}
+    assert verdicts(probe2) == {(31, 2, 0)}
+
+    dels = spark.createDataFrame([(1,)], "doc_id long")
+    minhash_signature_store_delete(spark, store, dels, "gdpr1")
+    assert verdicts(probe1) == {(30, None, 1)}, \
+        "a doc identical to a deleted doc must be NOVEL"
+    assert verdicts(probe2) == {(31, 2, 0)}, "deletion is targeted"
+    # Redelivered delete key pre-compaction: harmless no-op.
+    minhash_signature_store_delete(spark, store, dels, "gdpr1")
+    assert verdicts(probe1) == {(30, None, 1)}
+
+    # Physical fold: sets and bucket arrays drop id 1; the delete key
+    # lands in the pointer manifest; the layer is tombstoned.
+    minhash_signature_store_compact(spark, store)
+    ptr = _load_pointer(store)
+    assert ptr["del_folded"] == ["gdpr1"]
+    sets_path, buckets_path, _ = _store_read_view(store)
+    assert spark.read.parquet(sets_path).filter("id = 1").count() == 0
+    bk = spark.read.parquet(buckets_path)
+    assert bk.filter(F.array_contains("ids", 1)).count() == 0
+    assert _store_delete_dirs(store) == [], "applied layer is retired"
+    assert verdicts(probe1) == {(30, None, 1)}
+    assert verdicts(probe2) == {(31, 2, 0)}
+
+    # Twin falsifier: a store built FRESH on corpus-minus-deleted has
+    # identical sets ids and bucket membership.
+    twin = str(tmp_path / "twin")
+    minhash_signature_store_build(base.filter("doc_id <> 1"), twin)
+    t_sets, t_buckets, _ = _store_read_view(twin)
+    assert (
+        {r.id for r in spark.read.parquet(sets_path).select("id").collect()}
+        == {r.id for r in spark.read.parquet(t_sets).select("id").collect()}
+    )
+    folded_b = {
+        (r.table_id, r.mh, tuple(r.ids), r.width)
+        for r in bk.collect()
+    }
+    twin_b = {
+        (r.table_id, r.mh, tuple(r.ids), r.width)
+        for r in spark.read.parquet(t_buckets).collect()
+    }
+    assert folded_b == twin_b, \
+        "delete-folded buckets must equal a fresh build without the doc"
+
+    # Replay AFTER the fold: manifest guard, no new layer dir appears.
+    minhash_signature_store_delete(spark, store, dels, "gdpr1")
+    assert _store_delete_dirs(store) == []
+
+    # Append-then-delete composition: a doc appended as a layer and
+    # then deleted must not match either (layer signatures are
+    # anti-joined too); the next compaction folds both.
+    day1 = spark.createDataFrame(
+        [(10, "completely novel vocabulary for the appended slice here")],
+        "doc_id long, text string",
+    )
+    probe10 = spark.createDataFrame(
+        [(40, "completely novel vocabulary for the appended slice her")],
+        "doc_id long, text string",
+    )
+    minhash_signature_store_append(spark, store, day1, "day1")
+    assert verdicts(probe10) == {(40, 10, 0)}
+    minhash_signature_store_delete(
+        spark, store, spark.createDataFrame([(10,)], "doc_id long"),
+        "gdpr2",
+    )
+    assert verdicts(probe10) == {(40, None, 1)}
+    minhash_signature_store_compact(spark, store)
+    assert _load_pointer(store)["del_folded"] == ["gdpr1", "gdpr2"]
+    assert verdicts(probe10) == {(40, None, 1)}
+    assert verdicts(probe2) == {(31, 2, 0)}
+
+    # Two-phase retirement: the tombstoned delete layers collect past
+    # grace on a later write pass, and deletes/ quiesces away.
+    old_grace = os.environ.get("PYCAIM_STORE_GC_GRACE")
+    os.environ["PYCAIM_STORE_GC_GRACE"] = "0"
+    try:
+        minhash_signature_store_compact(spark, store)  # no-op + GC
+    finally:
+        if old_grace is None:
+            os.environ.pop("PYCAIM_STORE_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_STORE_GC_GRACE"] = old_grace
+    assert not os.path.isdir(os.path.join(store, "deletes"))
+
+
+def test_ivf_pq_delete_and_vacuum(spark, tmp_path):
+    """r18 ANN deletion: after `ivf_pq_index_delete` a vector is never
+    returned as a neighbor (logical phase — probe-time anti-join of the
+    codes scan); `ivf_pq_codes_vacuum` applies it physically (codes
+    version bumps, deleted rows gone, delete key in the pointer's
+    del_folded manifest so a replayed delete no-ops) with verdicts
+    identical to the filtered probe; the applied layer and displaced
+    codes version retire on tombstone+grace."""
+    import os
+
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import (
+        _codes_delete_dirs,
+        _codes_del_manifest,
+        _codes_path,
+        _codes_version,
+        ivf_pq_codes_vacuum,
+        ivf_pq_index_delete,
+        ivf_pq_topk_stored,
+    )
+
+    rng = np.random.default_rng(23)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v])
+         for i, v in enumerate(rng.normal(size=(60, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ann")
+
+    def probe():
+        return sorted(
+            tuple(r) for r in ivf_pq_topk_stored(
+                emb, store, n_cells=4, m=4, k_centroids=8,
+                sample_size=60, n_queries=8, k=3,
+            ).collect()
+        )
+
+    base = probe()
+    returned = {r[1] for r in base}  # neighbor_id column position 2?
+    # Robust to column order: find the neighbor ids via row asDict.
+    rows = ivf_pq_topk_stored(
+        emb, store, n_cells=4, m=4, k_centroids=8, sample_size=60,
+        n_queries=8, k=3,
+    ).collect()
+    returned = {r.neighbor_id for r in rows}
+    assert returned, "baseline probe must return neighbors"
+    victims = sorted(returned)[:3]
+    ivf_pq_index_delete(
+        spark, store,
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+        "gdpr-ann-1",
+    )
+    filtered = ivf_pq_topk_stored(
+        emb, store, n_cells=4, m=4, k_centroids=8, sample_size=60,
+        n_queries=8, k=3,
+    ).collect()
+    assert not ({r.neighbor_id for r in filtered} & set(victims)), \
+        "deleted vectors must never be returned as neighbors"
+
+    v0 = _codes_version(store)
+    ivf_pq_codes_vacuum(spark, store)
+    assert _codes_version(store) == v0 + 1
+    assert _codes_del_manifest(store) == ["gdpr-ann-1"]
+    codes = spark.read.parquet(_codes_path(store))
+    assert codes.filter(
+        F.col("neighbor_id").isin([int(v) for v in victims])
+    ).count() == 0
+    assert _codes_delete_dirs(store) == []
+    after = ivf_pq_topk_stored(
+        emb, store, n_cells=4, m=4, k_centroids=8, sample_size=60,
+        n_queries=8, k=3,
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, filtered)), \
+        "the vacuumed store's verdicts equal the filtered probe's"
+    # Replay after the fold: manifest guard, no new layer.
+    ivf_pq_index_delete(
+        spark, store,
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+        "gdpr-ann-1",
+    )
+    assert _codes_delete_dirs(store) == []
+
+    # Two-phase retirement at zero grace: old version + layers collect.
+    old_grace = os.environ.get("PYCAIM_STORE_GC_GRACE")
+    os.environ["PYCAIM_STORE_GC_GRACE"] = "0"
+    try:
+        ivf_pq_codes_vacuum(spark, store)  # no-op write pass runs GC
+    finally:
+        if old_grace is None:
+            os.environ.pop("PYCAIM_STORE_GC_GRACE", None)
+        else:
+            os.environ["PYCAIM_STORE_GC_GRACE"] = old_grace
+    assert not os.path.exists(os.path.join(store, f"codes_v{v0}"))
+    assert not os.path.isdir(os.path.join(store, "codes_deletes"))

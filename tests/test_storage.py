@@ -2360,3 +2360,70 @@ def test_multirel_commit_atomic_reader(spark, sf_dir):
         "a slug-commit-named version is pinned against collection"
     assert resolve_slug_commit(slug_dir) == dirs
     assert spark.read.parquet(dirs["orders_c"]).count() == got_o.count()
+
+
+def test_layout_zorder_two_dimensional_skipping(spark, sf_dir):
+    """r18 Z-ORDER: the Morton-sorted layout's manifest prunes files on
+    BOTH clustering columns — a customer-range predicate and a date
+    window each skip files, their rectangle intersects to at most the
+    smaller set, and excluded files genuinely contain no rectangle
+    rows. The discriminating claim vs single-column clustering: the
+    DATE-clustered rel prunes NOTHING on a customer predicate (its
+    files all span the full custkey range)."""
+    import math
+    import os
+
+    from pycaim_spark.operators.layout import prune_layout_files
+    from pycaim_spark.queries.advanced import (
+        _ZO_DATE_HI,
+        _ZO_DATE_LO,
+        _date_clustered_orders_layout,
+        _zorder_orders_layout,
+    )
+
+    slug_dir, ddl = _zorder_orders_layout(spark, sf_dir)
+    full = load_table(spark, sf_dir, "orders")
+    mm = full.agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax")
+    ).first()
+    cbound = int(mm.cmin) + int(
+        math.floor((int(mm.cmax) - int(mm.cmin)) / 4.0)
+    )
+    kept_c, skip_c, ptr = prune_layout_files(
+        slug_dir, "orders_z", "o_custkey", lo=None, hi=cbound
+    )
+    kept_d, skip_d, _ = prune_layout_files(
+        slug_dir, "orders_z", "o_orderdate",
+        lo=_ZO_DATE_LO.replace(" ", "T"),
+        hi=_ZO_DATE_HI.replace(" ", "T"),
+    )
+    assert skip_c, "customer-quarter predicate must skip z-order files"
+    assert skip_d, "date-window predicate must skip z-order files"
+    kept = sorted(set(kept_c) & set(kept_d))
+    assert kept and len(kept) <= min(len(kept_c), len(kept_d))
+
+    pred = (
+        (F.col("o_custkey") <= F.lit(cbound))
+        & (F.col("o_orderdate")
+           >= F.lit(_ZO_DATE_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit(_ZO_DATE_HI).cast("timestamp_ntz"))
+    )
+    excluded = sorted(set(kept_c + skip_c) - set(kept))
+    assert (
+        spark.read.schema(ddl).parquet(*excluded).filter(pred).count()
+        == 0
+    ), "files outside the rectangle intersection hold no rectangle rows"
+    assert (
+        spark.read.schema(ddl).parquet(*kept).filter(pred).count()
+        == full.filter(pred).count()
+    ), "the intersection holds every rectangle row"
+
+    # Single-column clustering cannot prune the other dimension: the
+    # date-clustered rel keeps EVERY file under the custkey predicate.
+    dc_slug, _dc_ddl = _date_clustered_orders_layout(spark, sf_dir)
+    _k, dc_skip, _ = prune_layout_files(
+        dc_slug, "orders_d", "o_custkey", lo=None, hi=cbound
+    )
+    assert dc_skip == [], \
+        "date-clustered files span the custkey range: nothing prunes"
