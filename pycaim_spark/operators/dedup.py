@@ -1640,6 +1640,16 @@ def _recover_store_swap(store_dir: str) -> None:
                 os.path.join(path, "_superseded.json"),
                 {"ts": time.time()},
             )
+    # Delete layers the pointer has folded (``del_folded``) whose
+    # tombstone write was lost to a crash: re-lay it so grace
+    # collection proceeds — probes stay correct meanwhile (re-filtering
+    # already-removed ids is a no-op).
+    for dl in _store_delete_dirs(store_dir):
+        if os.path.basename(dl) in set(ptr.get("del_folded", ())):
+            _write_json_atomic(
+                os.path.join(dl, "superseded.json"),
+                {"ts": time.time()},
+            )
     # Legacy scaffolding outliving a crash between the migration's
     # pointer commit and its phase-1 tombstoning (r18): the pointer
     # supersedes the unversioned dirs by definition — re-lay their

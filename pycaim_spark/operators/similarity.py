@@ -993,26 +993,40 @@ def _recover_codes(store_dir: str) -> None:
                             shutil.rmtree(path, ignore_errors=True)
                     except (OSError, ValueError, TypeError):
                         pass
-    # Delete-layer swap scaffolding + two-phase retirement (r18),
-    # mirroring the minhash store's layer recovery: roll a complete
-    # orphaned ``<key>.next`` forward, drop incomplete ones, re-lay
-    # missing ``.old-`` tombstones, collect tombstoned layers past
-    # grace.
-    del_root = os.path.join(store_dir, "codes_deletes")
-    if os.path.isdir(del_root):
-        for k in os.listdir(del_root):
-            d = os.path.join(del_root, k)
+    # Layer swap scaffolding + two-phase retirement (r18) for BOTH
+    # layer families (delete layers, append layers), mirroring the
+    # minhash store's layer recovery: roll a complete orphaned
+    # ``<key>.next`` forward, drop incomplete ones, re-lay missing
+    # ``.old-`` tombstones, collect tombstoned layers past grace.
+    for root, marker in (("codes_deletes", "ids"),
+                         ("codes_append", "codes")):
+        layer_root = os.path.join(store_dir, root)
+        if not os.path.isdir(layer_root):
+            continue
+        for k in os.listdir(layer_root):
+            d = os.path.join(layer_root, k)
             if k.endswith(".next"):
                 layer = d[: -len(".next")]
                 if not os.path.exists(layer) and os.path.exists(
-                    os.path.join(d, "ids", "_SUCCESS")
+                    os.path.join(d, marker, "_SUCCESS")
                 ):
                     os.rename(d, layer)
                 else:
                     shutil.rmtree(d, ignore_errors=True)
                 continue
             tomb = os.path.join(d, "superseded.json")
-            if ".old-" in k and not os.path.exists(tomb):
+            folded = (
+                _codes_del_manifest(store_dir)
+                if root == "codes_deletes"
+                else _codes_app_manifest(store_dir)
+            )
+            if (".old-" in k or k in folded) and not os.path.exists(
+                tomb
+            ):
+                # .old- swap debris, or a layer the pointer has folded
+                # whose tombstone write was lost to a crash: re-lay it
+                # (the app_folded skip in `_codes_frame` keeps reads
+                # correct meanwhile).
                 _write_json_atomic(tomb, {"ts": now})
             elif os.path.exists(tomb):
                 try:
@@ -1023,10 +1037,34 @@ def _recover_codes(store_dir: str) -> None:
                 except (OSError, ValueError, TypeError):
                     pass
         try:
-            if not os.listdir(del_root):
-                os.rmdir(del_root)
+            if not os.listdir(layer_root):
+                os.rmdir(layer_root)
         except OSError:
             pass
+    # Legacy append manifest (pre-r18 appends added part files to the
+    # live version dir with ``append_keys.json`` as the replay guard —
+    # those rows are physically in the base already): fold the keys
+    # into the pointer's ``app_folded`` and retire the file, so
+    # redelivered keys keep no-op'ing under the new scheme.
+    def _fold_legacy_append_manifest():
+        legacy_app = os.path.join(store_dir, "append_keys.json")
+        if not os.path.exists(legacy_app):
+            return
+        try:
+            with open(legacy_app) as f:
+                keys = list(json.load(f))
+        except (OSError, ValueError):
+            return
+        ptr_path = os.path.join(store_dir, "codes_current.json")
+        with open(ptr_path) as f:
+            doc = json.load(f)
+        prior = list(doc.get("app_folded", ()))
+        doc["app_folded"] = prior + [k for k in keys if k not in prior]
+        _write_json_atomic(ptr_path, doc)
+        os.remove(legacy_app)
+
+    if v is not None:
+        _fold_legacy_append_manifest()
     # Pointer-less stores: crash-idempotent forward completion (mirrors
     # the minhash base migration). A legacy ``codes`` dir is
     # LINK-ASSEMBLED into ``codes_v0`` (r18 — never renamed); a
@@ -1058,6 +1096,10 @@ def _recover_codes(store_dir: str) -> None:
                 os.path.join(store_dir, "codes_current.json"),
                 {"version": 0},
             )
+            # The legacy manifest's keys are physically in the base —
+            # fold them NOW, or the very next append of a redelivered
+            # key would layer a duplicate slice on top.
+            _fold_legacy_append_manifest()
             if os.path.isdir(legacy):
                 _write_json_atomic(
                     os.path.join(legacy, "_superseded.json"),
@@ -1188,11 +1230,18 @@ def ivf_pq_index_build(
             sample - centroids[s_cells], m, k_centroids, iters, seed
         )
         # A (re)build resets the store to exactly the passed corpus: the
-        # codes swap below drops any previously appended slices, so the
-        # append manifest must be cleared too — a surviving manifest would
-        # make ivf_pq_index_append skip a re-delivered key whose rows the
-        # rebuild just discarded (r12, found with the algo_version retrain
-        # path).
+        # pointer flip below supersedes previously appended slices, so
+        # their LAYERS are tombstoned (r18 — appends are layers now; a
+        # surviving live layer would re-enter reads and a surviving
+        # manifest key would no-op a re-delivered slice the rebuild
+        # just discarded, the r12 bug class) and the fresh pointer
+        # carries no app_folded/del_folded. Legacy append_keys.json is
+        # retired the same way.
+        for layer in _codes_append_dirs(store_dir):
+            _write_json_atomic(
+                os.path.join(layer, "superseded.json"),
+                {"ts": time.time()},
+            )
         manifest = os.path.join(store_dir, "append_keys.json")
         if os.path.exists(manifest):
             os.remove(manifest)
@@ -1247,50 +1296,113 @@ def ivf_pq_index_append(
     """Append new vectors to a PERSISTED IVF-PQ index WITHOUT retraining:
     encode them with the STORED centroids/codebooks — the standard
     production practice (the codebooks model the corpus distribution, not
-    its membership; periodic retraining is a separate offline job) — and
-    add their cell/code rows to the codes table. Idempotent per
-    ``ingest_key`` via an ``append_keys.json`` manifest, the same
-    replay-safe discipline as the minhash signature store: a re-delivered
-    slice is skipped, never double-indexed. Runs under the store write
-    lock (r15): the manifest check-then-write is a read-modify-write, and
-    two unserialized appenders of DIFFERENT keys would each persist a
-    manifest missing the other's key — a later redelivery of the lost key
-    would then double-index its rows (silent wrong-answer, worse than the
-    crash the lock also prevents). The manifest itself is written
-    atomically (temp + fsync + rename), so a reader or crash never sees a
-    torn file. The ANN half of the daily ingest loop — new documents
-    become searchable as soon as their slice is appended, no index
-    rebuild."""
-    import json
+    its membership; periodic retraining is a separate offline job). r18:
+    the slice commits as an APPEND LAYER ``codes_append/<key>/codes``
+    (one atomic dir rename — the key is the idempotence unit), read by
+    `_codes_frame` alongside the base and folded into the next codes
+    version by `ivf_pq_codes_vacuum`, which records the key in the
+    pointer's ``app_folded`` manifest. This retires the pre-r18 shape
+    (part files appended into the live version dir + a separate
+    ``append_keys.json``), whose documented crash window — codes
+    written, manifest write lost — double-indexed a redelivered slice:
+    now a crash before the rename leaves only an invisible ``.next``
+    stray, and a crash after it leaves a committed layer whose key
+    redelivery overwrites in place (write-aside), never duplicates.
+    Runs under the store write lock; legacy manifests are folded into
+    the pointer by `_recover_codes` on the next write path. The ANN
+    half of the daily ingest loop — new documents become searchable as
+    soon as their slice is appended, no index rebuild."""
     import os
+    import shutil
+    import time
 
     from pycaim_spark.operators.dedup import (
         _store_write_lock,
         _write_json_atomic,
     )
 
-    manifest = os.path.join(store_dir, "append_keys.json")
     with _store_write_lock(store_dir):
         _recover_codes(store_dir)
-        done: list[str] = []
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                done = json.load(f)
-        if ingest_key in done:
-            return
+        if ingest_key in _codes_app_manifest(store_dir):
+            return  # already folded into a committed codes version
         with np.load(os.path.join(store_dir, "index.npz")) as idx:
             centroids, codebooks = idx["centroids"], idx["codebooks"]
-        # Appends ADD part files to the live version dir — reader-safe
-        # (a reader that listed before the append sees only the old
-        # files, all still present); only retrains flip the version.
+        # r18: the slice lands as an APPEND LAYER
+        # ``codes_append/<key>/codes`` committed by one atomic dir
+        # rename — the key IS the idempotence unit, so the pre-r18
+        # crash window (codes part files appended into the live
+        # version dir, manifest write lost to a crash → redelivery
+        # double-indexed the slice) is structurally gone. Readers
+        # union base + live layers (`_codes_frame`); a vacuum folds
+        # layers into the next codes version and records the key in
+        # the pointer's ``app_folded`` manifest. Redelivery of an
+        # unfolded key overwrites via write-aside, same as every
+        # layer family.
+        layer = os.path.join(store_dir, "codes_append", ingest_key)
+        fresh = layer + ".next"
+        shutil.rmtree(fresh, ignore_errors=True)
         _ivf_pq_encode(new_emb, centroids, codebooks).write.mode(
-            "append"
-        ).parquet(_codes_path(store_dir))
-        # Crash window: codes appended but manifest not yet updated → a
-        # redelivery re-appends the slice. Pre-existing and narrow; the
-        # deployment remedy is the same table-format transactional append
-        # as every other local-FS caveat in this family.
-        _write_json_atomic(manifest, sorted(set(done) | {ingest_key}))
+            "overwrite"
+        ).parquet(os.path.join(fresh, "codes"))
+        if os.path.exists(layer):
+            old = f"{layer}.old-{int(time.time() * 1000)}"
+            os.rename(layer, old)
+            _write_json_atomic(
+                os.path.join(old, "superseded.json"),
+                {"ts": time.time()},
+            )
+        os.rename(fresh, layer)
+
+
+def _codes_append_dirs(store_dir: str) -> list[str]:
+    """Live append layers of the coded corpus (r18):
+    ``codes_append/<key>/codes`` — complete and untombstoned."""
+    root = os.path.join(store_dir, "codes_append")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, k)
+        for k in os.listdir(root)
+        if not k.endswith(".next")
+        and ".old-" not in k
+        and os.path.exists(os.path.join(root, k, "codes", "_SUCCESS"))
+        and not os.path.exists(os.path.join(root, k, "superseded.json"))
+    )
+
+
+def _codes_app_manifest(store_dir: str) -> list[str]:
+    """Append keys a vacuum has folded into a committed codes version —
+    carried in ``codes_current.json`` as ``app_folded``."""
+    import json
+
+    path = os.path.join(store_dir, "codes_current.json")
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            return list(json.load(f).get("app_folded", ()))
+    except (OSError, ValueError, AttributeError):
+        return []
+
+
+def _codes_frame(spark, store_dir: str):
+    """The live coded corpus: the pointed base version UNIONED with
+    every live append layer whose key the pointer has NOT folded — the
+    read view every stored probe and vacuum uses. The ``app_folded``
+    skip is load-bearing independently of the tombstones (same rule as
+    the minhash read view): a vacuum that crashed between its pointer
+    flip and its layer tombstoning leaves a folded layer looking live,
+    and unioning it against the base that already contains its rows
+    would double-count the slice."""
+    folded = set(_codes_app_manifest(store_dir))
+    coded = spark.read.parquet(_codes_path(store_dir))
+    for layer in _codes_append_dirs(store_dir):
+        if os.path.basename(layer) in folded:
+            continue
+        coded = coded.unionByName(
+            spark.read.parquet(os.path.join(layer, "codes"))
+        )
+    return coded
 
 
 def _codes_delete_dirs(store_dir: str) -> list[str]:
@@ -1390,13 +1502,15 @@ def ivf_pq_index_delete(
 
 
 def ivf_pq_codes_vacuum(spark, store_dir: str) -> None:
-    """Apply pending deletions PHYSICALLY: publish ``codes_v{N+1}`` =
-    the live codes minus every live delete layer's ids, flip the
-    pointer with the applied delete keys folded into ``del_folded``,
-    tombstone the displaced version and the applied layers (two-phase
-    grace GC, collected by `_recover_codes` on later write passes). A
-    lockless reader that resolved version N keeps its files for the
-    grace period — the same snapshot-commit contract as every store."""
+    """The codes COMPACTION (r18): publish ``codes_v{N+1}`` = (base ∪
+    live append layers) minus every live delete layer's ids, flip the
+    pointer with BOTH applied manifests folded inside (``app_folded``
+    append keys, ``del_folded`` delete keys — replay of either is a
+    no-op), then tombstone the displaced version and the applied
+    layers (two-phase grace GC, collected by `_recover_codes` on later
+    write passes). A lockless reader that resolved version N keeps its
+    files for the grace period — the same snapshot-commit contract as
+    every store."""
     import time
 
     from pycaim_spark.operators.dedup import (
@@ -1407,38 +1521,51 @@ def ivf_pq_codes_vacuum(spark, store_dir: str) -> None:
     with _store_write_lock(store_dir):
         _recover_codes(store_dir)
         del_layers = _codes_delete_dirs(store_dir)
-        if not del_layers:
+        app_layers = _codes_append_dirs(store_dir)
+        if not del_layers and not app_layers:
             return
         v = _codes_version(store_dir)
         if v is None:
             raise RuntimeError(
-                f"IVF-PQ store at {store_dir} has delete layers but no "
+                f"IVF-PQ store at {store_dir} has pending layers but no "
                 "committed codes pointer — build the index first"
             )
-        dels = None
-        for d in del_layers:
-            ids = spark.read.parquet(os.path.join(d, "ids"))
-            dels = ids if dels is None else dels.unionByName(ids)
-        cur = spark.read.parquet(_codes_path(store_dir))
-        (
-            cur.join(F.broadcast(dels.distinct()), "neighbor_id",
-                     "left_anti")
-            .write.mode("overwrite")
-            .parquet(os.path.join(store_dir, f"codes_v{v + 1}"))
-        )
-        new_keys = [
-            os.path.basename(d)
-            for d in sorted(
-                del_layers, key=lambda p: (os.path.getmtime(p), p)
+        cur = _codes_frame(spark, store_dir)
+        if del_layers:
+            dels = None
+            for d in del_layers:
+                ids = spark.read.parquet(os.path.join(d, "ids"))
+                dels = ids if dels is None else dels.unionByName(ids)
+            cur = cur.join(
+                F.broadcast(dels.distinct()), "neighbor_id", "left_anti"
             )
+        cur.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"codes_v{v + 1}")
+        )
+
+        def _keys(layers):
+            return [
+                os.path.basename(d)
+                for d in sorted(
+                    layers, key=lambda p: (os.path.getmtime(p), p)
+                )
+            ]
+
+        prior_del = _codes_del_manifest(store_dir)
+        prior_app = _codes_app_manifest(store_dir)
+        doc = {"version": v + 1}
+        del_folded = prior_del + [
+            k for k in _keys(del_layers) if k not in prior_del
         ]
-        prior = _codes_del_manifest(store_dir)
+        app_folded = prior_app + [
+            k for k in _keys(app_layers) if k not in prior_app
+        ]
+        if del_folded:
+            doc["del_folded"] = del_folded
+        if app_folded:
+            doc["app_folded"] = app_folded
         _write_json_atomic(
-            os.path.join(store_dir, "codes_current.json"),
-            {"version": v + 1,
-             "del_folded": prior + [
-                 k for k in new_keys if k not in prior
-             ]},
+            os.path.join(store_dir, "codes_current.json"), doc
         )
         now = time.time()
         _write_json_atomic(
@@ -1447,7 +1574,7 @@ def ivf_pq_codes_vacuum(spark, store_dir: str) -> None:
             ),
             {"ts": now},
         )
-        for d in del_layers:
+        for d in del_layers + app_layers:
             _write_json_atomic(
                 os.path.join(d, "superseded.json"), {"ts": now}
             )
@@ -1479,10 +1606,11 @@ def ivf_pq_topk_stored(
     centroids, codebooks = ivf_pq_index_build(
         emb, store_dir, n_cells, m, k_centroids, sample_size, iters, seed
     )
-    coded = emb.sparkSession.read.parquet(_codes_path(store_dir))
-    # Pending deletions (r18) apply logically until a vacuum folds
-    # them: a deleted vector filtered from the codes scan can never be
-    # a candidate, whatever version the pointer serves.
+    # r18 read view: base version ∪ live append layers; pending
+    # deletions apply logically until a vacuum folds them — a deleted
+    # vector filtered from the codes scan can never be a candidate,
+    # whatever version the pointer serves.
+    coded = _codes_frame(emb.sparkSession, store_dir)
     dels = _codes_deleted_ids(emb.sparkSession, store_dir)
     if dels is not None:
         coded = coded.join(F.broadcast(dels), "neighbor_id", "left_anti")

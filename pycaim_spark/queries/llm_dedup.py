@@ -1072,9 +1072,9 @@ def sim_ann_index_append(spark, sf_dir):
         base, store, n_cells=32, m=8, k_centroids=32
     )
     ivf_pq_index_append(delta, store, "day1")
-    from pycaim_spark.operators.similarity import _codes_path
+    from pycaim_spark.operators.similarity import _codes_frame
 
-    coded = spark.read.parquet(_codes_path(store))
+    coded = _codes_frame(spark, store)
     return _ivf_pq_query(
         emb, coded, centroids, codebooks, nprobe=12, k=5, n_queries=10,
         n_candidates=256,

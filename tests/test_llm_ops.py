@@ -1465,7 +1465,9 @@ def test_store_migration_crash_forward_completion(spark, tmp_path):
     )
     ivf_pq_index_append(extra, ann, "day1")
     assert _codes_version(ann) == 0
-    assert spark.read.parquet(_codes_path(ann)).count() == n0 + 5
+    from pycaim_spark.operators.similarity import _codes_frame
+
+    assert _codes_frame(spark, ann).count() == n0 + 5
 
     shutil.rmtree(store_b, ignore_errors=True)
 
@@ -1597,14 +1599,33 @@ def test_ivf_pq_index_append_concurrent_keys_both_survive(spark, tmp_path):
     for t in threads:
         t.join()
     assert not errs, errs
-    with open(os.path.join(store, "append_keys.json")) as f:
-        assert sorted(json.load(f)) == ["day1", "day2"]
-    n = spark.read.parquet(_codes_path(store)).count()
+    from pycaim_spark.operators.similarity import (
+        _codes_app_manifest,
+        _codes_append_dirs,
+        _codes_frame,
+    )
+
+    assert sorted(
+        os.path.basename(d) for d in _codes_append_dirs(store)
+    ) == ["day1", "day2"], "both slices land as committed layers"
+    n = _codes_frame(spark, store).count()
     assert n == base_n + 10
-    # replay: both keys now no-op (no double indexing)
+    # replay of an unfolded key overwrites its layer in place: no
+    # double indexing.
     for key in slices:
         ivf_pq_index_append(slices[key], store, key)
+    assert _codes_frame(spark, store).count() == n
+    # vacuum folds the layers into the next codes version and the
+    # pointer manifest; replay then no-ops without touching disk.
+    from pycaim_spark.operators.similarity import ivf_pq_codes_vacuum
+
+    ivf_pq_codes_vacuum(spark, store)
+    assert sorted(_codes_app_manifest(store)) == ["day1", "day2"]
     assert spark.read.parquet(_codes_path(store)).count() == n
+    for key in slices:
+        ivf_pq_index_append(slices[key], store, key)
+    assert _codes_append_dirs(store) == []
+    assert _codes_frame(spark, store).count() == n
 
 
 def test_ivf_pq_index_refuses_paramless_sidecar(spark, tmp_path):
@@ -1690,9 +1711,8 @@ def test_ann_index_append_makes_new_vectors_retrievable(spark, tmp_path):
     centroids, codebooks = ivf_pq_index_build(
         emb_base, store, n_cells=4, m=4, k_centroids=8, sample_size=60
     )
-    import os
-    from pycaim_spark.operators.similarity import _codes_path
-    coded = lambda: spark.read.parquet(_codes_path(store))  # noqa: E731
+    from pycaim_spark.operators.similarity import _codes_frame
+    coded = lambda: _codes_frame(spark, store)  # noqa: E731 — r18 layer-aware view
 
     def probe():
         return {
@@ -1937,7 +1957,9 @@ def test_legacy_store_mid_migration_reader_survives(spark, tmp_path):
         "codes migration must not rename the live legacy dir"
     n0 = legacy_codes.count()  # stale reader materializes post-migration
     assert n0 == 40
-    assert spark.read.parquet(_codes_path(ann)).count() == 45
+    from pycaim_spark.operators.similarity import _codes_frame
+
+    assert _codes_frame(spark, ann).count() == 45
 
 
 def test_store_delete_lifecycle(spark, tmp_path):
@@ -2170,3 +2192,51 @@ def test_ivf_pq_delete_and_vacuum(spark, tmp_path):
             os.environ["PYCAIM_STORE_GC_GRACE"] = old_grace
     assert not os.path.exists(os.path.join(store, f"codes_v{v0}"))
     assert not os.path.isdir(os.path.join(store, "codes_deletes"))
+
+
+def test_ivf_pq_legacy_append_manifest_folds(spark, tmp_path):
+    """r18: a pre-r18 store whose appends live as part files in the
+    base version dir with ``append_keys.json`` as the replay guard must
+    keep its replay idempotence under the layer scheme — the next write
+    path folds the legacy keys into the pointer's app_folded and
+    retires the file, so a redelivered legacy key never lands as a
+    (duplicate) layer."""
+    import os
+
+    import numpy as np
+
+    from pycaim_spark.operators.dedup import _write_json_atomic
+    from pycaim_spark.operators.similarity import (
+        _codes_app_manifest,
+        _codes_append_dirs,
+        _codes_frame,
+        ivf_pq_index_append,
+        ivf_pq_index_build,
+    )
+
+    rng = np.random.default_rng(31)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v])
+         for i, v in enumerate(rng.normal(size=(40, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ann")
+    ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
+                       sample_size=40)
+    n0 = _codes_frame(spark, store).count()
+    # Fabricate the legacy shape: day0's rows are (by construction of
+    # the pre-r18 path) already inside the base; only the manifest
+    # records the key.
+    _write_json_atomic(os.path.join(store, "append_keys.json"), ["day0"])
+
+    day0 = spark.createDataFrame(
+        [(200 + i, [float(x) for x in v])
+         for i, v in enumerate(rng.normal(size=(5, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_pq_index_append(day0, store, "day0")  # redelivered legacy key
+    assert not os.path.exists(os.path.join(store, "append_keys.json"))
+    assert _codes_app_manifest(store) == ["day0"]
+    assert _codes_append_dirs(store) == [], \
+        "a folded legacy key must not re-land as a layer"
+    assert _codes_frame(spark, store).count() == n0
