@@ -631,6 +631,7 @@ def _incremental_matches(
     seed: int,
     max_candidates_per_doc: int,
     extra_buckets: DataFrame | None = None,
+    deleted_ids: list[int] | None = None,
 ) -> DataFrame:
     """ALL verified capped (delta_id, base_id, jd) matches of the delta
     probe, over ANY signature store representation — inline-derived frames
@@ -661,18 +662,35 @@ def _incremental_matches(
     delta_bands = _band_rows(d_sets, num_hashes, seed).select(
         F.col("id").alias("delta_id"), "table_id", "mh"
     )
+
+    def _cands(ids_col):
+        """The per-bucket candidate prefix: DELETED ids are removed
+        BEFORE the cap is applied (r18 self-review #4) — a deleted id
+        ranking inside the min-id prefix would otherwise displace a
+        genuine near-duplicate out of the capped candidate list and
+        flip its verdict to novel until compaction physically frees
+        the slot (the sets-side anti-join alone only guarantees a
+        deleted id never VERIFIES; it cannot give its slot back).
+        array_except preserves the first array's (ascending) order, so
+        the slice stays the deterministic min-id prefix. ``deleted_ids``
+        is driver-bounded by the callers (deletes since the last
+        compaction, literal-array threshold enforced there)."""
+        col = F.col(ids_col)
+        if deleted_ids:
+            col = F.array_except(
+                col,
+                F.array(
+                    *[F.lit(int(i)) for i in deleted_ids]
+                ).cast("array<bigint>"),
+            )
+        return F.slice(col, 1, max_candidates_per_doc).alias("ids")
     # (1) broadcast the delta probe: the base store streams through a BHJ,
     # one hit row per (delta doc, band) with the bucket's member array
     # sliced to the probe cap (ids are stored ascending, so the slice is
     # the deterministic min-id prefix).
     hits = store_buckets.join(
         F.broadcast(delta_bands), ["table_id", "mh"]
-    ).select(
-        "delta_id",
-        "table_id",
-        "mh",
-        F.slice("ids", 1, max_candidates_per_doc).alias("ids"),
-    )
+    ).select("delta_id", "table_id", "mh", _cands("ids"))
     if extra_buckets is not None:
         # Un-compacted append-layer buckets probe the SAME broadcast and
         # merge per HIT, not per store row: base and layer bucket rows for
@@ -687,12 +705,7 @@ def _incremental_matches(
             hits.unionByName(
                 extra_buckets.join(
                     F.broadcast(delta_bands), ["table_id", "mh"]
-                ).select(
-                    "delta_id",
-                    "table_id",
-                    "mh",
-                    F.slice("ids", 1, max_candidates_per_doc).alias("ids"),
-                )
+                ).select("delta_id", "table_id", "mh", _cands("ids"))
             )
             .groupBy("delta_id", "table_id", "mh")
             .agg(
@@ -756,6 +769,7 @@ def _incremental_probe(
     seed: int,
     max_candidates_per_doc: int,
     extra_buckets: DataFrame | None = None,
+    deleted_ids: list[int] | None = None,
 ) -> DataFrame:
     """Per-delta-doc verdict frame (doc_id, dup_of, best_dist, is_new)
     over the verified matches of ``_incremental_matches``."""
@@ -763,7 +777,7 @@ def _incremental_probe(
         _incremental_matches(
             b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
             num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
-            extra_buckets=extra_buckets,
+            extra_buckets=extra_buckets, deleted_ids=deleted_ids,
         )
         .groupBy("delta_id")
         .agg(
@@ -973,16 +987,19 @@ def incremental_minhash_dedup_stored(
     sets_path, buckets_path, _ = _store_read_view(store_dir)
     b_sets = spark.read.parquet(sets_path)
     store_buckets = spark.read.parquet(buckets_path)
-    # Pending deletions (r18) apply logically: a deleted id absent from
-    # the sets side can never verify as a match, whatever stale bucket
-    # arrays still list it. Broadcast-bounded by deletes since the last
-    # compaction (which applies them physically).
+    # Pending deletions (r18) apply logically, in two layers: the
+    # sets-side anti-join guarantees a deleted id never VERIFIES as a
+    # match, and the pre-cap candidate filter (deleted_ids) keeps a
+    # deleted id from occupying a capped candidate slot that would
+    # displace a genuine near-duplicate until compaction. Broadcast/
+    # literal-bounded by deletes since the last compaction.
     dels = _store_deleted_ids(spark, store_dir)
     if dels is not None:
         b_sets = b_sets.join(F.broadcast(dels), "id", "left_anti")
     return _incremental_probe(
         b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
+        deleted_ids=_deleted_ids_for_probe(dels),
     )
 
 
@@ -1020,6 +1037,26 @@ def _store_deleted_ids(spark, store_dir: str):
     return out.distinct()
 
 
+#: Above this many pending deleted ids the probes skip the exact
+#: pre-cap candidate filter (a literal array that large would bloat
+#: the plan) and fall back to the sets-side anti-join alone — deleted
+#: ids then cost candidate slots until compaction. Compaction restores
+#: exactness at any size.
+_DELETE_CANDIDATE_FILTER_MAX = 4096
+
+
+def _deleted_ids_for_probe(dels) -> list[int] | None:
+    """Driver-side deleted-id list for the probe's exact pre-cap
+    candidate filter, or None past `_DELETE_CANDIDATE_FILTER_MAX`
+    (bounded: deletes since the last compaction)."""
+    if dels is None:
+        return None
+    rows = dels.limit(_DELETE_CANDIDATE_FILTER_MAX + 1).collect()
+    if len(rows) > _DELETE_CANDIDATE_FILTER_MAX:
+        return None
+    return [r.id for r in rows]
+
+
 def _store_del_manifest(store_dir: str) -> list[str]:
     """Delete keys already APPLIED by a compaction, in fold order —
     the replay-idempotency manifest for deletions, carried inside the
@@ -1045,11 +1082,16 @@ def minhash_signature_store_delete(
     LSM shape, mirroring the append path: the ids land as a DELETE
     LAYER ``deletes/<key>/ids`` (write-aside + rename swap, ADVICE r15
     discipline — a redelivered key never mutates files a lockless
-    reader resolved). Probes apply live delete layers LOGICALLY by
-    anti-joining the store's shingle-set side (a candidate id missing
-    from the sets inner join can never verify as a match — the bucket
-    arrays may keep stale ids until compaction, costing at most
-    candidate slots, never a wrong verdict). The next compaction
+    reader resolved). Probes apply live delete layers LOGICALLY in two
+    interlocking layers: the sets-side anti-join guarantees a deleted
+    id never VERIFIES as a match, and the pre-cap candidate filter
+    (`_incremental_matches` ``deleted_ids``) removes deleted ids from
+    the stored bucket arrays BEFORE the per-doc candidate cap, so a
+    deleted id cannot displace a genuine near-duplicate out of the
+    capped prefix. Past `_DELETE_CANDIDATE_FILTER_MAX` pending ids the
+    second layer falls back to slot-loss-until-compaction (documented
+    approximation; verification correctness is never affected — run
+    the compaction). The next compaction
     applies deletions PHYSICALLY — sets rows dropped, bucket member
     arrays filtered — retires the layers (two-phase tombstone+grace),
     and records the key in the pointer's ``del_folded`` manifest so a
@@ -1539,23 +1581,41 @@ def _recover_store_swap(store_dir: str) -> None:
         journal = os.path.join(store_dir, "compact_journal.json")
         folded = _load_journal(store_dir)
         dirs = [os.path.join(store_dir, d) for d in ("sets", "buckets")]
-        if folded is not None and not all(
-            os.path.exists(os.path.join(d + "_next", "_SUCCESS"))
-            for d in dirs
-        ):
-            # A journal naming an incomplete *_next pair violates the
-            # legacy protocol's own invariant (the journal was its
-            # commit point, written only after the next base
-            # completed) — treat as pre-commit debris: drop journal
-            # and strays, keep the intact pre-compaction base.
-            folded = None
         if folded is None:
+            # No (or torn) journal: ADVICE r10 doctrine — renames only
+            # started after an atomic journal write, so the unversioned
+            # base + layers are intact and *_next/*_old are debris.
             if os.path.exists(journal):
                 os.remove(journal)
             for cur in dirs:
                 for stray in (cur + "_next", cur + "_old"):
                     if os.path.exists(stray):
                         shutil.rmtree(stray)
+        else:
+            # Valid journal: the folded base is authoritative, but the
+            # legacy binary may have crashed at ANY point of its rename
+            # sequence, so per dir the folded content is in *_next
+            # (rename not yet executed) or already in the unversioned
+            # dir (rename consumed the next). The per-dir source rule
+            # below handles every mix — including one-renamed-one-not,
+            # where choosing next-if-complete-else-cur yields the
+            # consistent POST-fold pair. An incomplete *_next (no
+            # _SUCCESS — impossible under the legacy protocol's
+            # write-journal-after-next-completes invariant, so only a
+            # corrupted store) is treated as absent: the unversioned
+            # dir serves, strictly safer than the legacy heal's rename
+            # of the torn dir over it. The journal itself is consumed
+            # only after the migration commits (below), preserving the
+            # folded-keys manifest the r17 heal wrote to
+            # folded_keys.json — dropping it would leave the
+            # physically-folded layers live with an empty skip set and
+            # double-count their rows through the layered probe.
+            for cur in dirs:
+                nxt = cur + "_next"
+                if os.path.exists(nxt) and not os.path.exists(
+                    os.path.join(nxt, "_SUCCESS")
+                ):
+                    shutil.rmtree(nxt)
         # Migrate a healed legacy base to the versioned layout, written
         # as a crash-idempotent FORWARD COMPLETION (a crash anywhere
         # must not strand or delete data). r18 (VERDICT r17 #6): v0 is
@@ -1977,9 +2037,10 @@ def incremental_minhash_dedup_layered(
         )
         bands = spark.read.parquet(os.path.join(l, "bands"))
         pending = bands if pending is None else pending.unionByName(bands)
-    # Pending deletions (r18): anti-join the sets side — see
-    # `incremental_minhash_dedup_stored`. Applies to base AND layer
-    # signatures (a doc appended then deleted must not match either).
+    # Pending deletions (r18): sets-side anti-join + pre-cap candidate
+    # filter — see `incremental_minhash_dedup_stored`. Applies to base
+    # AND layer signatures (a doc appended then deleted must not match
+    # either).
     dels = _store_deleted_ids(spark, store_dir)
     if dels is not None:
         b_sets = b_sets.join(F.broadcast(dels), "id", "left_anti")
@@ -1987,6 +2048,7 @@ def incremental_minhash_dedup_layered(
         b_sets, store_buckets, delta_docs, text_col, id_col, shingle_n,
         num_hashes, max_jaccard_dist, seed, max_candidates_per_doc,
         extra_buckets=None if pending is None else _band_buckets(pending),
+        deleted_ids=_deleted_ids_for_probe(dels),
     )
 
 

@@ -72,7 +72,15 @@ class slug_write_lock:
     caller must skip it. Lock ORDER is root → slug (builders hold the
     root flock for cross-slug GC, then nest the slug lock; motions
     take only their slug; GC only ever TRY-locks other slugs) — no
-    cycle is possible."""
+    cycle is possible.
+
+    Acquisition RE-VERIFIES the inode after the flock lands: GC
+    removes a collected slug's lock file (`remove_slug_lock_file`, so
+    orphans don't accrue one per regenerated corpus), and a waiter
+    that was blocked on the unlinked inode would otherwise "own" a
+    lock no newcomer can see — the acquire loop detects the unlink
+    (path missing or pointing at a different inode) and retries on a
+    fresh open, the standard flock-file-deletion remedy."""
 
     def __init__(self, slug_dir: str, blocking: bool = True):
         parent = os.path.dirname(os.path.abspath(slug_dir))
@@ -86,18 +94,32 @@ class slug_write_lock:
     def __enter__(self):
         import fcntl
 
-        self._f = open(self._path, "w")
-        try:
-            fcntl.flock(
-                self._f,
-                fcntl.LOCK_EX
-                | (0 if self._blocking else fcntl.LOCK_NB),
-            )
-            self.acquired = True
-        except BlockingIOError:
+        while True:
+            self._f = open(self._path, "a")
+            try:
+                fcntl.flock(
+                    self._f,
+                    fcntl.LOCK_EX
+                    | (0 if self._blocking else fcntl.LOCK_NB),
+                )
+            except BlockingIOError:
+                self._f.close()
+                self._f = None
+                return self
+            try:
+                same = os.stat(self._path).st_ino == os.fstat(
+                    self._f.fileno()
+                ).st_ino
+            except FileNotFoundError:
+                same = False
+            if same:
+                self.acquired = True
+                return self
+            # The file was unlinked (slug collected) while we waited:
+            # this inode is invisible to new lockers — retry fresh.
+            fcntl.flock(self._f, fcntl.LOCK_UN)
             self._f.close()
             self._f = None
-        return self
 
     def __exit__(self, *exc):
         import fcntl
@@ -107,6 +129,24 @@ class slug_write_lock:
             self._f.close()
         self.acquired = False
         return False
+
+
+def remove_slug_lock_file(slug_dir: str) -> None:
+    """Delete a COLLECTED slug's lock file (caller holds that slug's
+    lock and has already rmtree'd the slug dir): without this, every
+    regenerated corpus leaves one orphan ``.lock_<slug>`` forever. Safe
+    against the flock-file-deletion hazard because `slug_write_lock`'s
+    acquire loop re-verifies the inode — a waiter blocked on this
+    unlinked file retries on the fresh path instead of owning an
+    invisible lock."""
+    parent = os.path.dirname(os.path.abspath(slug_dir))
+    path = os.path.join(
+        parent, f".lock_{os.path.basename(os.path.abspath(slug_dir))}"
+    )
+    try:
+        os.remove(path)
+    except OSError:
+        pass
 
 
 def _pointer_path(slug_dir: str, rel: str) -> str:

@@ -1003,6 +1003,13 @@ def _recover_codes(store_dir: str) -> None:
         layer_root = os.path.join(store_dir, root)
         if not os.path.isdir(layer_root):
             continue
+        # One pointer parse per root (it cannot change under the write
+        # lock the caller holds), not one per layer key.
+        folded = set(
+            _codes_del_manifest(store_dir)
+            if root == "codes_deletes"
+            else _codes_app_manifest(store_dir)
+        )
         for k in os.listdir(layer_root):
             d = os.path.join(layer_root, k)
             if k.endswith(".next"):
@@ -1015,11 +1022,6 @@ def _recover_codes(store_dir: str) -> None:
                     shutil.rmtree(d, ignore_errors=True)
                 continue
             tomb = os.path.join(d, "superseded.json")
-            folded = (
-                _codes_del_manifest(store_dir)
-                if root == "codes_deletes"
-                else _codes_app_manifest(store_dir)
-            )
             if (".old-" in k or k in folded) and not os.path.exists(
                 tomb
             ):
@@ -1229,15 +1231,22 @@ def ivf_pq_index_build(
         codebooks = _pq_train(
             sample - centroids[s_cells], m, k_centroids, iters, seed
         )
-        # A (re)build resets the store to exactly the passed corpus: the
-        # pointer flip below supersedes previously appended slices, so
-        # their LAYERS are tombstoned (r18 — appends are layers now; a
-        # surviving live layer would re-enter reads and a surviving
-        # manifest key would no-op a re-delivered slice the rebuild
-        # just discarded, the r12 bug class) and the fresh pointer
+        # A (re)build resets the store to exactly the passed corpus:
+        # the pointer flip below supersedes previously appended slices
+        # AND pending delete intents, so BOTH layer families are
+        # tombstoned (a surviving append layer would re-enter reads
+        # and its manifest key would no-op a re-delivered slice the
+        # rebuild just discarded — the r12 bug class; a surviving
+        # DELETE layer would silently filter, and the next vacuum
+        # physically remove, vectors the retrain corpus intentionally
+        # contains — deletion intents target the OLD membership and do
+        # not survive a retrain: purge the source corpus instead, per
+        # ivf_pq_index_delete's scope note) and the fresh pointer
         # carries no app_folded/del_folded. Legacy append_keys.json is
         # retired the same way.
-        for layer in _codes_append_dirs(store_dir):
+        for layer in _codes_append_dirs(store_dir) + _codes_delete_dirs(
+            store_dir
+        ):
             _write_json_atomic(
                 os.path.join(layer, "superseded.json"),
                 {"ts": time.time()},

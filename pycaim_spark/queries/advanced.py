@@ -489,11 +489,15 @@ def _gc_superseded_layouts(
             # tombstone at motion end; an abandoned slug collects on a
             # later pass). Blocking here would invert the root→slug
             # lock order and risk a cycle; try-lock cannot.
-            from pycaim_spark.operators.layout import slug_write_lock
+            from pycaim_spark.operators.layout import (
+                remove_slug_lock_file,
+                slug_write_lock,
+            )
 
             with slug_write_lock(sib_dir, blocking=False) as lk:
                 if lk.acquired:
                     shutil.rmtree(sib_dir, ignore_errors=True)
+                    remove_slug_lock_file(sib_dir)
 
 
 #: Session-side memo of which version dir each layout catalog table is
@@ -3590,7 +3594,16 @@ def _multirel_delete_commit(spark, sf_dir, buckets: int = 8):
 
             _shutil.rmtree(stage, ignore_errors=True)
             new_versions[rel] = ptr["version"]
-            if os.path.isdir(old_dir) and old_dir != cur_dir:
+            # The PLAIN builder dir is this slug's pristine base — the
+            # source `_rebuild_pristine_rel` re-derives from on a spec
+            # change — so it is never tombstoned (matching every other
+            # namespace, whose `slug_dir/orders` base outlives all
+            # motions); only displaced VERSIONED dirs retire.
+            if (
+                os.path.isdir(old_dir)
+                and old_dir != cur_dir
+                and old_dir != os.path.join(slug_dir, rel)
+            ):
                 displaced.append(old_dir)
         publish_slug_commit(
             slug_dir, new_versions, extra={"batch": spec}

@@ -2240,3 +2240,214 @@ def test_ivf_pq_legacy_append_manifest_folds(spark, tmp_path):
     assert _codes_append_dirs(store) == [], \
         "a folded legacy key must not re-land as a layer"
     assert _codes_frame(spark, store).count() == n0
+
+
+def test_delete_candidate_slot_not_displaced(spark, tmp_path):
+    """r18 self-review #4: a deleted id that ranks inside the capped
+    min-id candidate prefix must not displace a genuine near-duplicate
+    out of the probe's candidate list — the pre-cap filter removes
+    deleted ids from the stored bucket arrays BEFORE the cap, so with
+    max_candidates_per_doc=1 and bucket members [deleted, real_dup]
+    the probe still verifies the real duplicate (the sets-side
+    anti-join alone would return novel here: the deleted id takes the
+    only slot and then fails verification)."""
+    from pycaim_spark.operators.dedup import (
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_build,
+        minhash_signature_store_delete,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = spark.createDataFrame(
+        [(1, text), (2, text),
+         (9, "totally different filler vocabulary nothing shared here")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    minhash_signature_store_build(base, store)
+    probe = spark.createDataFrame([(30, text)], "doc_id long, text string")
+
+    minhash_signature_store_delete(
+        spark, store, spark.createDataFrame([(1,)], "doc_id long"),
+        "gdpr1",
+    )
+    got = {
+        (r.doc_id, r.dup_of, r.is_new)
+        for r in incremental_minhash_dedup_layered(
+            spark, store, probe, max_candidates_per_doc=1
+        ).collect()
+    }
+    assert got == {(30, 2, 0)}, got
+
+
+def test_legacy_post_swap_journal_crash_preserves_folded_keys(
+    spark, tmp_path
+):
+    """r18 self-review #2: a LEGACY store whose journal-era compaction
+    crashed AFTER its renames consumed the *_next dirs (journal valid,
+    next absent, unversioned base = the folded content, folded layer
+    still on disk) must migrate with the journal's folded-keys
+    manifest intact — dropping it would leave the physically-folded
+    layer live with an empty skip set and double-count its rows. Also
+    covers the MID-rename state (one dir consumed, the other's next
+    still present): the per-dir next-if-complete-else-cur source rule
+    assembles the consistent post-fold pair."""
+    import json
+    import os
+    import shutil
+
+    from pycaim_spark.operators.dedup import (
+        _load_pointer,
+        _store_layer_dirs,
+        _store_read_view,
+        incremental_minhash_dedup_layered,
+        minhash_signature_store_append,
+        minhash_signature_store_build,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(10, "first fresh slice with its very own vocabulary entirely")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(30, "first fresh slice with its very own vocabulary entire")],
+        "doc_id long, text string",
+    )
+    # Reference store F: the post-fold content (base ∪ s1 in the base).
+    folded_ref = str(tmp_path / "folded_ref")
+    minhash_signature_store_build(base.unionByName(s1), folded_ref)
+    # Reference store B: pre-fold base + the day1 append layer.
+    layer_ref = str(tmp_path / "layer_ref")
+    minhash_signature_store_build(base, layer_ref)
+    minhash_signature_store_append(spark, layer_ref, s1, "day1")
+    expected = {
+        (r.doc_id, r.dup_of, r.is_new)
+        for r in incremental_minhash_dedup_layered(
+            spark, folded_ref, probe
+        ).collect()
+    }
+    assert expected == {(30, 10, 0)}
+
+    def _mk_target(name, consume_buckets_rename):
+        t = str(tmp_path / name)
+        os.makedirs(t)
+        # sets rename CONSUMED: unversioned sets = folded content.
+        shutil.copytree(os.path.join(folded_ref, "sets_v0"),
+                        os.path.join(t, "sets"))
+        if consume_buckets_rename:
+            shutil.copytree(os.path.join(folded_ref, "buckets_v0"),
+                            os.path.join(t, "buckets"))
+        else:
+            # MID-rename: buckets_next (folded) still present, the
+            # unversioned buckets still pre-fold.
+            shutil.copytree(os.path.join(folded_ref, "buckets_v0"),
+                            os.path.join(t, "buckets_next"))
+            shutil.copytree(os.path.join(layer_ref, "buckets_v0"),
+                            os.path.join(t, "buckets"))
+        shutil.copytree(os.path.join(layer_ref, "append", "day1"),
+                        os.path.join(t, "append", "day1"))
+        with open(os.path.join(t, "compact_journal.json"), "w") as f:
+            json.dump(["day1"], f)
+        return t
+
+    for name, consumed in (("post_swap", True), ("mid_rename", False)):
+        t = _mk_target(name, consumed)
+        # The write path heals + migrates (the re-delivered folded key
+        # must no-op, NOT re-append).
+        minhash_signature_store_append(spark, t, s1, "day1")
+        ptr = _load_pointer(t)
+        assert ptr == {"version": 0, "folded": ["day1"]}, (name, ptr)
+        assert not os.path.exists(
+            os.path.join(t, "compact_journal.json")
+        ), name
+        assert _store_layer_dirs(t) == [], \
+            f"{name}: the folded layer must be tombstoned, not live"
+        sets_path, _bk, skip = _store_read_view(t)
+        ids = [r.id for r in spark.read.parquet(sets_path)
+               .select("id").collect()]
+        assert sorted(ids) == sorted(set(ids)) == [1, 10], \
+            f"{name}: folded base must hold each doc exactly once"
+        got = {
+            (r.doc_id, r.dup_of, r.is_new)
+            for r in incremental_minhash_dedup_layered(
+                spark, t, probe
+            ).collect()
+        }
+        assert got == expected, name
+
+
+def test_retrain_discards_pending_delete_layers(spark, tmp_path):
+    """r18 self-review #1: deletion intents target the OLD index
+    membership and must not survive a retrain — a pending (unvacuumed)
+    delete layer left live would silently filter, and the next vacuum
+    physically remove, vectors the retrain corpus intentionally
+    contains. The rebuild tombstones BOTH layer families; after it,
+    previously-deleted vectors are served again and the vacuum has
+    nothing to apply."""
+    import numpy as np
+
+    from pycaim_spark.operators.similarity import (
+        _codes_delete_dirs,
+        _codes_frame,
+        ivf_pq_codes_vacuum,
+        ivf_pq_index_build,
+        ivf_pq_index_delete,
+        ivf_pq_topk_stored,
+    )
+
+    rng = np.random.default_rng(41)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v])
+         for i, v in enumerate(rng.normal(size=(60, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ann")
+    ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
+                       sample_size=60)
+    rows = ivf_pq_topk_stored(
+        emb, store, n_cells=4, m=4, k_centroids=8, sample_size=60,
+        n_queries=8, k=3,
+    ).collect()
+    victims = sorted({r.neighbor_id for r in rows})[:3]
+    ivf_pq_index_delete(
+        spark, store,
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+        "stale-intent",
+    )
+    assert _codes_delete_dirs(store)
+
+    # RETRAIN: simulate the algo_version path (training code changed,
+    # request unchanged) by doctoring the sidecar's stored version —
+    # the only legitimate same-params retrain trigger. The corpus
+    # still contains the 'deleted' vectors.
+    import os
+
+    npz_path = os.path.join(store, "index.npz")
+    with np.load(npz_path) as idx:
+        arrays = {k: idx[k] for k in idx.files}
+    from pycaim_spark.operators.similarity import _INDEX_PARAM_KEYS
+
+    vals = arrays["params"].tolist()
+    vals[list(_INDEX_PARAM_KEYS).index("algo_version")] -= 1
+    arrays["params"] = np.array(vals)
+    with open(npz_path + ".tmp", "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(npz_path + ".tmp", npz_path)
+    ivf_pq_index_build(emb, store, n_cells=4, m=4, k_centroids=8,
+                       sample_size=60)
+    assert _codes_delete_dirs(store) == [], \
+        "a retrain must discard pending delete intents"
+    n = _codes_frame(spark, store).count()
+    ivf_pq_codes_vacuum(spark, store)  # nothing pending: no-op
+    assert _codes_frame(spark, store).count() == n == 60, \
+        "no vector of the retrain corpus may be filtered or removed"
+    after = ivf_pq_topk_stored(
+        emb, store, n_cells=4, m=4, k_centroids=8, sample_size=60,
+        n_queries=8, k=3,
+    ).collect()
+    assert {r.neighbor_id for r in after} & set(victims), \
+        "previously-deleted vectors are served again after the retrain"
