@@ -209,7 +209,21 @@ def _banded_pairs_with_guard(
             F.count(F.lit(1)).over(w).alias("_w"),
             min_expr.over(w).alias("_min"),
         )
-        narrow = tagged.filter(F.col("_w") <= cap).drop("_w", "_min")
+        narrow_cond = F.col("_w") <= cap
+        if os.environ.get("PYCAIM_BAND_UNIFY", "1") != "0":
+            # Row-level no-op (the bucket min is an aggregate over the
+            # row's own non-null bucket, so it can never be null) that
+            # keeps `_min` referenced in the NARROW branch: without it,
+            # column pruning drops `_min` from the narrow window, and for
+            # the with_sig callers the star window's min(struct(id, sig))
+            # pre-projects a `_w0` struct column BELOW the exchange that
+            # the narrow side then lacks — the two band exchanges
+            # canonicalize differently and the whole signature+explode
+            # subtree executes twice (dedup_simhash before: Exchange (16)
+            # vs (36), plans/r18). With the reference, both windows
+            # compute [count, min] over one shared exchange.
+            narrow_cond = narrow_cond & F.col("_min").isNotNull()
+        narrow = tagged.filter(narrow_cond).drop("_w", "_min")
         pairs = _narrow_pairs(narrow)
         star = _star_pairs(tagged.filter(F.col("_w") > cap))
         wide_buckets = (
@@ -287,8 +301,21 @@ def _shingle_sets(
     # raw text BEFORE the projections. A filter on the derived array would
     # be pushed below the projects and re-inline the whole (uncached)
     # shingle expression into the predicate, evaluating it twice per row.
+    #
+    # The explicit IsNotNull(id) is a row-level no-op (fixture ids are
+    # never null) whose job is EXCHANGE REUSE: the Jaccard-verify joins
+    # key on id, so Catalyst pushes an inferred isnotnull(id) into THEIR
+    # copy of this subtree — without the same filter here, the band-side
+    # and verify-side repartition exchanges canonicalize differently and
+    # ReuseExchange cannot dedup them, so the CPU-bound shingle stage ran
+    # TWICE per query (plans/r18/dedup_minhash_before.txt operators 1-6
+    # vs 33-38: two full scan→tokenize→shingle→hash chains).
+    # PYCAIM_BAND_UNIFY=0 restores the r17 asymmetric form (A/B arm).
+    base_filter = F.size(toks) >= shingle_n
+    if os.environ.get("PYCAIM_BAND_UNIFY", "1") != "0":
+        base_filter = base_filter & F.col(id_col).isNotNull()
     base = (
-        docs.filter(F.size(toks) >= shingle_n)
+        docs.filter(base_filter)
         .select(F.col(id_col).alias("id"), toks.alias("_toks"))
         .select("id", shingles.alias("_sh"))
         .select(
@@ -334,7 +361,17 @@ def _band_rows(base: DataFrame, num_hashes: int, seed: int) -> DataFrame:
             for t in range(num_hashes)
         ]
     )
-    return base.select("id", F.posexplode(minhashes).alias("table_id", "mh"))
+    rows = base.select("id", F.posexplode(minhashes).alias("table_id", "mh"))
+    # Row-level no-op (hs is non-empty by _shingle_sets' length filter, so
+    # array_min never yields null) that exists for EXCHANGE REUSE: the
+    # narrow bucket self-join infers isnotnull(mh) from its join key and
+    # the star branch does not, so the two (table_id, mh) exchanges over
+    # these band rows canonicalized differently and the explode+shuffle
+    # ran twice (plans/r18/dedup_minhash_before.txt operators 7-9 vs
+    # 23-24). PYCAIM_BAND_UNIFY=0 restores the r17 form (A/B arm).
+    if os.environ.get("PYCAIM_BAND_UNIFY", "1") != "0":
+        rows = rows.filter(F.col("mh").isNotNull())
+    return rows
 
 
 def minhash_candidate_pairs(

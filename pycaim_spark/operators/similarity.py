@@ -128,7 +128,18 @@ def bucketed_cosine_neighbors(
         sigs = bits.reshape(len(mat), n_tables, n_planes) @ weights
         return pd.Series(list(sigs.astype(np.int64)))
 
+    # asNondeterministic: guide-§4.4 single-evaluation pin. posexplode of
+    # the signature column makes Catalyst infer a `size(sigs) > 0 AND
+    # isnotnull(sigs)` filter and push it below the projection, which
+    # DUPLICATES the ArrowEvalPython node — every row paid the BLAS
+    # signature pass twice per branch (4× per query with the star branch;
+    # plans/r18/sim_lsh_bucketed_before.txt operators 3/6/18/21). The
+    # function is pure on fixed inputs; the flag only forbids Catalyst
+    # from reordering/duplicating it, so results are unchanged.
+    # PYCAIM_SIM_UNIFY=0 restores the r17 form (A/B arm).
     signatures = F.pandas_udf(_signatures, "array<long>")
+    if os.environ.get("PYCAIM_SIM_UNIFY", "1") != "0":
+        signatures = signatures.asNondeterministic()
 
     sig = emb.select(
         F.col("vec_id"),
@@ -220,15 +231,31 @@ def bucketed_cosine_neighbors(
                 F.count(F.lit(1)).over(w).alias("_w"),
                 F.min("vec_id").over(w).alias("_min_id"),
             )
-            star = (
-                tagged.filter(
-                    (F.col("_w") > max_bucket_width)
-                    & (F.col("vec_id") != F.col("_min_id"))
+            star_cond = (F.col("_w") > max_bucket_width) & (
+                F.col("vec_id") != F.col("_min_id")
+            )
+            if os.environ.get("PYCAIM_SIM_UNIFY", "1") != "0":
+                # Canonical-subtree keep-alive (row-level no-op: sizes are
+                # ≥ 0 for non-null arrays and _norm is a sqrt): without a
+                # reference to embedding/_norm ABOVE the window, column
+                # pruning skinnies the star branch's copy of the bucket
+                # exchange to (vec_id, table_id, bucket) while the gemm
+                # branch carries the vectors — the canonicalized subtrees
+                # then differ and ReuseExchange cannot dedup them, so the
+                # scan + signature UDF + explode + shuffle all ran TWICE
+                # (plans/r18/sim_lsh_bucketed_before.txt operators 1-9 vs
+                # 16-24). These predicates sit above the window (they are
+                # not partition-key filters, so they cannot be pushed
+                # below it) and force the same wide exchange on both
+                # branches. PYCAIM_SIM_UNIFY=0 restores the r17 form.
+                star_cond = (
+                    star_cond
+                    & (F.size("embedding") >= 0)
+                    & (F.col("_norm") >= 0)
                 )
-                .select(
-                    F.col("_min_id").alias("vec_a"),
-                    F.col("vec_id").alias("vec_b"),
-                )
+            star = tagged.filter(star_cond).select(
+                F.col("_min_id").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
             )
             narrow = tagged.filter(F.col("_w") <= max_bucket_width).drop(
                 "_w", "_min_id"
@@ -320,8 +347,14 @@ def bucketed_cosine_neighbors(
         )
     # Final score: the SAME index-order fold + HALF_UP round as the exact
     # all-pairs operator, so surviving pairs carry bit-identical cosines.
-    # Runs only on the few candidates that pass the prefilter.
-    vecs = sig.select("vec_id", "embedding", "_norm")
+    # Runs only on the few candidates that pass the prefilter. Built from
+    # ``emb`` directly (not ``sig``): the verify side never needs the
+    # signature column, and deriving it from the projection that carries
+    # the now-non-deterministic UDF would leave Catalyst unable to prune
+    # the UDF out of the broadcast subtree.
+    vecs = emb.select(
+        "vec_id", "embedding", norm_expr(F.col("embedding")).alias("_norm")
+    )
     joined = (
         candidates.join(vecs.alias("va"), candidates.vec_a == F.col("va.vec_id"))
         .join(vecs.alias("vb"), candidates.vec_b == F.col("vb.vec_id"))

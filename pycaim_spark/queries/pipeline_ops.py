@@ -442,11 +442,18 @@ def text_decontaminate(spark, sf_dir):
     bench = F.broadcast(
         tg.filter(F.col("source") == "src0").select("t").distinct()
     )
+    # count, not count_distinct: (doc_id, t) is already unique — corpus
+    # trigrams explode from array_distinct and the broadcast bench side is
+    # .distinct(), so the equi-join yields at most one row per pair. The
+    # distinct aggregate would plan the two-phase expand (2 Exchanges) for
+    # a dedup that cannot remove anything (guide §2.4: distinct on data
+    # that is already unique); COUNT(DISTINCT t) in the oracle is the
+    # same value for the same reason.
     hits = (
         tg.filter(F.col("source") != "src0")
         .join(bench, "t")
         .groupBy("doc_id")
-        .agg(F.count_distinct("t").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     corpus = d.filter(F.col("source") != "src0").select("doc_id")
     n_shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
@@ -681,11 +688,16 @@ def pipeline_pretrain(spark, sf_dir):
         .distinct()
     )
     corpus = quality.filter(F.col("source") != "src0")
+    # count, not count_distinct: (doc_id, t) is unique after the
+    # array_distinct explode and the bench side is .distinct(), so the
+    # join yields ≤1 row per pair and the distinct aggregate's two-phase
+    # expand (an extra Exchange) dedups nothing (guide §2.4; same change
+    # as text_decontaminate — oracle value identical).
     contaminated = (
         corpus.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("t"))
         .join(bench, "t")
         .groupBy("doc_id")
-        .agg(F.count_distinct("t").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
         .select("doc_id")
     )
