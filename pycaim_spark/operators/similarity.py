@@ -136,9 +136,13 @@ def bucketed_cosine_neighbors(
     # plans/r18/sim_lsh_bucketed_before.txt operators 3/6/18/21). The
     # function is pure on fixed inputs; the flag only forbids Catalyst
     # from reordering/duplicating it, so results are unchanged.
-    # PYCAIM_SIM_UNIFY=0 restores the r17 form (A/B arm).
+    # PYCAIM_SIM_UNIFY arms: "1" (default) = this pin + the exchange-
+    # unifying keep-alives below; "nd" = this pin only (each branch keeps
+    # its own pruned exchange but evaluates the UDF once); "0" = the r17
+    # form (duplicated evaluation under the inferred posexplode filter).
+    _sim_unify = os.environ.get("PYCAIM_SIM_UNIFY", "1")
     signatures = F.pandas_udf(_signatures, "array<long>")
-    if os.environ.get("PYCAIM_SIM_UNIFY", "1") != "0":
+    if _sim_unify != "0":
         signatures = signatures.asNondeterministic()
 
     sig = emb.select(
@@ -234,7 +238,7 @@ def bucketed_cosine_neighbors(
             star_cond = (F.col("_w") > max_bucket_width) & (
                 F.col("vec_id") != F.col("_min_id")
             )
-            if os.environ.get("PYCAIM_SIM_UNIFY", "1") != "0":
+            if _sim_unify not in ("0", "nd"):
                 # Canonical-subtree keep-alive (row-level no-op: sizes are
                 # ≥ 0 for non-null arrays and _norm is a sqrt): without a
                 # reference to embedding/_norm ABOVE the window, column
@@ -247,7 +251,9 @@ def bucketed_cosine_neighbors(
                 # 16-24). These predicates sit above the window (they are
                 # not partition-key filters, so they cannot be pushed
                 # below it) and force the same wide exchange on both
-                # branches. PYCAIM_SIM_UNIFY=0 restores the r17 form.
+                # branches. PYCAIM_SIM_UNIFY=nd keeps the single-eval UDF
+                # pin but drops these keep-alives (thin star exchange);
+                # =0 restores the r17 form.
                 star_cond = (
                     star_cond
                     & (F.size("embedding") >= 0)

@@ -47,6 +47,56 @@ def test_plan_has_no_silent_scale_killers(spark, sf_dir, name):
         )
 
 
+#: (query, metric pins) for the r18 exchange-reuse unification — the
+#: asymmetric-filter / column-pruning splits these queries used to carry
+#: made identical corpus-sized subtrees execute twice (commit 3553fb4;
+#: before/after plans in plans/r18/). A Catalyst upgrade that changes
+#: canonicalization could rot the reuse silently — results stay right,
+#: cost doubles — so the pin is structural: distinct source scans on the
+#: candidate path and Python-eval node count, both from the static plan.
+_REUSE_PINS = {
+    # one documents scan (band + verify sides share the shingle exchange),
+    # band explode once (star branch reuses the band exchange)
+    "dedup_minhash": {"max_scans": 1, "arrow_evals": 0},
+    # signature aggregate + band explode shared by narrow and star
+    "dedup_simhash": {"max_scans": 2, "arrow_evals": 0},
+    # the BLAS signature UDF crosses the Python boundary exactly once
+    # (guide §4.4 duplication pinned off via asNondeterministic); the
+    # second scan is the verify-side broadcast, which needs no signatures
+    "sim_lsh_bucketed": {"max_scans": 2, "arrow_evals": 1},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_REUSE_PINS))
+def test_lsh_family_subtree_reuse_pinned(spark, sf_dir, name):
+    import re
+
+    pins = _REUSE_PINS[name]
+    # AQE-off explain: the concrete static plan with ReusedExchange nodes
+    # visible (same protocol as tools/gen_plans_md.py); restored after.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = plan_string(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+    arrow = len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan)))
+    assert scans <= pins["max_scans"], (
+        f"{name}: {scans} distinct parquet scans (pin {pins['max_scans']})"
+        " — the r18 exchange-reuse unification has rotted; see plans/r18/"
+    )
+    assert arrow == pins["arrow_evals"], (
+        f"{name}: {arrow} ArrowEvalPython nodes (pin {pins['arrow_evals']})"
+        " — a Python-boundary pass is being duplicated again (guide §4.4)"
+    )
+    assert "ReusedExchange" in plan, (
+        f"{name}: no ReusedExchange in plan — branch subtrees no longer "
+        "canonicalize identically"
+    )
+
+
 def test_shuffle_baseline_covers_registry():
     """Every statically-auditable query must appear in the committed
     shuffle-count baseline — a new operator cannot ship without a recorded
