@@ -109,6 +109,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.sequence(F.lit(0), F.size(words) - 2),
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
     )
+    # Examined for the r18 exchange-reuse sweep and left alone: unlike
+    # the minhash band path, the three consumers of this distinct subtree
+    # (sizes + both self-join sides) ALREADY canonicalize identically —
+    # the static plan shows ONE corpus scan and three ReusedExchange
+    # nodes (plans/r18/dedup_ngram_jaccard_before.txt), so there is no
+    # duplicated corpus pass to remove.
     grams = (
         d.select("doc_id", F.explode(bigrams).alias("bg")).distinct()
     )

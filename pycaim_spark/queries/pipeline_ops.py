@@ -9,11 +9,72 @@ windowed transformation both engines can express exactly.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pycaim_spark.catalog import load_table
 from pycaim_spark.registry import register
+
+
+def _shard_exchange(base, *keys):
+    """One explicit hash exchange on ``keys``, shared by the two-level
+    prefix-scan consumers (the per-shard offsets aggregate AND the
+    within-shard window) of the sharded-scan operators below.
+
+    Without it each consumer plans its own subtree over the corpus scan —
+    the offsets side as scan → partial agg → tiny exchange, the window
+    side as scan → full-row exchange — and the corpus is SCANNED TWICE
+    per query (guide §2.4: two operations keyed the same way can share
+    one exchange). With it, both hang off a single
+    RepartitionByExpression(keys): the window's required distribution is
+    satisfied directly and the aggregate runs shuffle-free above the same
+    exchange, which ReuseExchange dedups (plans/r18/*_{before,after}.txt).
+    The trade is explicit: the offsets side now re-reads corpus-sized
+    shuffle output instead of shuffling shard-count-sized partial sums —
+    but the window side already shuffles the full rows, so total shuffle
+    WRITE bytes are unchanged and a full extra pass over (at 100 TB,
+    remote) storage is gone.
+
+    The no-op IsNotNull filters exist for canonical-subtree identity: the
+    offsets join infers them on the window side (join keys) but cannot
+    push them below the offsets window (``shard`` is an order key there),
+    so without the explicit copy the two exchange subtrees canonicalize
+    differently and ReuseExchange silently splits — the r18
+    dedup_minhash/sim_lsh lesson (commit 3553fb4). Keys are never null by
+    construction (fixture langs/epochs, shard = doc_id DIV k).
+    PYCAIM_SCAN_UNIFY=0 restores the r17 two-scan shape (A/B arm).
+    """
+    if not _scan_unify():
+        return base
+    cond = F.col(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return base.filter(cond).repartition(*keys)
+
+
+def _scan_unify() -> bool:
+    return os.environ.get("PYCAIM_SCAN_UNIFY", "1") != "0"
+
+
+def _offsets_keepalive(agg_df, keep_cols):
+    """Column-pruning keep-alive for the offsets aggregate's copy of the
+    shared exchange (companion to `_shard_exchange`): the offsets side
+    only needs the shard keys + one aggregate, so ColumnPruning would trim
+    both the aggregate list and the exchange's input projection, and the
+    skinnied copy no longer canonicalizes with the window side's — the
+    exchange splits back into two corpus passes. The `min(col)` aggregates
+    (added by the caller) keep the pruned-off columns in the aggregate's
+    required input, and this filter (`min` over a non-empty group is never
+    null — a row-level no-op) keeps those aggregates referenced so the
+    optimizer cannot remove them. Same mechanism as the `_min IS NOT
+    NULL` keep-alive in operators/dedup.py `_banded_pairs_with_guard`
+    (commit 3553fb4)."""
+    cond = F.col(keep_cols[0]).isNotNull()
+    for k in keep_cols[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return agg_df.filter(cond)
 
 
 def _word_ngrams(words, n):
@@ -124,11 +185,19 @@ def text_pack(spark, sf_dir):
     budget = 512
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
-    base = d.select(
-        "doc_id", "lang", n_tok.alias("n_tok"),
-        F.expr("doc_id DIV 4096").alias("shard"),
+    base = _shard_exchange(
+        d.select(
+            "doc_id", "lang", n_tok.alias("n_tok"),
+            F.expr("doc_id DIV 4096").alias("shard"),
+        ),
+        "lang", "shard",
     )
-    shard_sums = base.groupBy("lang", "shard").agg(F.sum("n_tok").alias("s"))
+    agg_cols = [F.sum("n_tok").alias("s")]
+    if _scan_unify():
+        agg_cols.append(F.min("doc_id").alias("_keep"))
+    shard_sums = base.groupBy("lang", "shard").agg(*agg_cols)
+    if _scan_unify():
+        shard_sums = _offsets_keepalive(shard_sums, ["_keep"])
     w_off = (
         Window.partitionBy("lang")
         .orderBy("shard")
@@ -197,10 +266,25 @@ def sample_stratified(spark, sf_dir):
     rate = F.when(F.col("lang") == "en", rates["en"]).when(
         F.col("lang") == "zh", rates["zh"]
     ).otherwise(default_rate)
-    base = d.select(
-        "lang", "doc_id", "n_chars", F.expr("doc_id DIV 4096").alias("shard")
+    base = _shard_exchange(
+        d.select(
+            "lang", "doc_id", "n_chars", F.expr("doc_id DIV 4096").alias("shard")
+        ),
+        "lang", "shard",
     )
-    counts = base.groupBy("lang", "shard").agg(F.count(F.lit(1)).alias("cnt"))
+    agg_cols = [F.count(F.lit(1)).alias("cnt")]
+    if _scan_unify():
+        # coalesce keeps the keep-alive null-proof even for a
+        # hypothetical all-null n_chars group (min over nulls is null and
+        # the keep-alive filter would silently DROP that shard's counts);
+        # doc_id is a join/grouping key and never null.
+        agg_cols += [
+            F.min("doc_id").alias("_keep1"),
+            F.min(F.coalesce(F.col("n_chars"), F.lit(0))).alias("_keep2"),
+        ]
+    counts = base.groupBy("lang", "shard").agg(*agg_cols)
+    if _scan_unify():
+        counts = _offsets_keepalive(counts, ["_keep1", "_keep2"])
     w_off = (
         Window.partitionBy("lang")
         .orderBy("shard")
@@ -210,7 +294,11 @@ def sample_stratified(spark, sf_dir):
         "lang", "shard",
         F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
     )
-    n_lang = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # Stratum totals fold from the tiny (lang, shard) counts — a re-agg
+    # over shard-count-sized rows — instead of a THIRD pass over the
+    # corpus (guide §2.4: don't recompute what a cheaper consumer already
+    # aggregated).
+    n_lang = counts.groupBy("lang").agg(F.sum("cnt").alias("n_lang"))
     w_local = Window.partitionBy("lang", "shard").orderBy("doc_id")
     return (
         base.join(F.broadcast(offsets), ["lang", "shard"])
@@ -548,7 +636,12 @@ def shuffle_epoch(spark, sf_dir):
         F.col("doc_id") % 2147483648 * 2654435761 + F.col("epoch") * 40503
     ) % 4294967296
     shard = (order / F.lit(float(4294967296 // n_shards))).cast("int")
-    base = epochs.select("doc_id", "epoch", order.alias("ord"), shard.alias("shard"))
+    base = _shard_exchange(
+        epochs.select(
+            "doc_id", "epoch", order.alias("ord"), shard.alias("shard")
+        ),
+        "epoch", "shard",
+    )
     # Shard start offsets: counts per (epoch, shard) is a tiny aggregate;
     # the running sum over shards-in-order runs on epochs×shards rows.
     w_off = (
@@ -556,13 +649,17 @@ def shuffle_epoch(spark, sf_dir):
         .orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        base.groupBy("epoch", "shard")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "epoch", "shard",
-            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
-        )
+    agg_cols = [F.count(F.lit(1)).alias("cnt")]
+    if _scan_unify():
+        agg_cols += [
+            F.min("doc_id").alias("_keep1"), F.min("ord").alias("_keep2")
+        ]
+    shard_counts = base.groupBy("epoch", "shard").agg(*agg_cols)
+    if _scan_unify():
+        shard_counts = _offsets_keepalive(shard_counts, ["_keep1", "_keep2"])
+    offsets = shard_counts.select(
+        "epoch", "shard",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
     )
     w_local = Window.partitionBy("epoch", "shard").orderBy("ord", "doc_id")
     return (

@@ -97,6 +97,48 @@ def test_lsh_family_subtree_reuse_pinned(spark, sf_dir, name):
     )
 
 
+#: r18 change #4 (OPTIMIZATION_r18.md): the sharded-scan / n-gram family
+#: runs ONE corpus pass shared by all consumers via an explicit
+#: repartition both subtrees canonicalize onto (plans/r18/
+#: <q>_{before,after}.txt — before: 2-3 corpus scans each). Same rot
+#: risk as the LSH pins above: a canonicalization change silently splits
+#: the ReusedExchange and the corpus is scanned per-consumer again.
+_SCAN_UNIFY_PINS = [
+    "text_pack",
+    "sample_stratified",
+    "shuffle_epoch",
+    "text_ngram_lm",
+    "text_dup_spans",
+]
+
+
+@pytest.mark.parametrize("name", _SCAN_UNIFY_PINS)
+def test_scan_unify_single_corpus_pass_pinned(spark, sf_dir, name):
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        # fn() calls load_table -> configure_session, which re-applies
+        # the runtime confs (adaptive back ON); the AQE decision is made
+        # lazily at explain time, so re-disable before plan_string —
+        # same double-set as the LSH pin test above.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = plan_string(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+    assert scans <= 1, (
+        f"{name}: {scans} distinct parquet scans (pin 1) — the r18 "
+        "scan-share unification has rotted; see plans/r18/"
+    )
+    assert "ReusedExchange" in plan, (
+        f"{name}: no ReusedExchange in plan — the offsets/aggregate copy "
+        "of the shared exchange no longer canonicalizes with the "
+        "window/join side (keep-alive pruned?)"
+    )
+
+
 def test_shuffle_baseline_covers_registry():
     """Every statically-auditable query must appear in the committed
     shuffle-count baseline — a new operator cannot ship without a recorded
