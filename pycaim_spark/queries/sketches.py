@@ -34,10 +34,18 @@ def agg_hll_sketch(spark, sf_dir):
     counting O(sketch) instead of O(distinct values) at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # cache(): per_flag is a DIAMOND (consumed by both the per-flag
+    # estimates and the global re-merge) and Spark's only common-subplan
+    # reuse is ReusedExchange — without materialization the corpus-sized
+    # sketch aggregation ran TWICE (2 lineitem scans,
+    # plans/r18/agg_hll_sketch_{before,after}.txt). The cached frame is
+    # one row per returnflag (a few KB of sketches) — the same
+    # tiny-intermediate materialization ts_rollup_multires uses; computed
+    # inside the query, never across runs (r18 exchange-reuse sweep).
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sketch"),
         F.count(F.lit(1)).alias("n_rows"),
-    )
+    ).cache()
     merged = per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
     ).select(F.lit("__all__").alias("l_returnflag"), "est",

@@ -103,19 +103,27 @@ def test_lsh_family_subtree_reuse_pinned(spark, sf_dir, name):
 #: <q>_{before,after}.txt — before: 2-3 corpus scans each). Same rot
 #: risk as the LSH pins above: a canonicalization change silently splits
 #: the ReusedExchange and the corpus is scanned per-consumer again.
-_SCAN_UNIFY_PINS = [
-    "text_pack",
-    "sample_stratified",
-    "shuffle_epoch",
-    "text_ngram_lm",
-    "text_dup_spans",
-]
+_SCAN_UNIFY_PINS = {
+    "text_pack": {"max_scans": 1, "reuse": True},
+    "sample_stratified": {"max_scans": 1, "reuse": True},
+    "shuffle_epoch": {"max_scans": 1, "reuse": True},
+    "text_ngram_lm": {"max_scans": 1, "reuse": True},
+    "text_dup_spans": {"max_scans": 1, "reuse": True},
+    # one aggregate per event_type filter is the minimum; the view-step
+    # aggregate's two consumers share one exchange (was 4 scans)
+    "events_funnel": {"max_scans": 3, "reuse": True},
+    "events_cohort_retention": {"max_scans": 1, "reuse": True},
+    # diamond closed by materializing the few-row sketch aggregate
+    # (cache, not exchange reuse) — pin is the single lineitem scan
+    "agg_hll_sketch": {"max_scans": 1, "reuse": False},
+}
 
 
-@pytest.mark.parametrize("name", _SCAN_UNIFY_PINS)
+@pytest.mark.parametrize("name", sorted(_SCAN_UNIFY_PINS))
 def test_scan_unify_single_corpus_pass_pinned(spark, sf_dir, name):
     import re
 
+    pins = _SCAN_UNIFY_PINS[name]
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = REGISTRY[name].fn(spark, sf_dir)
@@ -128,15 +136,16 @@ def test_scan_unify_single_corpus_pass_pinned(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     scans = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
-    assert scans <= 1, (
-        f"{name}: {scans} distinct parquet scans (pin 1) — the r18 "
-        "scan-share unification has rotted; see plans/r18/"
+    assert scans <= pins["max_scans"], (
+        f"{name}: {scans} distinct parquet scans (pin {pins['max_scans']})"
+        " — the r18 scan-share unification has rotted; see plans/r18/"
     )
-    assert "ReusedExchange" in plan, (
-        f"{name}: no ReusedExchange in plan — the offsets/aggregate copy "
-        "of the shared exchange no longer canonicalizes with the "
-        "window/join side (keep-alive pruned?)"
-    )
+    if pins["reuse"]:
+        assert "ReusedExchange" in plan, (
+            f"{name}: no ReusedExchange in plan — the shared-exchange "
+            "copies no longer canonicalize identically (keep-alive "
+            "pruned? inferred filter asymmetric?)"
+        )
 
 
 def test_shuffle_baseline_covers_registry():
