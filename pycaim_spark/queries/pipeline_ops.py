@@ -266,25 +266,21 @@ def sample_stratified(spark, sf_dir):
     rate = F.when(F.col("lang") == "en", rates["en"]).when(
         F.col("lang") == "zh", rates["zh"]
     ).otherwise(default_rate)
-    base = _shard_exchange(
-        d.select(
-            "lang", "doc_id", "n_chars", F.expr("doc_id DIV 4096").alias("shard")
-        ),
-        "lang", "shard",
+    # r18 measured DECISION: like shuffle_epoch, this query does NOT take
+    # the `_shard_exchange` scan-share text_pack/text_ngram_lm use. Its
+    # corpus pass is three narrow columns (lang, doc_id, n_chars — pure
+    # columnar, no tokenize/CPU work), so the duplicated offsets-side pass
+    # is nearly free while the shared exchange forces the offsets+totals
+    # aggregates to re-read the full shuffled corpus rows instead of
+    # shuffling tiny map-side-aggregated counts: the unified form LOST its
+    # sf10 paired series 0/4, median 1.35 vs 1.11 s (ISOLATE_r18.json
+    # `sample_stratified_scan_unify_sf10_series`). The scan-share only
+    # pays when the duplicated pass re-does corpus-sized CPU work (see
+    # OPTIMIZATION_r18.md §4).
+    base = d.select(
+        "lang", "doc_id", "n_chars", F.expr("doc_id DIV 4096").alias("shard")
     )
-    agg_cols = [F.count(F.lit(1)).alias("cnt")]
-    if _scan_unify():
-        # coalesce keeps the keep-alive null-proof even for a
-        # hypothetical all-null n_chars group (min over nulls is null and
-        # the keep-alive filter would silently DROP that shard's counts);
-        # doc_id is a join/grouping key and never null.
-        agg_cols += [
-            F.min("doc_id").alias("_keep1"),
-            F.min(F.coalesce(F.col("n_chars"), F.lit(0))).alias("_keep2"),
-        ]
-    counts = base.groupBy("lang", "shard").agg(*agg_cols)
-    if _scan_unify():
-        counts = _offsets_keepalive(counts, ["_keep1", "_keep2"])
+    counts = base.groupBy("lang", "shard").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = (
         Window.partitionBy("lang")
         .orderBy("shard")
@@ -636,11 +632,19 @@ def shuffle_epoch(spark, sf_dir):
         F.col("doc_id") % 2147483648 * 2654435761 + F.col("epoch") * 40503
     ) % 4294967296
     shard = (order / F.lit(float(4294967296 // n_shards))).cast("int")
-    base = _shard_exchange(
-        epochs.select(
-            "doc_id", "epoch", order.alias("ord"), shard.alias("shard")
-        ),
-        "epoch", "shard",
+    # r18 measured DECISION: this query deliberately does NOT take the
+    # `_shard_exchange` scan-share the rest of the trio uses. Its corpus
+    # pass is a single narrow int64 column (doc_id — columnar scan,
+    # no text), so the duplicated offsets-side pass is nearly free while
+    # the shared exchange makes the offsets aggregate re-read the full
+    # exploded 2×corpus shuffle output instead of shuffling tiny
+    # map-side-aggregated counts: the unified form LOST its sf10 paired
+    # series 0/4, median 1.07 vs 0.83 s (ISOLATE_r18.json
+    # `shuffle_epoch_scan_unify_sf10_series`). The scan-share only pays
+    # when the duplicated pass re-does corpus-sized CPU work (tokenize/
+    # shingle — see text_pack/text_ngram_lm and OPTIMIZATION_r18.md §4).
+    base = epochs.select(
+        "doc_id", "epoch", order.alias("ord"), shard.alias("shard")
     )
     # Shard start offsets: counts per (epoch, shard) is a tiny aggregate;
     # the running sum over shards-in-order runs on epochs×shards rows.
@@ -649,17 +653,13 @@ def shuffle_epoch(spark, sf_dir):
         .orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    agg_cols = [F.count(F.lit(1)).alias("cnt")]
-    if _scan_unify():
-        agg_cols += [
-            F.min("doc_id").alias("_keep1"), F.min("ord").alias("_keep2")
-        ]
-    shard_counts = base.groupBy("epoch", "shard").agg(*agg_cols)
-    if _scan_unify():
-        shard_counts = _offsets_keepalive(shard_counts, ["_keep1", "_keep2"])
-    offsets = shard_counts.select(
-        "epoch", "shard",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    offsets = (
+        base.groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "epoch", "shard",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+        )
     )
     w_local = Window.partitionBy("epoch", "shard").orderBy("ord", "doc_id")
     return (

@@ -105,8 +105,16 @@ def test_lsh_family_subtree_reuse_pinned(spark, sf_dir, name):
 #: the ReusedExchange and the corpus is scanned per-consumer again.
 _SCAN_UNIFY_PINS = {
     "text_pack": {"max_scans": 1, "reuse": True},
-    "sample_stratified": {"max_scans": 1, "reuse": True},
-    "shuffle_epoch": {"max_scans": 1, "reuse": True},
+    # sample_stratified / shuffle_epoch deliberately keep the r17
+    # TWO-scan shape: their corpus pass is narrow columnar (no
+    # tokenize CPU), so the duplicated pass is nearly free while the
+    # shared exchange forces the offsets aggregate to re-read full
+    # shuffled corpus rows — the unified form lost both sf10 paired
+    # series 0/4 (ISOLATE_r18.json
+    # `{sample_stratified,shuffle_epoch}_scan_unify_sf10_series`).
+    # The pin guards against a THIRD scan creeping in.
+    "sample_stratified": {"max_scans": 2, "reuse": False},
+    "shuffle_epoch": {"max_scans": 2, "reuse": False},
     "text_ngram_lm": {"max_scans": 1, "reuse": True},
     "text_dup_spans": {"max_scans": 1, "reuse": True},
     # one aggregate per event_type filter is the minimum; the view-step
