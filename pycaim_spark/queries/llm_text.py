@@ -482,19 +482,16 @@ def text_dup_spans(spark, sf_dir):
             F.transform(F.sequence(F.lit(1), F.size("ws") - 4), span_at)
         ).alias("span"),
     )
-    import os
-
-    if os.environ.get("PYCAIM_SCAN_UNIFY", "1") != "0":
-        # One explicit span exchange shared by BOTH consumers of the
-        # exploded spans (guide §2.4): the span-frequency aggregate's
-        # distinct phase (clustering (span, doc_id) — satisfied by the
-        # span hash) and the stream side of the span join both hang off
-        # it, so the corpus scan+explode runs ONCE instead of twice and
-        # the join needs no further shuffle. The explicit IsNotNull
-        # matches the filter the join infers into both copies (span is an
-        # array_join over non-null slices — a row-level no-op).
-        # PYCAIM_SCAN_UNIFY=0 restores the r17 two-pass shape (A/B arm).
-        sp = sp.filter(F.col("span").isNotNull()).repartition("span")
+    # Deliberately the r17 TWO-scan shape (no shared span exchange): the
+    # r18 unify arm (explicit repartition("span") both consumers hang off)
+    # lost its sf10 paired series 1/4 raw with medians 56.5 vs 49.1 s
+    # (ISOLATE_r18.json `text_dup_spans_scan_unify_sf10_series`) — unlike
+    # its text_pack/text_ngram_lm siblings, BOTH consumers here need the
+    # full-width exploded span rows, so the shared exchange is read twice
+    # end-to-end while the two-scan shape's aggregate side partial-
+    # aggregates map-side; the saved tokenize pass did not pay for that.
+    # The clean-canary rounds split 1/1, so this is revisitable, but the
+    # round's standard ships the r17 shape absent a series win.
     sd = sp.groupBy("span").agg(F.count_distinct("doc_id").alias("nd"))
     dup = (F.col("nd") >= 2).cast("int")
     return (
