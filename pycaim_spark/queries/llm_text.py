@@ -482,16 +482,30 @@ def text_dup_spans(spark, sf_dir):
             F.transform(F.sequence(F.lit(1), F.size("ws") - 4), span_at)
         ).alias("span"),
     )
-    # Deliberately the r17 TWO-scan shape (no shared span exchange): the
-    # r18 unify arm (explicit repartition("span") both consumers hang off)
-    # lost its sf10 paired series 1/4 raw with medians 56.5 vs 49.1 s
-    # (ISOLATE_r18.json `text_dup_spans_scan_unify_sf10_series`) — unlike
-    # its text_pack/text_ngram_lm siblings, BOTH consumers here need the
-    # full-width exploded span rows, so the shared exchange is read twice
-    # end-to-end while the two-scan shape's aggregate side partial-
-    # aggregates map-side; the saved tokenize pass did not pay for that.
-    # The clean-canary rounds split 1/1, so this is revisitable, but the
-    # round's standard ships the r17 shape absent a series win.
+    # One explicit span exchange shared by BOTH consumers of the exploded
+    # spans (guide §2.4): the span-frequency aggregate and the span join's
+    # stream side hang off it, so the corpus scan+tokenize+explode runs
+    # ONCE and the join needs no further shuffle; the explicit IsNotNull
+    # matches the filter the join infers into its copy (span is an
+    # array_join over non-null slices — a row-level no-op).
+    # PYCAIM_SCAN_UNIFY=0 restores the r17 two-scan shape (A/B arm).
+    #
+    # Adjudication history: the unify arm LOST its first sf10 series 1/4
+    # raw (medians 56.5 vs 49.1 s — ISOLATE_r18.json
+    # `text_dup_spans_scan_unify_sf10_series`), but that series ran on a
+    # visibly degraded box and its clean-canary rounds split 1/1, so the
+    # round flagged it revisitable. The settled-box re-run OVERTURNED it:
+    # unify won 3/4 raw — including a 2.0x win from the order-penalized
+    # second slot — and 2/2 on rounds where both arms' canaries were
+    # clean, medians 33.9 vs 41.4 s (ISOLATE_r18.json
+    # `text_dup_spans_scan_unify_sf10_settled_series`). The saved
+    # tokenize+explode pass dominates exactly when the box is healthy;
+    # the two-scan shape's map-side partial aggregation only looked
+    # better under memory pressure.
+    import os
+
+    if os.environ.get("PYCAIM_SCAN_UNIFY", "1") != "0":
+        sp = sp.filter(F.col("span").isNotNull()).repartition("span")
     sd = sp.groupBy("span").agg(F.count_distinct("doc_id").alias("nd"))
     dup = (F.col("nd") >= 2).cast("int")
     return (

@@ -460,6 +460,21 @@ def text_repetition(spark, sf_dir):
         6,
     )
     bigrams = _word_ngrams(words, 2)
+    top_frac = F.round(F.col("top_cnt").cast("double") / F.col("n_bg"), 6)
+    # Deliberately the r17 TWO-scan shape (per-row stats pass + bigram
+    # explode pass, joined on doc_id — the join broadcasts the per-doc
+    # aggregate). The r18 single-pass candidate (dup_word_frac carried
+    # through the bigram aggregates as a min(); 1 scan, no join) lost its
+    # settled sf10 paired series 0/2 from both slot orders with clean
+    # canaries at 1.4-1.8x margins (ISOLATE_r18.json
+    # `text_repetition_scan_unify_sf10_series`; the first attempt, whose
+    # stats projection the analyzer had collapsed ABOVE the Generate so
+    # split+array_distinct ran once per exploded bigram, lost 0/2 too —
+    # `..._collapsed_form`). Mechanism matches the scan-unify family
+    # split (OPTIMIZATION_r18.md change #4): the duplicated pass here is
+    # per-DOC work (one split + array_distinct per document), while the
+    # carried double widens every row of the corpus-TOKEN-sized
+    # exploded-bigram aggregate pipeline — the tax outweighs the save.
     per_bg = (
         d.select("doc_id", F.explode(bigrams).alias("b"))
         .groupBy("doc_id", "b")
@@ -467,7 +482,6 @@ def text_repetition(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_bg"))
     )
-    top_frac = F.round(F.col("top_cnt").cast("double") / F.col("n_bg"), 6)
     stats = d.select("doc_id", dup_frac.alias("dup_word_frac"))
     return (
         stats.join(per_bg, "doc_id")

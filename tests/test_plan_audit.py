@@ -116,13 +116,13 @@ _SCAN_UNIFY_PINS = {
     "sample_stratified": {"max_scans": 2, "reuse": False},
     "shuffle_epoch": {"max_scans": 2, "reuse": False},
     "text_ngram_lm": {"max_scans": 1, "reuse": True},
-    # text_dup_spans reverted to the r17 two-scan shape: its unify arm
-    # lost the sf10 paired series 1/4 raw (ISOLATE_r18.json
-    # `text_dup_spans_scan_unify_sf10_series`, medians 56.5 vs 49.1 s) —
-    # both consumers need full-width span rows, so the shared exchange
-    # is read twice while the two-scan aggregate partial-aggregates
-    # map-side. The pin guards against a THIRD scan creeping in.
-    "text_dup_spans": {"max_scans": 2, "reuse": False},
+    # text_dup_spans ships the unified single-scan shape: its first sf10
+    # series loss (1/4 raw, degraded box — ISOLATE_r18.json
+    # `text_dup_spans_scan_unify_sf10_series`) was overturned by the
+    # settled-box re-run (3/4 raw incl. a 2.0x second-slot win, 2/2 on
+    # clean-canary rounds, medians 33.9 vs 41.4 s —
+    # `text_dup_spans_scan_unify_sf10_settled_series`).
+    "text_dup_spans": {"max_scans": 1, "reuse": True},
     # one aggregate per event_type filter is the minimum; the view-step
     # aggregate's two consumers share one exchange (was 4 scans)
     "events_funnel": {"max_scans": 3, "reuse": True},
