@@ -125,6 +125,45 @@ def _load_guard(label: str) -> list[float]:
     return load
 
 
+#: Settle gate (VERDICT r18 #1): both BENCH_r17 and BENCH_r18 ran at 1-min
+#: load 2.3–2.7 and produced a phantom across-the-board "regression" that
+#: the settled paired runs (BENCH_r18_settled vs _post) ruled a wash. The
+#: headline bench now waits — bounded — for the box to settle before
+#: timing, the tools/tpch_series.py pattern: poll until 1-min load < 0.5,
+#: proceed after 900 s regardless, and record what happened in the JSON
+#: (``settle_waited_s``, plus ``settle_timeout: true`` when it gave up) so
+#: a hot run is marked instead of silently misread. PYCAIM_BENCH_NO_SETTLE=1
+#: skips the wait (for harnesses that already settle, e.g. form_ab_series).
+_SETTLE_THRESHOLD = 0.5
+_SETTLE_TIMEOUT_S = 900.0
+
+
+def _settle(label: str) -> tuple[list[float], dict]:
+    """Bounded settle-wait, then the usual load record. Returns the load
+    triple plus the JSON fields describing the wait."""
+    extra: dict = {}
+    if not os.environ.get("PYCAIM_BENCH_NO_SETTLE"):
+        t0 = time.monotonic()
+        waited = False
+        while os.getloadavg()[0] > _SETTLE_THRESHOLD:
+            elapsed = time.monotonic() - t0
+            if elapsed >= _SETTLE_TIMEOUT_S:
+                extra["settle_timeout"] = True
+                break
+            if not waited:
+                print(
+                    f"bench: {label} waiting for 1-min load "
+                    f"{os.getloadavg()[0]:.2f} to settle below "
+                    f"{_SETTLE_THRESHOLD} (max {_SETTLE_TIMEOUT_S:.0f}s)",
+                    file=sys.stderr,
+                )
+                waited = True
+            time.sleep(min(15.0, _SETTLE_TIMEOUT_S - elapsed))
+        if waited or extra:
+            extra["settle_waited_s"] = round(time.monotonic() - t0, 1)
+    return _load_guard(label), extra
+
+
 def _tune_partitions(spark) -> None:
     """Size input splits for ≥8 fat tasks over this sf dir (4 MiB floor for
     the ~10 MiB fixture files; 128 MiB cap = the real-cluster default).
@@ -265,7 +304,7 @@ def _isolate(names: list[str], n: int, canary: bool = False) -> None:
     """
     import subprocess
 
-    load = _load_guard("--isolate")
+    load, settle_extra = _settle("--isolate")
     timings: dict[str, float] = {}
     canaries: dict[str, list[float]] = {}
     # $PYCAIM_CANARY_REF carries the best canary seen EARLIER in a series
@@ -340,6 +379,7 @@ def _isolate(names: list[str], n: int, canary: bool = False) -> None:
                 "protocol": "isolate",
                 "n": n,
                 "load": load,
+                **settle_extra,
                 **extra,
             }
         )
@@ -349,7 +389,7 @@ def _isolate(names: list[str], n: int, canary: bool = False) -> None:
 def main() -> None:
     from pycaim_spark.registry import queries as all_queries
 
-    load = _load_guard("headline bench")
+    load, settle_extra = _settle("headline bench")
     spark = _fresh_session()
     registry = all_queries()
     timings: dict[str, float] = {}
@@ -405,6 +445,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load": load,
+                **settle_extra,
                 **({"regimes": regimes} if regimes else {}),
             }
         )

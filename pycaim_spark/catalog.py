@@ -38,6 +38,32 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Last cached diamond intermediate per call site — see :func:`fresh_cache`.
+_FRESH_CACHE: dict[str, DataFrame] = {}
+
+
+def fresh_cache(key: str, df: DataFrame) -> DataFrame:
+    """Bounded-lifetime ``cache()`` for tiny diamond intermediates
+    (VERDICT r18 #7): Spark's CacheManager keys on the canonicalized plan,
+    so a plain ``.cache()`` inside a query function SURVIVES across
+    invocations — under the bench's warm-up + median-of-3 the timed runs
+    would re-read the InMemoryRelation instead of recomputing, silently
+    measuring the CacheManager. Here each call first unpersists the
+    previous invocation's entry (same canonicalized plan → same cache
+    slot), so every invocation recomputes from the parquet inputs while
+    the diamond still closes WITHIN the invocation (the reason these
+    caches exist: Spark's only common-subplan reuse is ReusedExchange,
+    and a shuffle-free diamond executes its shared subtree twice)."""
+    prev = _FRESH_CACHE.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _FRESH_CACHE[key] = df.cache()
+    return _FRESH_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, applying type normalization."""
     configure_session(spark)

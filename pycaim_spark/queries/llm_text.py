@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pycaim_spark.catalog import load_table
+from pycaim_spark.queries.pipeline_ops import _scan_unify
 from pycaim_spark.registry import register
 
 # Single source of truth for the language-ID heuristic wordlists — the
@@ -351,9 +352,9 @@ def text_ngram_lm(spark, sf_dir):
             F.element_at(F.col("ws"), (i + F.lit(1)).cast("int")),
         ).alias("bg"),
     )
-    import os
-
-    _unify = os.environ.get("PYCAIM_SCAN_UNIFY", "1") != "0"
+    # Shared family knob (pipeline_ops._scan_unify, ADVICE r18): one
+    # helper, one default, across the whole scan-unify family.
+    _unify = _scan_unify()
     if _unify:
         # r18 single-corpus-pass form (guide §2.4; PYCAIM_SCAN_UNIFY=0
         # restores the r17 three-pass shape as the A/B arm). Three
@@ -502,9 +503,7 @@ def text_dup_spans(spark, sf_dir):
     # tokenize+explode pass dominates exactly when the box is healthy;
     # the two-scan shape's map-side partial aggregation only looked
     # better under memory pressure.
-    import os
-
-    if os.environ.get("PYCAIM_SCAN_UNIFY", "1") != "0":
+    if _scan_unify():
         sp = sp.filter(F.col("span").isNotNull()).repartition("span")
     sd = sp.groupBy("span").agg(F.count_distinct("doc_id").alias("nd"))
     dup = (F.col("nd") >= 2).cast("int")

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from pycaim_spark.catalog import load_table
+from pycaim_spark.catalog import fresh_cache, load_table
 from pycaim_spark.functions.exact import DEC
 from pycaim_spark.registry import register
 
@@ -44,13 +44,15 @@ def ts_rollup_multires(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    hourly = (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
-        .agg(
+    # Bounded-lifetime cache (catalog.fresh_cache, r19): the hourly level
+    # is a 3-way diamond; the wrapper evicts the previous invocation's
+    # entry so repeated runs recompute from parquet (VERDICT r18 #7).
+    hourly = fresh_cache(
+        "ts_rollup_multires.hourly",
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
-        )
-        .cache()
+        ),
     )
 
     def level(tag, trunc_unit, src_col):

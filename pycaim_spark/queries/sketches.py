@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from pycaim_spark.catalog import load_table
+from pycaim_spark.catalog import fresh_cache, load_table
 from pycaim_spark.registry import register
 
 
@@ -34,18 +34,22 @@ def agg_hll_sketch(spark, sf_dir):
     counting O(sketch) instead of O(distinct values) at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # cache(): per_flag is a DIAMOND (consumed by both the per-flag
+    # fresh_cache(): per_flag is a DIAMOND (consumed by both the per-flag
     # estimates and the global re-merge) and Spark's only common-subplan
     # reuse is ReusedExchange — without materialization the corpus-sized
     # sketch aggregation ran TWICE (2 lineitem scans,
     # plans/r18/agg_hll_sketch_{before,after}.txt). The cached frame is
-    # one row per returnflag (a few KB of sketches) — the same
-    # tiny-intermediate materialization ts_rollup_multires uses; computed
-    # inside the query, never across runs (r18 exchange-reuse sweep).
-    per_flag = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey").alias("sketch"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).cache()
+    # one row per returnflag (a few KB of sketches); the bounded-lifetime
+    # wrapper (catalog.fresh_cache, r19) evicts the previous invocation's
+    # entry so repeated runs recompute from parquet instead of silently
+    # serving the CacheManager (VERDICT r18 #7).
+    per_flag = fresh_cache(
+        "agg_hll_sketch.per_flag",
+        li.groupBy("l_returnflag").agg(
+            F.hll_sketch_agg("l_partkey").alias("sketch"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+    )
     merged = per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
     ).select(F.lit("__all__").alias("l_returnflag"), "est",

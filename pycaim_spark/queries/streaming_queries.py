@@ -161,8 +161,14 @@ def source_stream(spark, sf_dir):
 def stream_watermark_agg(spark, sf_dir):
     """Watermarked tumbling aggregation over the replayed stream
     (SURVEY §2.B stream_watermark_agg): 10-minute watermark bounds state;
-    append mode emits only finalized windows."""
-    from pycaim_spark.streaming.runner import read_events_stream, run_available_now
+    append mode emits only finalized windows. State partitions are sized
+    from the source volume, not the core count (r19, VERDICT r18 #3 —
+    `streaming.runner.stream_state_partitions` has the sizing rule)."""
+    from pycaim_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+        stream_state_partitions,
+    )
 
     stream = read_events_stream(spark, sf_dir)
     agg = (
@@ -174,7 +180,11 @@ def stream_watermark_agg(spark, sf_dir):
             "n_events",
         )
     )
-    return run_available_now(agg, output_mode="append")
+    return run_available_now(
+        agg,
+        output_mode="append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 @register(
@@ -188,8 +198,13 @@ def stream_watermark_agg(spark, sf_dir):
 def stream_dedup_watermark(spark, sf_dir):
     """Stateful streaming dedup bounded by a watermark (SURVEY §2.B
     stream_dedup_watermark): state for (user_id, event_type) keys expires
-    once the watermark passes, keeping memory bounded forever."""
-    from pycaim_spark.streaming.runner import read_events_stream, run_available_now
+    once the watermark passes, keeping memory bounded forever. State
+    partitions sized from source volume, not cores (VERDICT r18 #3)."""
+    from pycaim_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+        stream_state_partitions,
+    )
 
     stream = read_events_stream(spark, sf_dir)
     deduped = (
@@ -197,7 +212,9 @@ def stream_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_available_now(deduped)
+    return run_available_now(
+        deduped, state_partitions=stream_state_partitions(spark, sf_dir)
+    )
 
 
 @register(
@@ -214,7 +231,11 @@ def stream_stateful(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from pycaim_spark.streaming.runner import read_events_stream, run_available_now
+    from pycaim_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+        stream_state_partitions,
+    )
 
     def update_counts(key, pdfs, state: GroupState):
         total = state.get[0] if state.exists else 0
@@ -231,7 +252,11 @@ def stream_stateful(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    updates = run_available_now(result, output_mode="update")
+    updates = run_available_now(
+        result,
+        output_mode="update",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     # Latest update per user = final running count.
     latest = updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
     return latest
@@ -264,7 +289,11 @@ def stream_join_interval(spark, sf_dir):
     result equals the batch interval join exactly — hence the DuckDB
     oracle, a stronger check than twin-equality.
     """
-    from pycaim_spark.streaming.runner import read_events_stream, run_available_now
+    from pycaim_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+        stream_state_partitions,
+    )
 
     views = (
         read_events_stream(spark, sf_dir)
@@ -292,7 +321,9 @@ def stream_join_interval(spark, sf_dir):
         & (F.col("b_ts") >= F.col("v_ts"))
         & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("user_id", "view_id", "buy_id")
-    return run_available_now(joined)
+    return run_available_now(
+        joined, state_partitions=stream_state_partitions(spark, sf_dir)
+    )
 
 
 @register(

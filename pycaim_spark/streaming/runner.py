@@ -49,21 +49,77 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State-store partition count for the stateful streaming operators,
+    keyed on EXPECTED STATE SIZE (via source bytes) instead of core count
+    (VERDICT r18 #3). The default ``spark.sql.shuffle.partitions`` tracks
+    the core count, and every stateful micro-batch — including the no-data
+    finalize batch availableNow always appends — pays a state-store
+    open/commit per partition (~27 ms each on this box per the r18
+    StreamingQueryProgress decomposition), so the cost scaled with CORES,
+    not data: the r18 driver's own scaling block read stream_watermark_agg
+    at 0.29 (8 cores 3.4× faster than 32 on identical code).
+
+    Sizing rule: one state partition per ~32 MiB of source input — the
+    watermark bounds live state to a fraction of in-flight input, so
+    source volume is the honest proxy — clamped to [1, defaultParallelism]
+    locally. On a deployment whose state cardinality is known, set
+    $PYCAIM_STREAM_STATE_PARTITIONS so each partition holds ~100 MB of
+    state; the env wins unconditionally. The count is pinned into the
+    checkpoint at first start, so it must be chosen before ``.start()`` —
+    ``run_available_now`` applies it for the query's lifetime only."""
+    explicit = os.environ.get("PYCAIM_STREAM_STATE_PARTITIONS")
+    if explicit:
+        return max(1, int(explicit))
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        nbytes = (
+            os.path.getsize(src)
+            if os.path.isfile(src)
+            else sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _d, files in os.walk(src)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        nbytes = 0
+    return max(1, min(spark.sparkContext.defaultParallelism, nbytes >> 25))
+
+
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow trigger) into a
-    memory sink; return the materialized result as a batch DataFrame."""
+    memory sink; return the materialized result as a batch DataFrame.
+
+    ``state_partitions`` (stateful queries): applied as the session's
+    shuffle-partition count for exactly this query's lifetime — streaming
+    state partitioning is pinned from ``spark.sql.shuffle.partitions`` at
+    first start — then restored, so co-resident batch queries never see it."""
+    spark = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     checkpoint = os.path.join(_SCRATCH, "checkpoints", name)
-    query = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return result.sparkSession.table(name)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        query = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 def make_idempotent_upsert(out: str, keep_versions: int = 3):

@@ -46,6 +46,9 @@ def run_one(query: str, sf_dir: str, envvar: str, arm: str):
         **os.environ,
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "PYCAIM_ISOLATE_TIMEOUT": "1800",
+        # This harness settles itself (settle() before each arm); skip
+        # bench.py's own r19 settle gate so the series cadence is unchanged.
+        "PYCAIM_BENCH_NO_SETTLE": "1",
     }
     if _CANARY_MIN:
         env["PYCAIM_CANARY_REF"] = str(_CANARY_MIN[0])
